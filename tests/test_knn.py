@@ -1,0 +1,73 @@
+"""Unit tests for the exact kNN operator family (reference invariants per
+FIXTURES.md: ascending distances, self-nearest, topK <= N, determinism)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_spark.operators import knn
+
+
+@pytest.fixture(scope="module")
+def line_df(spark):
+    # reference fixture: [i, i] vectors (py/test_hnsw.py:242,366-381)
+    rows = [(i, [float(i), float(i)]) for i in range(50)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_self_is_nearest(line_df):
+    out = knn.brute_force_knn(line_df, line_df, k=1).collect()
+    assert all(r.query_id == r.vec_id and r.dist == 0.0 for r in out)
+
+
+def test_line_neighbors(spark, line_df):
+    q = line_df.filter(F.col("vec_id") == 25)
+    out = knn.brute_force_knn(q, line_df, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [25, 24, 26]  # tie 24/26 -> lower id
+
+
+def test_sorted_ascending_and_bounded(line_df):
+    out = knn.brute_force_knn(line_df.limit(5), line_df, k=100)
+    rows = out.orderBy("query_id", "rank").collect()
+    assert all(r.dist >= 0 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.dist)
+    for dists in per_q.values():
+        assert dists == sorted(dists)
+        assert len(dists) == 50  # topK caps at dataset size
+
+
+def test_partial_mode_equals_window_mode(spark, line_df):
+    a = knn.brute_force_knn(line_df, line_df, k=5, mode="window")
+    b = knn.brute_force_knn(line_df, line_df, k=5, mode="partial")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_knn_graph_excludes_self(line_df):
+    g = knn.knn_graph(line_df, k=2)
+    assert g.filter(F.col("src") == F.col("dst")).count() == 0
+    assert g.groupBy("src").count().filter("count != 2").count() == 0
+
+
+def test_cosine_metric(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),   # same direction as 0
+        (2, [0.0, 1.0]),   # orthogonal
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn.brute_force_knn(
+        df.filter("vec_id = 0"), df, k=4, metric="cosine"
+    ).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [0, 1, 2, 3]
+    assert out[0].dist == pytest.approx(0.0)
+    assert out[2].dist == pytest.approx(1.0)
+    assert out[3].dist == pytest.approx(2.0)
+
+
+def test_recall_of_exact_is_one(spark, line_df):
+    res = knn.brute_force_knn(line_df, line_df, k=5)
+    assert knn.recall_at_k(res, res, k=5) == 1.0

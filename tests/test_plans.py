@@ -1,0 +1,29 @@
+"""Physical-plan regression tests: pushdown, pruning, broadcast."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_search_spark import plans, tables
+from vector_search_spark.operators import knn
+
+
+def test_knn_broadcasts_queries(spark):
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    out = knn.brute_force_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    assert plans.has_broadcast_join(out), "query side must broadcast"
+
+
+def test_knn_scan_projects_two_columns(spark):
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    out = knn.brute_force_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    for cols in plans.read_schema_columns(out):
+        assert "label" not in cols, f"label should be pruned, got {cols}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    filtered = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    pushed = plans.pushed_filters(filtered)
+    assert any("vec_id" in p for p in pushed), f"no pushdown: {pushed}"

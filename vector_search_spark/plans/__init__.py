@@ -1,0 +1,9 @@
+"""Plan-inspection helpers (used by tests to hold the line on physical
+plans: pushdown, pruning, broadcast, codegen)."""
+
+from vector_search_spark.plans.explain import (  # noqa: F401
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)

@@ -1,0 +1,222 @@
+"""Query catalog: every implemented operator exposed as a named query.
+
+Each entry pairs a Spark query builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle string that DuckDB runs on the same
+parquet tables (driver contract, __spark_entry__.py). The driver compares
+row count + schema + order-insensitive value hash at sf0.01.
+
+Portability rules (so the value hash matches across engines):
+- vector math in float64 on both sides, summed in index order;
+- every surfaced double is ROUND()ed identically on both sides
+  (aggregate outputs to 2-6 decimals depending on magnitude);
+- no array-typed output columns — explode instead;
+- hashing is md5/sha256 (identical everywhere), never engine hash();
+- timestamps surface as epoch-second bigints (session tz pinned UTC);
+- integer aggregates cast to BIGINT (DuckDB SUM(int) is HUGEINT);
+- ties broken by explicit id columns in every rank/limit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_spark import tables
+from vector_search_spark.operators import knn
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+def rnd(col, n: int = 6):
+    """Round for output + normalize IEEE -0.0 to +0.0 (hash-stable)."""
+    return F.round(col, n) + F.lit(0.0)
+
+
+def rnd_sql(expr: str, n: int = 6) -> str:
+    """DuckDB-side twin of :func:`rnd`."""
+    return f"(ROUND({expr}, {n}) + 0.0)"
+
+
+@dataclass
+class QuerySpec:
+    fn: SparkQuery
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    tags: tuple[str, ...] = field(default=())
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, *tags: str):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        CATALOG[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Vector search: exact brute-force kNN (reference py/bruteforce.py:11-19)
+# --------------------------------------------------------------------------
+
+KNN_QUERIES = 100  # query set = embeddings with vec_id < 100
+KNN_K = 10
+
+_L2_SQL = (
+    "list_sum(list_transform(range(1, len({a})+1), i -> ({a}[i]-{b}[i])^2))"
+)
+_DOT_SQL = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+
+
+@register(
+    "knn_exact",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {KNN_QUERIES}
+), b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings
+), s AS (
+  SELECT q.query_id, b.vec_id, {_L2_SQL.format(a="q.qv", b="b.bv")} AS d
+  FROM b CROSS JOIN q
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM s
+QUALIFY "rank" <= {KNN_K}
+""",
+    "vector",
+    "flagship",
+)
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    out = knn.brute_force_knn(queries, emb, k=KNN_K, metric="l2_sqr")
+    return out.select(
+        "query_id", "vec_id", rnd("dist").alias("dist"), "rank"
+    )
+
+
+@register(
+    "knn_cosine",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {KNN_QUERIES}
+), b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings
+), s AS (
+  SELECT q.query_id, b.vec_id,
+         1.0 - CASE WHEN sqrt({_DOT_SQL.format(a="q.qv", b="q.qv")})
+                       * sqrt({_DOT_SQL.format(a="b.bv", b="b.bv")}) = 0
+                    THEN 0.0
+                    ELSE {_DOT_SQL.format(a="q.qv", b="b.bv")}
+                         / (sqrt({_DOT_SQL.format(a="q.qv", b="q.qv")})
+                            * sqrt({_DOT_SQL.format(a="b.bv", b="b.bv")}))
+               END AS d
+  FROM b CROSS JOIN q
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM s
+QUALIFY "rank" <= {KNN_K}
+""",
+    "vector",
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    out = knn.brute_force_knn(queries, emb, k=KNN_K, metric="cosine")
+    return out.select(
+        "query_id", "vec_id", rnd("dist").alias("dist"), "rank"
+    )
+
+
+@register(
+    "knn_graph",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_L2_SQL.format(a="a.v", b="b.v")} AS d
+  FROM e a CROSS JOIN e b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT src, dst, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS INTEGER) AS "rank"
+FROM s
+QUALIFY "rank" <= 5
+""",
+    "vector",
+    "graph",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = knn.knn_graph(emb, k=5, metric="l2_sqr")
+    return out.select("src", "dst", rnd("dist").alias("dist"), "rank")
+
+
+# --------------------------------------------------------------------------
+# Relational surface (TPC-H-ish; extension per SURVEY.md §7 step 8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "relational",
+    "agg",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def get_catalog() -> dict[str, QuerySpec]:
+    # Import side-effect registrars for the wider surface; each module
+    # appends to CATALOG on import. Kept lazy so a bug in one family
+    # doesn't take down the whole entry point.
+    import vector_search_spark.queries_relational  # noqa: F401
+    import vector_search_spark.queries_text  # noqa: F401
+    import vector_search_spark.queries_vector  # noqa: F401
+
+    return CATALOG

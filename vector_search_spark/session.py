@@ -1,0 +1,67 @@
+"""SparkSession construction tuned for this engine.
+
+Defaults target the test harness (``local[32]``, 128 GiB single JVM) but
+every knob is the one you would set on a real 1000-executor cluster:
+
+- AQE on (runtime re-plan: skew-join splitting, partition coalescing,
+  join-strategy demotion to broadcast when a side turns out small).
+- ``spark.sql.shuffle.partitions`` sized to the parallelism at hand; on a
+  real cluster this should be ~2-3x total cores (AQE coalesces down).
+- Arrow enabled so the few Pandas-UDF operators (HNSW neighbor selection,
+  multimodal decode) exchange columnar batches, never per-row pickles.
+- Session timezone pinned to UTC so epoch arithmetic is portable across
+  engines (the DuckDB correctness oracle treats timestamps as UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 64m: codebooks / centroid / LUT dimension tables are always far below
+    # this, so Catalyst picks broadcast joins for them without hints.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Local-mode niceties; harmless on a cluster.
+    "spark.ui.enabled": "false",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+
+
+def get_spark(
+    app_name: str = "vector-search-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count — at our test
+    scale one shuffle partition per core; a cluster deployment passes its
+    own value (or relies on AQE coalescing from a high initial count).
+    """
+    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # If we attached to a pre-existing session, still pin the runtime-settable knobs.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,44 @@
+"""Loaders for the driver-generated parquet test tables (TESTDATA.md).
+
+All engine operators take DataFrames; these helpers only centralize paths
+and names. At 100 TB the same call shape holds — ``spark.read.parquet``
+over a partitioned directory — with Catalyst handling partition pruning
+and column projection from whatever the operator selects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql usage)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
