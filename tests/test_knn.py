@@ -71,3 +71,17 @@ def test_cosine_metric(spark):
 def test_recall_of_exact_is_one(spark, line_df):
     res = knn.brute_force_knn(line_df, line_df, k=5)
     assert knn.recall_at_k(res, res, k=5) == 1.0
+
+
+def test_gemm_equals_expr_on_real_embeddings(spark):
+    from tests.conftest import SF_ORACLE
+    from vector_search_spark import tables
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    for metric in ("l2_sqr", "cosine"):
+        a = knn.brute_force_knn(q, emb, k=10, metric=metric, impl="gemm")
+        b = knn.brute_force_knn(q, emb, k=10, metric=metric, impl="expr")
+        ra = sorted((r.query_id, r.vec_id, r.rank) for r in a.collect())
+        rb = sorted((r.query_id, r.vec_id, r.rank) for r in b.collect())
+        assert ra == rb, metric

@@ -1,0 +1,241 @@
+"""K-means on DataFrames (reference py/pq.py:80-206 — _KMeansPlusPlus +
+_KMeans/Lloyd), re-shaped for Spark scale.
+
+Covers SURVEY.md §2 #15 (argmin assignment), #16 (centroid mean with
+empty-cluster-keeps-old, reference py/pq.py:181-183), #17 (cluster
+sizes), #19 (convergence max-shift, tol 1e-6, reference py/pq.py:197),
+#40 (k-means++ init), #41 (Lloyd loop, <=100 iters, py/pq.py:140).
+
+Execution shape
+---------------
+Centroids are a tiny model (K x D <= 256 x 64 doubles) — exactly like
+the reference, which holds them on the "driver" (a Python list). Each
+Lloyd iteration is ONE distributed pass:
+
+    mapInPandas over points:
+        BLAS distance matrix batch x K -> argmin assignment
+        -> per-batch partial (cluster_id, count, component sums)
+    -> collect partials (O(batches x K) tiny rows) -> combine on driver
+
+No shuffle of point rows at all; the only data movement per iteration
+is the partial-sum rows. This is the map-side-combine formulation of
+the groupBy-mean the logical plan implies, and it survives 100 TB: the
+pass is embarrassingly parallel and the reduce state is K x (D+1)
+doubles per batch.
+
+Tie-breaking matches the reference's strict-< first-wins loops
+(py/pq.py:167-170): centroids are ordered by cluster_id and np.argmin
+returns the first minimal index, so exact ties go to the lowest id.
+
+Init: ``init_first_k`` (deterministic, oracle-friendly) and
+``kmeans_plus_plus`` — faithful D^2-weighted sampling (py/pq.py:80-138)
+run with seeded numpy on a bounded sample pulled to the driver; at
+100 TB you init on a sample (or switch to k-means||), never on the full
+set — the reference's sequential without-replacement draw is inherently
+driver-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions.distance import as_double_array
+
+
+def _collect_matrix(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    pdf = df.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    ).toPandas()
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    mat = (
+        np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        if len(pdf)
+        else np.zeros((0, 0))
+    )
+    return ids, mat
+
+
+def init_first_k(points: DataFrame, k: int, id_col="vec_id", vec_col="embedding") -> np.ndarray:
+    """Deterministic init: the k lowest-id points, ordered by id."""
+    _, mat = _collect_matrix(
+        points.orderBy(id_col).limit(k), id_col, vec_col
+    )
+    if len(mat) < k:
+        raise ValueError(f"need >= {k} points, got {len(mat)}")
+    return mat
+
+
+def kmeans_plus_plus(
+    points: DataFrame,
+    k: int,
+    seed: int = 42,
+    sample_size: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded k-means++ (D^2-weighted, without replacement) on a sample.
+
+    Faithful to reference py/pq.py:80-138: first centroid uniform, each
+    next drawn with probability proportional to squared distance to the
+    nearest chosen centroid; already-chosen points excluded.
+    """
+    n = points.count()
+    if n > sample_size:
+        frac = min(1.0, sample_size / n * 1.1)
+        points = points.sample(fraction=frac, seed=seed).limit(sample_size)
+    ids, X = _collect_matrix(points, id_col, vec_col)
+    if len(X) < k:
+        raise ValueError(f"need >= {k} points after sampling, got {len(X)}")
+    rng = np.random.default_rng(seed)
+    chosen = [int(rng.integers(0, len(X)))]
+    d2 = ((X - X[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        d2[chosen] = 0.0
+        total = d2.sum()
+        if total <= 0.0:  # all remaining points identical to a centroid
+            remaining = np.setdiff1d(np.arange(len(X)), chosen)
+            chosen.append(int(remaining[0]))
+            continue
+        r = rng.uniform(0.0, total)
+        idx = int(np.searchsorted(np.cumsum(d2), r, side="right"))
+        idx = min(idx, len(X) - 1)
+        chosen.append(idx)
+        d2 = np.minimum(d2, ((X - X[idx]) ** 2).sum(axis=1))
+    return X[chosen].copy()
+
+
+def assign(
+    points: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_vec: bool = False,
+) -> DataFrame:
+    """Assign each point to its nearest centroid (squared L2).
+
+    Returns ``(id_col, cluster_id, dist)`` (+ the vector when
+    ``with_vec``). One streaming pass, BLAS per Arrow batch, no shuffle.
+    """
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
+    src = points.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    )
+    out_schema = f"{id_col} long, cluster_id int, dist double" + (
+        ", vec array<double>" if with_vec else ""
+    )
+
+    def fn(batches):
+        C = bc.value
+        cn2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            D = (X * X).sum(axis=1)[:, None] + cn2[None, :] - 2.0 * (X @ C.T)
+            cid = D.argmin(axis=1)  # first minimal index == lowest cluster_id
+            cols = {
+                id_col: pdf["_id"].to_numpy(dtype=np.int64),
+                "cluster_id": cid.astype(np.int32),
+                "dist": np.maximum(D[np.arange(len(X)), cid], 0.0),
+            }
+            if with_vec:
+                cols["vec"] = list(X)
+            yield pd.DataFrame(cols)
+
+    return src.mapInPandas(fn, out_schema)
+
+
+@dataclass
+class LloydResult:
+    centroids: np.ndarray  # (k, D)
+    n_iter: int
+    max_shift: float
+    converged: bool
+
+
+def lloyd(
+    points: DataFrame,
+    init: np.ndarray,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> LloydResult:
+    """Lloyd iterations until max centroid shift (squared L2) <= tol.
+
+    Defaults mirror the reference (py/pq.py:140,197). Empty clusters
+    keep their previous centroid (py/pq.py:181-183).
+    """
+    spark = points.sparkSession
+    src = points.select(as_double_array(vec_col).alias("_v")).cache()
+    try:
+        k, dim = init.shape
+        C = np.ascontiguousarray(init, dtype=np.float64)
+        it, shift = 0, float("inf")
+        for it in range(1, max_iter + 1):
+            cnt, sums = _partial_assign_sums(spark, src, C)
+            newC = C.copy()
+            nonempty = cnt > 0
+            newC[nonempty] = sums[nonempty] / cnt[nonempty, None]
+            shift = float(((C - newC) ** 2).sum(axis=1).max())
+            C = newC
+            if shift <= tol:
+                return LloydResult(C, it, shift, True)
+        return LloydResult(C, it, shift, False)
+    finally:
+        src.unpersist()
+
+
+def _partial_assign_sums(spark, src: DataFrame, C: np.ndarray):
+    """One pass: per-batch assignment + partial (count, sum) per cluster."""
+    k, dim = C.shape
+    bc = spark.sparkContext.broadcast(C)
+
+    def fn(batches):
+        CC = bc.value
+        cn2 = (CC * CC).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            D = (X * X).sum(axis=1)[:, None] + cn2[None, :] - 2.0 * (X @ CC.T)
+            cid = D.argmin(axis=1)
+            cnt = np.bincount(cid, minlength=k).astype(np.int64)
+            sums = np.zeros_like(CC)
+            np.add.at(sums, cid, X)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": np.arange(k, dtype=np.int32),
+                    "cnt": cnt,
+                    "vsum": list(sums),
+                }
+            )
+
+    partials = src.mapInPandas(
+        fn, "cluster_id int, cnt long, vsum array<double>"
+    ).toPandas()
+    cnt = np.zeros(k, dtype=np.int64)
+    sums = np.zeros_like(C)
+    for _, row in partials.iterrows():
+        cnt[row["cluster_id"]] += row["cnt"]
+        sums[row["cluster_id"]] += np.asarray(row["vsum"])
+    return cnt, sums
+
+
+def centroids_df(spark, C: np.ndarray) -> DataFrame:
+    """Centroid matrix as a (cluster_id, centroid) DataFrame (model sink)."""
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(C)]
+    return spark.createDataFrame(rows, "cluster_id int, centroid array<double>")
+
+
+def load_centroids(df: DataFrame) -> np.ndarray:
+    pdf = df.orderBy("cluster_id").toPandas()
+    return np.vstack(pdf["centroid"].to_numpy()).astype(np.float64)

@@ -31,10 +31,17 @@ At true scale, exact all-pairs is the *oracle*, not the serving path —
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_search_spark.functions.distance import as_double_array, distance
+from vector_search_spark.functions.distance import (
+    as_double_array,
+    distance,
+    dot,
+    norm,
+)
 
 
 def score_pairs(
@@ -61,6 +68,20 @@ def score_pairs(
         F.col(base_id_col).alias("vec_id"),
         as_double_array(base_vec_col).alias("_bv"),
     )
+    if metric == "cosine":
+        # Precompute norms once per side so each pair costs a single
+        # fold (dot) instead of three.
+        q = q.withColumn("_qn", norm("_qv"))
+        b = b.withColumn("_bn", norm("_bv"))
+        if broadcast_queries:
+            q = F.broadcast(q)
+        denom = F.col("_qn") * F.col("_bn")
+        sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            dot("_qv", "_bv") / denom
+        )
+        return b.crossJoin(q).select(
+            "query_id", "vec_id", (F.lit(1.0) - sim).alias("dist")
+        )
     if broadcast_queries:
         q = F.broadcast(q)
     return b.crossJoin(q).select(
@@ -113,12 +134,127 @@ def topk_per_query(
     )
 
 
+def score_topk_gemm(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    metric: str = "l2_sqr",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    base_id_col: str = "vec_id",
+    base_vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BLAS-vectorized scoring + map-side partial top-k in one pass.
+
+    The Catalyst higher-order-function fold (functions/distance.py) is
+    interpreted per row (~15us/pair) — fine for expressions, hopeless
+    for all-pairs scoring. This path instead:
+
+    1. collects the (small) query set to the driver and broadcasts the
+       query matrix to every executor — the same role as the broadcast
+       side of a join, but as a dense float64 ndarray;
+    2. one ``mapInPandas`` pass over base: per Arrow batch, a single
+       float64 gemm scores the whole batch against all queries
+       (||q||^2 + ||b||^2 - 2 Q.B^T for L2; normalized rows for cosine);
+    3. emits only the per-batch top-(k+pad) rows per query, so the
+       shuffle input is ~batches x Q x k rows, never N x Q.
+
+    The exact global top-k window afterwards (topk_per_query) makes the
+    per-batch cut a safe partial reduction. ``pad`` absorbs distance
+    ties at the cut boundary (only exact-duplicate vectors can tie).
+
+    Scale: one streaming pass over base, zero shuffle of score rows,
+    compute in BLAS — this is the shape that survives a 1000-executor
+    100 TB scan. The constraint is that the *query* side fits in a
+    broadcast (same constraint as any broadcast join); for query sets
+    beyond that, block the query side and union, or go through
+    operators/ivf.py.
+
+    Returns ``(query_id, vec_id, dist)`` (partial — feed topk_per_query).
+    """
+    qpdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    ).toPandas()
+    if not len(qpdf):
+        raise ValueError("empty query set")
+    qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+    Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
+
+    if metric == "cosine":
+        qn = np.linalg.norm(Q, axis=1)
+        Qn = np.divide(Q, qn[:, None], out=np.zeros_like(Q), where=qn[:, None] != 0)
+        payload = (qids, Qn, None)
+    elif metric in ("l2_sqr", "l2"):
+        payload = (qids, Q, (Q * Q).sum(axis=1))
+    elif metric == "dot":
+        payload = (qids, Q, None)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    bc = queries.sparkSession.sparkContext.broadcast(payload)
+    b = base.select(
+        F.col(base_id_col).alias("vec_id"),
+        as_double_array(base_vec_col).alias("bv"),
+    )
+    pad = 8
+    kk = k + pad
+
+    def fn(batches):
+        b_qids, b_Q, b_qn2 = bc.value
+        nq = len(b_qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            B = np.vstack(pdf["bv"].to_numpy()).astype(np.float64)
+            if metric in ("l2_sqr", "l2"):
+                D = b_qn2[:, None] + (B * B).sum(axis=1)[None, :] - 2.0 * (b_Q @ B.T)
+                if metric == "l2":
+                    D = np.sqrt(np.maximum(D, 0.0))
+            elif metric == "cosine":
+                bn = np.linalg.norm(B, axis=1)
+                Bn = np.divide(B, bn[:, None], out=np.zeros_like(B), where=bn[:, None] != 0)
+                D = 1.0 - (b_Q @ Bn.T)
+            else:  # dot (negated: smaller == closer)
+                D = -(b_Q @ B.T)
+            if exclude_self:
+                D[b_qids[:, None] == vids[None, :]] = np.inf
+            m = min(kk, D.shape[1])
+            if m < D.shape[1]:
+                cand = np.argpartition(D, m - 1, axis=1)[:, :m]
+            else:
+                cand = np.broadcast_to(np.arange(D.shape[1]), (nq, D.shape[1]))
+            rows_q, rows_v, rows_d = [], [], []
+            for i in range(nq):
+                cj = cand[i]
+                dj = D[i, cj]
+                order = np.lexsort((vids[cj], dj))[:k]
+                keep = cj[order]
+                dk = dj[order]
+                fin = np.isfinite(dk)
+                rows_q.append(np.full(fin.sum(), b_qids[i]))
+                rows_v.append(vids[keep][fin])
+                rows_d.append(dk[fin])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(rows_q),
+                    "vec_id": np.concatenate(rows_v),
+                    "dist": np.concatenate(rows_d),
+                }
+            )
+
+    return b.mapInPandas(fn, "query_id long, vec_id long, dist double")
+
+
 def brute_force_knn(
     queries: DataFrame,
     base: DataFrame,
     k: int = 10,
     metric: str = "l2_sqr",
     mode: str = "window",
+    impl: str = "gemm",
     **cols,
 ) -> DataFrame:
     """Exact kNN: mirror of BruteForce.RunSearch (py/bruteforce.py:11-19).
@@ -126,7 +262,15 @@ def brute_force_knn(
     Returns ``(query_id, vec_id, dist, rank)`` with rank 1..k ascending
     by distance (ties broken by vec_id — deterministic, matching the
     reference's stable full-sort at py/bruteforce.py:17).
+
+    ``impl='gemm'`` (default) scores via the broadcast-matrix BLAS path;
+    ``impl='expr'`` keeps everything in Catalyst expressions (slower on
+    all-pairs, but zero Python — useful as a cross-check and for small k
+    inside larger plans).
     """
+    if impl == "gemm":
+        scored = score_topk_gemm(queries, base, k, metric=metric, **cols)
+        return topk_per_query(scored, k, mode="window")
     scored = score_pairs(queries, base, metric=metric, **cols)
     return topk_per_query(scored, k, mode=mode)
 
@@ -138,6 +282,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "window",
+    impl: str = "gemm",
 ) -> DataFrame:
     """Batch kNN graph: top-k neighbors per node, self-edges excluded.
 
@@ -146,22 +291,24 @@ def knn_graph(
     neighbor lists for *all* nodes in one job. Returns
     ``(src, dst, dist, rank)``.
 
-    Scale path: for large N, feed candidate pairs from IVF cells
-    (operators/ivf.py) instead of the full self-join — same downstream
-    top-k per src.
+    Scale path: for large N the node set no longer fits a broadcast —
+    feed candidate pairs from IVF cells (operators/ivf.py) instead of
+    the full self-join; same downstream top-k per src.
     """
-    scored = (
-        score_pairs(
-            base,
-            base,
-            metric=metric,
-            query_id_col=id_col,
-            query_vec_col=vec_col,
-            base_id_col=id_col,
-            base_vec_col=vec_col,
-        )
-        .filter(F.col("query_id") != F.col("vec_id"))
+    cols = dict(
+        query_id_col=id_col,
+        query_vec_col=vec_col,
+        base_id_col=id_col,
+        base_vec_col=vec_col,
     )
+    if impl == "gemm":
+        scored = score_topk_gemm(
+            base, base, k, metric=metric, exclude_self=True, **cols
+        )
+    else:
+        scored = score_pairs(base, base, metric=metric, **cols).filter(
+            F.col("query_id") != F.col("vec_id")
+        )
     out = topk_per_query(scored, k, mode=mode)
     return out.select(
         F.col("query_id").alias("src"),
