@@ -1,0 +1,73 @@
+"""K-means operator tests (reference invariants: py/test_pq.py:55-94)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_spark.operators import kmeans
+
+
+@pytest.fixture(scope="module")
+def clustered_df(spark):
+    # reference fixture: 3 clusters around 0/10/20 per dim (py/test_pq.py:72-94)
+    rng = np.random.default_rng(42)
+    rows = []
+    for ci, center in enumerate([0.0, 10.0, 20.0]):
+        for i in range(10):
+            v = center + rng.uniform(-1, 1, size=4)
+            rows.append((ci * 10 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lloyd_converges_to_known_centers(clustered_df):
+    init = kmeans.init_first_k(clustered_df, 3)  # one seed lands in cluster 0
+    # first-3 init points all lie in cluster 0; kmeans++ separates them
+    init = kmeans.kmeans_plus_plus(clustered_df, 3, seed=1)
+    res = kmeans.lloyd(clustered_df, init, max_iter=100, tol=1e-6)
+    assert res.converged
+    means = sorted(float(c.mean()) for c in res.centroids)
+    for got, want in zip(means, [0.0, 10.0, 20.0]):
+        assert abs(got - want) < 2.0  # reference tolerance (+-2)
+
+
+def test_assign_tie_breaks_to_lowest_cluster(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    C = np.array([[2.0, 2.0], [0.0, 0.0]])  # equidistant from (1,1)
+    out = kmeans.assign(df, C).collect()
+    assert out[0].cluster_id == 0
+
+
+def test_empty_cluster_keeps_old_centroid(spark):
+    df = spark.createDataFrame(
+        [(i, [0.0, 0.0]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    C = np.array([[0.0, 0.0], [100.0, 100.0]])
+    res = kmeans.lloyd(df, C, max_iter=2, tol=-1.0)
+    assert np.allclose(res.centroids[1], [100.0, 100.0])  # never assigned
+    assert np.allclose(res.centroids[0], [0.0, 0.0])
+
+
+def test_assign_dist_nonnegative_and_sizes_sum(clustered_df):
+    init = kmeans.kmeans_plus_plus(clustered_df, 3, seed=1)
+    out = kmeans.assign(clustered_df, init)
+    assert out.filter(F.col("dist") < 0).count() == 0
+    assert out.count() == 30
+
+
+def test_kmeanspp_without_replacement(clustered_df):
+    C = kmeans.kmeans_plus_plus(clustered_df, 5, seed=7)
+    # no duplicate centroids
+    assert len({tuple(np.round(c, 9)) for c in C}) == 5
+
+
+def test_centroids_roundtrip(spark, clustered_df, tmp_path):
+    init = kmeans.kmeans_plus_plus(clustered_df, 3, seed=1)
+    res = kmeans.lloyd(clustered_df, init, max_iter=10, tol=1e-6)
+    path = str(tmp_path / "centroids.parquet")
+    kmeans.centroids_df(spark, res.centroids).write.parquet(path)
+    loaded = kmeans.load_centroids(spark.read.parquet(path))
+    assert np.allclose(loaded, res.centroids)
