@@ -9,10 +9,21 @@ from vector_search_spark import plans, tables
 from vector_search_spark.operators import knn
 
 
-def test_knn_broadcasts_queries(spark):
+def test_knn_expr_path_broadcasts_queries(spark):
+    # The Catalyst-expression path must broadcast the (small) query side;
+    # the default gemm path broadcasts an ndarray instead (no join node).
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    out = knn.brute_force_knn(emb.filter(F.col("vec_id") < 10), emb, k=5, impl="expr")
+    assert plans.has_broadcast_join(out), "query side must broadcast"
+
+
+def test_knn_gemm_path_has_no_join(spark):
+    # gemm path = single streaming pass over base + window top-k: the
+    # only shuffle should be the final per-query rank, never a join.
     emb = tables.load(spark, SF_ORACLE, "embeddings")
     out = knn.brute_force_knn(emb.filter(F.col("vec_id") < 10), emb, k=5)
-    assert plans.has_broadcast_join(out), "query side must broadcast"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
 
 
 def test_knn_scan_projects_two_columns(spark):

@@ -1,0 +1,148 @@
+"""PQ invariants, mirroring the reference test strategy (SURVEY.md §5;
+reference py/test_pq.py): code ranges, reconstruction error, ADC/SDC
+equivalence to explicit decode math, seeded-train determinism,
+codebook persistence round-trip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_search_spark import tables
+from vector_search_spark.operators import pq
+
+M, K = 8, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return tables.load(spark, SF_ORACLE, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def model(spark, emb):
+    m, n_iter = pq.train_pq(emb, m=M, k=K, seed=42, max_iter=25)
+    assert 1 <= n_iter <= 25
+    return m
+
+
+def test_train_shapes_and_determinism(spark, emb, model):
+    assert model.codebooks.shape == (M, K, 64 // M)
+    assert model.m == M and model.k == K and model.dim == 64
+    again, _ = pq.train_pq(emb, m=M, k=K, seed=42, max_iter=25)
+    np.testing.assert_allclose(model.codebooks, again.codebooks)
+
+
+def test_train_rejects_bad_dims(spark, emb):
+    # D % M == 0 contract (reference py/pq.py:32-33)
+    with pytest.raises(ValueError, match="divisible"):
+        pq.train_pq(emb, m=7, k=4)
+
+
+def test_codes_in_range(spark, emb, model):
+    codes = pq.encode(emb, model)
+    stats = codes.select(
+        F.min(F.array_min("code")).alias("lo"),
+        F.max(F.array_max("code")).alias("hi"),
+        F.min(F.size("code")).alias("m_lo"),
+        F.max(F.size("code")).alias("m_hi"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] < K  # py/test_pq.py code-range
+    assert stats["m_lo"] == stats["m_hi"] == M
+
+
+def test_reconstruction_error_bounded(spark, emb, model):
+    """decode(encode(x)) must beat a null model (global-mean centroid) —
+    the reconstruction-error-bound style of py/test_pq.py:154-167."""
+    codes = pq.encode(emb, model)
+    recon = pq.decode(codes, model)
+    joined = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(recon, "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with("v", "vec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("err"),
+            F.aggregate(
+                F.transform("v", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("norm2"),
+        )
+        .agg(F.avg("err").alias("mse"), F.avg("norm2").alias("mnorm"))
+        .first()
+    )
+    assert 0.0 <= joined["mse"] < joined["mnorm"]
+
+
+def test_encode_self_centroid_is_exact(spark, model):
+    """A vector that IS a centroid concatenation encodes to those codes
+    and decodes back exactly (identity round-trip, py/test_pq.py style)."""
+    spark_codes = [3, 0, 15, 7, 1, 9, 12, 5]
+    vec = np.concatenate([model.codebooks[mi, c] for mi, c in enumerate(spark_codes)])
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in vec])], "vec_id long, embedding array<double>"
+    )
+    out = pq.encode(df, model).first()
+    assert list(out["code"]) == spark_codes
+    rec = pq.decode(pq.encode(df, model), model).first()
+    np.testing.assert_allclose(np.asarray(rec["vec"]), vec, rtol=1e-12)
+
+
+def test_adc_matches_decode_l2(spark, emb, model):
+    """ADC(q, code) == L2Sqr(q, decode(code)) by definition
+    (py/pq.py:297-324) — check on a small slice with explicit math."""
+    small = emb.filter(F.col("vec_id") < 30)
+    codes = pq.encode(small, model)
+    adc = pq.adc_topk(small.filter(F.col("vec_id") < 3), codes, model, k=30)
+    recon = pq.decode(codes, model)
+    q = small.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    explicit = q.crossJoin(recon.withColumnRenamed("vec_id", "bid")).select(
+        "query_id",
+        F.col("bid").alias("vec_id"),
+        F.aggregate(
+            F.zip_with("qv", "vec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d_explicit"),
+    )
+    diff = (
+        adc.join(explicit, ["query_id", "vec_id"])
+        .select(F.max(F.abs(F.col("dist") - F.col("d_explicit"))).alias("mx"))
+        .first()["mx"]
+    )
+    assert diff < 1e-8
+
+
+def test_sdc_symmetric_and_zero_diagonal(model):
+    T = pq.sdc_table(model)
+    assert T.shape == (M, K, K)
+    np.testing.assert_allclose(T, T.transpose(0, 2, 1), atol=1e-10)
+    for mi in range(M):
+        np.testing.assert_allclose(np.diag(T[mi]), 0.0, atol=1e-9)
+
+
+def test_codebook_roundtrip(spark, model, tmp_path):
+    """Get/SetCodebooks parquet round-trip (py/pq.py:351-381,
+    py/test_pq.py:274-294)."""
+    path = str(tmp_path / "cb.parquet")
+    pq.save_model(spark, model, path)
+    loaded = pq.load_model(spark, path)
+    np.testing.assert_allclose(loaded.codebooks, model.codebooks)
+
+
+def test_load_model_validates_shape(spark, model, tmp_path):
+    path = str(tmp_path / "cb_bad.parquet")
+    pq.save_model(spark, model, path)
+    df = spark.read.parquet(path)
+    df.filter(~((F.col("m") == 0) & (F.col("k") == 0))).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "cb_missing.parquet"))
+    with pytest.raises(ValueError):
+        pq.load_model(spark, str(tmp_path / "cb_missing.parquet"))

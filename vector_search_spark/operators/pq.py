@@ -1,0 +1,433 @@
+"""Product Quantization: train / encode / decode / ADC / SDC.
+
+Reference surface (SURVEY.md §2.9, /root/reference/py/pq.py):
+- ``TrainPQ`` (py/pq.py:220-240): per-subspace k-means via thread pool
+  -> here ALL M subspaces train inside the same distributed passes
+  (the thread fan-out becomes partition parallelism, SURVEY #42/#43).
+- ``Encode``/``Decode`` (py/pq.py:242-295): per-subspace argmin / gather.
+- ADC ``ComputeAsymmetricDistance`` (py/pq.py:297-324): query-to-code.
+  The reference deliberately skips the per-query LUT (comment at
+  py/pq.py:313); in batch we invert that: one (M x K) LUT per query,
+  broadcast, then each candidate costs M gathers + a sum — the classic
+  ADC formulation (py/PRODUCT_QUANTIZATION.md:157-169).
+- SDC ``ComputeSymmetricDistance`` (py/pq.py:326-349): code-to-code via
+  precomputed K x K centroid-distance tables per subspace (the
+  lru_cache at py/hnsw.py:228-238 becomes a broadcast table).
+
+Model layout: ``codebooks`` ndarray (M, K, D'), D' = D/M — the same
+(M x K x D') driver-held structure as the reference (py/pq.py:35-40),
+small enough to broadcast (256x256x... is a few MB at most).
+Persistence mirrors Get/SetCodebooks (py/pq.py:351-381) as parquet.
+
+Validation mirrors the reference: D % M == 0 (py/pq.py:32-33), train
+set >= K distinct points per subspace, codes in [0, K).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions.distance import as_double_array
+from vector_search_spark.operators import kmeans as _kmeans
+from vector_search_spark.operators.knn import topk_per_query
+
+
+@dataclass
+class PQModel:
+    codebooks: np.ndarray  # (M, K, D')
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+
+def _check_dims(dim: int, m: int) -> int:
+    if dim % m != 0:
+        # same contract as reference py/pq.py:32-33
+        raise ValueError(f"D={dim} must be divisible by M={m}")
+    return dim // m
+
+
+def model_from_vectors(vectors: np.ndarray, m: int, k: int) -> PQModel:
+    """Deterministic codebooks: codebook[m_][k_] = subvector m_ of the
+    k_-th given vector. Used by oracle-paired catalog queries (the SQL
+    side reproduces the same slices); real training is train_pq."""
+    if len(vectors) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(vectors)}")
+    dim = vectors.shape[1]
+    dsub = _check_dims(dim, m)
+    cb = vectors[:k].reshape(k, m, dsub).transpose(1, 0, 2)
+    return PQModel(np.ascontiguousarray(cb, dtype=np.float64))
+
+
+def train_pq(
+    points: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    seed: int = 42,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    sample_size: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[PQModel, int]:
+    """Train all M codebooks in the same distributed Lloyd passes.
+
+    Init: seeded k-means++ per subspace on one driver-side sample
+    (reference runs full k-means++ per subspace, py/pq.py:155; at scale
+    init-on-sample is the honest equivalent). Then each Lloyd iteration
+    is ONE mapInPandas pass over points: per Arrow batch, for every
+    subspace, BLAS-assign subvectors and emit partial (m, k, count,
+    sum) rows; the driver combines (state: M*K*(D'+1) doubles).
+    Convergence: max centroid shift over ALL subspaces <= tol
+    (reference tol/iters: py/pq.py:140,197). Returns (model, n_iter).
+    """
+    src = points.select(as_double_array(vec_col).alias("_v")).cache()
+    try:
+        first = src.first()
+        if first is None:
+            raise ValueError("empty training set")  # py/pq.py:226
+        dim = len(first["_v"])
+        dsub = _check_dims(dim, m)
+
+        # ---- init: kmeans++ per subspace on one sample ----
+        n = src.count()
+        sample = src
+        if n > sample_size:
+            sample = src.sample(fraction=min(1.0, sample_size / n * 1.1), seed=seed).limit(
+                sample_size
+            )
+        X = np.vstack(sample.toPandas()["_v"].to_numpy()).astype(np.float64)
+        if len(X) < k:
+            raise ValueError(f"need >= {k} training points, got {len(X)}")
+        Xs = X.reshape(len(X), m, dsub)
+        rng = np.random.default_rng(seed)
+        C = np.empty((m, k, dsub))
+        for mi in range(m):
+            C[mi] = _kmeanspp_numpy(Xs[:, mi, :], k, rng)
+
+        # ---- Lloyd over all subspaces at once ----
+        spark = points.sparkSession
+        it = 0
+        for it in range(1, max_iter + 1):
+            cnt, sums = _pq_partial_sums(spark, src, C)
+            newC = C.copy()
+            nz = cnt > 0
+            newC[nz] = sums[nz] / cnt[nz][:, None]
+            shift = float(((C - newC) ** 2).sum(axis=2).max())
+            C = newC
+            if shift <= tol:
+                break
+        return PQModel(C), it
+    finally:
+        src.unpersist()
+
+
+def _kmeanspp_numpy(X: np.ndarray, k: int, rng) -> np.ndarray:
+    """Seeded k-means++ (D^2 sampling, no replacement) — py/pq.py:80-138."""
+    chosen = [int(rng.integers(0, len(X)))]
+    d2 = ((X - X[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        d2[chosen] = 0.0
+        total = d2.sum()
+        if total <= 0.0:
+            remaining = np.setdiff1d(np.arange(len(X)), chosen)
+            chosen.append(int(remaining[0]))
+            continue
+        r = rng.uniform(0.0, total)
+        idx = min(int(np.searchsorted(np.cumsum(d2), r, side="right")), len(X) - 1)
+        chosen.append(idx)
+        d2 = np.minimum(d2, ((X - X[idx]) ** 2).sum(axis=1))
+    return X[chosen].copy()
+
+
+def _pq_partial_sums(spark, src: DataFrame, C: np.ndarray):
+    m, k, dsub = C.shape
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(C))
+
+    def fn(batches):
+        CC = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            Xs = X.reshape(len(X), m, dsub)
+            out_m, out_k, out_c, out_s = [], [], [], []
+            for mi in range(m):
+                Xm, Cm = Xs[:, mi, :], CC[mi]
+                D = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    + (Cm * Cm).sum(axis=1)[None, :]
+                    - 2.0 * (Xm @ Cm.T)
+                )
+                cid = D.argmin(axis=1)
+                cnt = np.bincount(cid, minlength=k)
+                sums = np.zeros_like(Cm)
+                np.add.at(sums, cid, Xm)
+                out_m.append(np.full(k, mi, dtype=np.int32))
+                out_k.append(np.arange(k, dtype=np.int32))
+                out_c.append(cnt.astype(np.int64))
+                out_s.extend(list(sums))
+            yield pd.DataFrame(
+                {
+                    "m": np.concatenate(out_m),
+                    "k": np.concatenate(out_k),
+                    "cnt": np.concatenate(out_c),
+                    "vsum": out_s,
+                }
+            )
+
+    partials = src.mapInPandas(fn, "m int, k int, cnt long, vsum array<double>").toPandas()
+    cnt = np.zeros((m, k), dtype=np.int64)
+    sums = np.zeros_like(C)
+    for _, row in partials.iterrows():
+        cnt[row["m"], row["k"]] += row["cnt"]
+        sums[row["m"], row["k"]] += np.asarray(row["vsum"])
+    return cnt, sums
+
+
+def encode(
+    points: DataFrame,
+    model: PQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace argmin -> M small codes (py/pq.py:242-274).
+
+    Returns ``(id_col, code array<smallint>)``; codes in [0, K).
+    Exact ties take the lowest code (strict-< first-wins,
+    py/pq.py:267-271). One streaming pass, no shuffle.
+    """
+    m, k, dsub = model.codebooks.shape
+    bc = points.sparkSession.sparkContext.broadcast(model.codebooks)
+    src = points.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    )
+
+    def fn(batches):
+        CC = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            if X.shape[1] != m * dsub:
+                raise ValueError(
+                    f"vector dim {X.shape[1]} != model dim {m * dsub}"
+                )
+            Xs = X.reshape(len(X), m, dsub)
+            codes = np.empty((len(X), m), dtype=np.int16)
+            for mi in range(m):
+                Xm, Cm = Xs[:, mi, :], CC[mi]
+                D = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    + (Cm * Cm).sum(axis=1)[None, :]
+                    - 2.0 * (Xm @ Cm.T)
+                )
+                codes[:, mi] = D.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["_id"].to_numpy(dtype=np.int64),
+                    "code": list(codes),
+                }
+            )
+
+    return src.mapInPandas(fn, f"{id_col} long, code array<smallint>")
+
+
+def decode(
+    codes: DataFrame, model: PQModel, id_col: str = "vec_id", code_col: str = "code"
+) -> DataFrame:
+    """Gather centroids by code and concatenate (py/pq.py:276-295)."""
+    m = model.m
+    bc = codes.sparkSession.sparkContext.broadcast(model.codebooks)
+    src = codes.select(F.col(id_col).alias("_id"), F.col(code_col).alias("_c"))
+
+    def fn(batches):
+        CC = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.vstack(pdf["_c"].to_numpy()).astype(np.int64)
+            vecs = np.concatenate(
+                [CC[mi][cm[:, mi]] for mi in range(m)], axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["_id"].to_numpy(dtype=np.int64),
+                    "vec": list(vecs),
+                }
+            )
+
+    return src.mapInPandas(fn, f"{id_col} long, vec array<double>")
+
+
+def _emit_grouped_topk(qids, vids, D, k, exclude_self=False):
+    """Shared partial-top-k emitter over a distance matrix (nq x nb)."""
+    if exclude_self:
+        D[qids[:, None] == vids[None, :]] = np.inf
+    kk = min(k + 8, D.shape[1])
+    if kk < D.shape[1]:
+        cand = np.argpartition(D, kk - 1, axis=1)[:, :kk]
+    else:
+        cand = np.broadcast_to(np.arange(D.shape[1]), (len(qids), D.shape[1]))
+    rows_q, rows_v, rows_d = [], [], []
+    for i in range(len(qids)):
+        cj = cand[i]
+        dj = D[i, cj]
+        order = np.lexsort((vids[cj], dj))[:k]
+        keep, dk = cj[order], dj[order]
+        fin = np.isfinite(dk)
+        rows_q.append(np.full(int(fin.sum()), qids[i]))
+        rows_v.append(vids[keep][fin])
+        rows_d.append(dk[fin])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(rows_q),
+            "vec_id": np.concatenate(rows_v),
+            "dist": np.concatenate(rows_d),
+        }
+    )
+
+
+def adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    model: PQModel,
+    k: int = 10,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+) -> DataFrame:
+    """Asymmetric-distance kNN over PQ codes (py/hnsw.py:217-226 ->
+    py/pq.py:297-324), batch form.
+
+    Builds one (M x K) LUT per query on the driver (tiny: nq*M*K
+    doubles), broadcasts it, then one pass over the codes table: each
+    candidate costs M LUT gathers + a sum; per-batch partial top-k
+    keeps the shuffle at ~k rows per query per batch. Exact top-k
+    window afterwards. Returns (query_id, vec_id, dist, rank).
+    """
+    m, kcent, dsub = model.codebooks.shape
+    qpdf = queries.select(
+        F.col(query_id_col).alias("qid"), as_double_array(query_vec_col).alias("qv")
+    ).toPandas()
+    qids = qpdf["qid"].to_numpy(dtype=np.int64)
+    Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64).reshape(len(qpdf), m, dsub)
+    lut = np.empty((len(qids), m, kcent))
+    for mi in range(m):
+        Qm, Cm = Q[:, mi, :], model.codebooks[mi]
+        lut[:, mi, :] = (
+            (Qm * Qm).sum(axis=1)[:, None]
+            + (Cm * Cm).sum(axis=1)[None, :]
+            - 2.0 * (Qm @ Cm.T)
+        )
+    bc = queries.sparkSession.sparkContext.broadcast((qids, lut))
+    src = codes.select(F.col(id_col).alias("_id"), F.col(code_col).alias("_c"))
+
+    def fn(batches):
+        b_qids, b_lut = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["_id"].to_numpy(dtype=np.int64)
+            cm = np.vstack(pdf["_c"].to_numpy()).astype(np.int64)
+            D = np.zeros((len(b_qids), len(vids)))
+            for mi in range(m):
+                D += b_lut[:, mi, cm[:, mi]]
+            yield _emit_grouped_topk(b_qids, vids, D, k)
+
+    scored = src.mapInPandas(fn, "query_id long, vec_id long, dist double")
+    return topk_per_query(scored, k)
+
+
+def sdc_table(model: PQModel) -> np.ndarray:
+    """(M, K, K) centroid-to-centroid squared distances per subspace —
+    the broadcastable replacement for the reference's lru_cache
+    (py/hnsw.py:228-238, py/pq.py:326-349)."""
+    m, k, _ = model.codebooks.shape
+    T = np.empty((m, k, k))
+    for mi in range(m):
+        C = model.codebooks[mi]
+        n2 = (C * C).sum(axis=1)
+        T[mi] = np.maximum(n2[:, None] + n2[None, :] - 2.0 * (C @ C.T), 0.0)
+    return T
+
+
+def sdc_topk(
+    query_codes: DataFrame,
+    codes: DataFrame,
+    model: PQModel,
+    k: int = 10,
+    exclude_self: bool = False,
+    id_col: str = "vec_id",
+    code_col: str = "code",
+) -> DataFrame:
+    """Symmetric (code-to-code) kNN via broadcast SDC tables."""
+    m = model.m
+    qpdf = query_codes.select(
+        F.col(id_col).alias("qid"), F.col(code_col).alias("qc")
+    ).toPandas()
+    qids = qpdf["qid"].to_numpy(dtype=np.int64)
+    qcm = np.vstack(qpdf["qc"].to_numpy()).astype(np.int64)
+    bc = codes.sparkSession.sparkContext.broadcast((qids, qcm, sdc_table(model)))
+    src = codes.select(F.col(id_col).alias("_id"), F.col(code_col).alias("_c"))
+
+    def fn(batches):
+        b_qids, b_qcm, T = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["_id"].to_numpy(dtype=np.int64)
+            cm = np.vstack(pdf["_c"].to_numpy()).astype(np.int64)
+            D = np.zeros((len(b_qids), len(vids)))
+            for mi in range(m):
+                D += T[mi][b_qcm[:, mi][:, None], cm[:, mi][None, :]]
+            yield _emit_grouped_topk(b_qids, vids, D, k, exclude_self=exclude_self)
+
+    scored = src.mapInPandas(fn, "query_id long, vec_id long, dist double")
+    return topk_per_query(scored, k)
+
+
+# ---- persistence (Get/SetCodebooks, py/pq.py:351-381) ----
+
+
+def save_model(spark: SparkSession, model: PQModel, path: str) -> None:
+    m, k, dsub = model.codebooks.shape
+    rows = [
+        (mi, ki, [float(x) for x in model.codebooks[mi, ki]])
+        for mi in range(m)
+        for ki in range(k)
+    ]
+    spark.createDataFrame(rows, "m int, k int, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_model(spark: SparkSession, path: str) -> PQModel:
+    pdf = spark.read.parquet(path).orderBy("m", "k").toPandas()
+    m = int(pdf["m"].max()) + 1
+    k = int(pdf["k"].max()) + 1
+    dsub = len(pdf["centroid"].iloc[0])
+    cb = np.vstack(pdf["centroid"].to_numpy()).astype(np.float64).reshape(m, k, dsub)
+    # shape validation mirrors SetCodebooks (py/pq.py:351-371)
+    if len(pdf) != m * k:
+        raise ValueError(f"ragged codebooks: {len(pdf)} rows != {m}x{k}")
+    return PQModel(cb)

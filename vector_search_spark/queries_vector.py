@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from vector_search_spark import tables
-from vector_search_spark.operators import kmeans
+from vector_search_spark.operators import kmeans, pq
 from vector_search_spark.queries import register, rnd
 
 _L2 = "list_sum(list_transform(range(1, len({a})+1), j -> ({a}[j]-{b}[j])^2))"
@@ -111,3 +113,165 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Product Quantization (reference py/pq.py; SURVEY.md §2 #3-4, #39-45)
+# --------------------------------------------------------------------------
+
+PQ_M = 8       # subspaces (D=64 -> D'=8)
+PQ_K = 16      # centroids per subspace
+PQ_DSUB = 8
+PQ_ADC_QUERIES = 20
+
+# Deterministic codebooks both engines can build: codebook[m][k] is
+# subvector m of the k-th embedding (vec_id < K), so encode/ADC/SDC are
+# fully SQL-expressible. Real training is the rows-only pq_train entry.
+_CB_SQL = f"""
+cb AS (
+  SELECT CAST(mm.m AS INT) AS m, CAST(p.vec_id AS INT) AS k_id,
+         p.v[CAST(mm.m AS INT)*{PQ_DSUB}+1 : (CAST(mm.m AS INT)+1)*{PQ_DSUB}] AS cv
+  FROM pts p CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) mm
+  WHERE p.vec_id < {PQ_K}
+)"""
+
+_SUB_SQL = f"""
+sub AS (
+  SELECT p.vec_id, CAST(mm.m AS INT) AS m,
+         p.v[CAST(mm.m AS INT)*{PQ_DSUB}+1 : (CAST(mm.m AS INT)+1)*{PQ_DSUB}] AS sv
+  FROM pts p CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) mm
+)"""
+
+_CODES_SQL = f"""
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.k_id AS code, {_L2.format(a="s.sv", b="c.cv")} AS d
+    FROM sub s JOIN cb c ON s.m = c.m)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) = 1
+)"""
+
+
+def _pq_model(spark, sf_dir) -> "pq.PQModel":
+    emb = tables.load(spark, sf_dir, "embeddings")
+    _, mat = kmeans._collect_matrix(
+        emb.orderBy("vec_id").limit(PQ_K), "vec_id", "embedding"
+    )
+    return pq.model_from_vectors(mat, PQ_M, PQ_K)
+
+
+@register(
+    "pq_encode",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_CB_SQL},
+{_SUB_SQL},
+{_CODES_SQL}
+SELECT vec_id, m, code FROM codes
+""",
+    "vector",
+    "pq",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ Encode (py/pq.py:242-274) with data-derived codebooks; output
+    exploded to (vec_id, m, code) scalars for the value-hash compare."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    model = _pq_model(spark, sf_dir)
+    codes = pq.encode(emb, model)
+    return codes.select(
+        "vec_id", F.posexplode("code").alias("m", "code")
+    ).select("vec_id", F.col("m").cast("int"), F.col("code").cast("int"))
+
+
+@register(
+    "pq_adc_knn",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_CB_SQL},
+{_SUB_SQL},
+{_CODES_SQL},
+q AS (
+  SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < {PQ_ADC_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, c.m, c.k_id, {_L2.format(a="q.sv", b="c.cv")} AS d
+  FROM q JOIN cb c ON q.m = c.m
+),
+adc AS (
+  SELECT l.query_id, co.vec_id, SUM(l.d) AS d
+  FROM codes co JOIN lut l ON l.m = co.m AND l.k_id = co.code
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM adc
+QUALIFY "rank" <= 10
+""",
+    "vector",
+    "pq",
+)
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC kNN over PQ codes (py/hnsw.py:217-226 -> py/pq.py:297-324):
+    per-query LUT broadcast + gather-sum scan, exact top-10."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    model = _pq_model(spark, sf_dir)
+    codes = pq.encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < PQ_ADC_QUERIES)
+    out = pq.adc_topk(queries, codes, model, k=10)
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+@register(
+    "pq_sdc_pairs",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_CB_SQL},
+{_SUB_SQL},
+{_CODES_SQL},
+cc AS (SELECT vec_id, m, code FROM codes WHERE vec_id < 50),
+cent_d AS (
+  SELECT a.m, a.k_id AS ka, b.k_id AS kb, {_L2.format(a="a.cv", b="b.cv")} AS d
+  FROM cb a JOIN cb b ON a.m = b.m
+),
+sdc AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst, SUM(cd.d) AS d
+  FROM cc x JOIN cc y ON x.m = y.m AND x.vec_id <> y.vec_id
+  JOIN cent_d cd ON cd.m = x.m AND cd.ka = x.code AND cd.kb = y.code
+  GROUP BY x.vec_id, y.vec_id
+)
+SELECT src, dst, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS INTEGER) AS "rank"
+FROM sdc
+QUALIFY "rank" <= 5
+""",
+    "vector",
+    "pq",
+)
+def q_pq_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDC code-to-code top-5 among the first 50 vectors (py/pq.py:
+    326-349): K x K centroid tables broadcast, M gathers per pair."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    model = _pq_model(spark, sf_dir)
+    codes = pq.encode(emb.filter(F.col("vec_id") < 50), model)
+    out = pq.sdc_topk(codes, codes, model, k=5, exclude_self=True)
+    return out.select(
+        F.col("query_id").alias("src"),
+        F.col("vec_id").alias("dst"),
+        rnd("dist").alias("dist"),
+        "rank",
+    )
+
+
+@register("pq_train", None, "vector", "pq", "rows-only")
+def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PQ training (seeded kmeans++ init + joint Lloyd across all
+    subspaces, tol 1e-6). RNG-dependent -> rows-only; semantics covered
+    by tests/test_pq.py invariants. Output: exploded codebooks."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    model, n_iter = pq.train_pq(emb, m=PQ_M, k=PQ_K, seed=42, max_iter=50)
+    rows = [
+        (mi, ki, pi, float(model.codebooks[mi, ki, pi]))
+        for mi in range(model.m)
+        for ki in range(model.k)
+        for pi in range(model.dsub)
+    ]
+    return spark.createDataFrame(rows, "m int, k int, pos int, val double")
