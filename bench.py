@@ -22,6 +22,7 @@ HEADLINE = [
     "knn_exact",
     "knn_cosine",
     "knn_graph",
+    "ivf_knn",
     "tpch_q1",
 ]
 

@@ -1,0 +1,342 @@
+"""IVF (inverted-file) pruned ANN search — the Spark-idiomatic scale
+path that replaces the reference's HNSW *query-time* role (SURVEY.md §7
+step 6; reference search surface py/hnsw.py:394-410).
+
+Where HNSW prunes the candidate set with a greedy graph walk (a
+sequential, data-dependent loop Spark can't parallelize), IVF prunes it
+with *data layout*: base vectors are assigned to a coarse k-means cell
+and stored partitioned by ``cluster_id``; a query is routed to its
+``nprobe`` nearest cells and only those partitions are scanned.
+
+Scale shape (the part that matters at 100 TB):
+
+- the coarse centroid model is tiny (NC x D doubles) — broadcast;
+- routing is queries x centroids (broadcast) + window top-nprobe —
+  negligible;
+- the candidate scan is ``base.filter(cluster_id IN routed)``: over a
+  parquet layout partitioned by ``cluster_id`` this is *partition
+  pruning* — Catalyst never reads the other cells' files (see
+  tests/test_plans.py: PartitionFilters);
+- scoring within the routed cells is an equi-join on ``cluster_id``
+  (broadcast routes) + the Catalyst distance fold, or the BLAS
+  ``mapInPandas`` path for heavy workloads — either way the shuffle
+  only ever carries ~k rows per (query, probed cell).
+
+Recall is governed by nprobe/NC exactly as in FAISS-style IVF-Flat;
+nprobe == NC degenerates to exact brute force (tests assert recall
+bounds and the equivalence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions.distance import as_double_array, distance
+from vector_search_spark.operators import kmeans
+from vector_search_spark.operators.knn import topk_per_query
+
+
+def assign_clusters(
+    base: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``cluster_id`` = nearest coarse centroid (the IVF list id).
+
+    Returns ``(id_col, cluster_id, vec_col)`` — id + cell + vector,
+    ready for :func:`write_index`. Ties go to the lowest cluster_id,
+    matching kmeans.assign.
+    """
+    out = kmeans.assign(
+        base, centroids, id_col=id_col, vec_col=vec_col, with_vec=True
+    )
+    return out.select(id_col, "cluster_id", F.col("vec").alias(vec_col))
+
+
+def write_index(
+    assigned: DataFrame,
+    path: str,
+    cluster_col: str = "cluster_id",
+) -> None:
+    """Persist the inverted file: parquet partitioned by cell.
+
+    ``spark.read.parquet(path).filter(cluster_id IN ...)`` then prunes
+    at the directory level — the physical realization of "scan only the
+    probed lists".
+    """
+    assigned.write.mode("overwrite").partitionBy(cluster_col).parquet(path)
+
+
+def route_queries(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``nprobe`` nearest cells per query: ``(query_id, cluster_id)``.
+
+    Pure Catalyst: queries x broadcast(centroid table) + window rank.
+    The centroid table is NC rows — the join is a broadcast nested loop
+    over a tiny side, never a shuffle.
+    """
+    cents = F.broadcast(
+        kmeans.centroids_df(queries.sparkSession, centroids).select(
+            "cluster_id", F.col("centroid").alias("_cv")
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("_qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cd").asc(), F.col("cluster_id").asc()
+    )
+    return (
+        q.crossJoin(cents)
+        .select(
+            "query_id",
+            "cluster_id",
+            distance("l2_sqr", "_qv", "_cv").alias("_cd"),
+        )
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "cluster_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    assigned_base: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "l2_sqr",
+    impl: str = "expr",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    base_id_col: str = "vec_id",
+    base_vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pruned kNN: score each query only against its routed cells.
+
+    ``assigned_base`` must carry ``cluster_col`` (from
+    :func:`assign_clusters` or a partitioned read of
+    :func:`write_index` output). Returns (query_id, vec_id, dist, rank).
+
+    ``impl='expr'``: broadcast the (query_id, cluster_id) routing pairs
+    and the query vectors, equi-join base on ``cluster_id`` — Catalyst
+    turns the IN-filter into partition pruning on a partitioned layout —
+    then the codegen distance fold + window top-k.
+
+    ``impl='gemm'``: same routed filter, then one BLAS pass over the
+    surviving partitions; each Arrow batch is grouped by cell and scored
+    against just that cell's queries, emitting per-batch partial top-k.
+    Use when (routed candidates x queries) is compute-bound.
+    """
+    routes = route_queries(
+        queries, centroids, nprobe, query_id_col, query_vec_col
+    )
+    b = assigned_base.select(
+        F.col(base_id_col).alias("vec_id"),
+        as_double_array(base_vec_col).alias("_bv"),
+        F.col(cluster_col).alias("_cell"),
+    )
+
+    if impl == "expr":
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                as_double_array(query_vec_col).alias("_qv"),
+            )
+        )
+        cand = b.join(
+            F.broadcast(routes.withColumnRenamed("cluster_id", "_cell")),
+            "_cell",
+        )
+        scored = cand.join(q, "query_id").select(
+            "query_id",
+            "vec_id",
+            distance(metric, "_qv", "_bv").alias("dist"),
+        )
+        return topk_per_query(scored, k)
+
+    if impl != "gemm":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    # ---- gemm: routed filter + per-cell BLAS scoring ----
+    rpdf = routes.toPandas()
+    qpdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    ).toPandas()
+    if not len(qpdf):
+        raise ValueError("empty query set")
+    qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+    Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
+    qpos = {int(qid): i for i, qid in enumerate(qids)}
+    cell_to_q: dict[int, np.ndarray] = {
+        int(cell): np.fromiter(
+            (qpos[int(q_)] for q_ in grp["query_id"]), dtype=np.int64
+        )
+        for cell, grp in rpdf.groupby("cluster_id")
+    }
+    routed_cells = sorted(cell_to_q)
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (qids, Q, (Q * Q).sum(axis=1), cell_to_q)
+    )
+
+    pruned = b.filter(F.col("_cell").isin(routed_cells))
+
+    def fn(batches):
+        b_qids, b_Q, b_qn2, b_map = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for cell, grp in pdf.groupby("_cell"):
+                qidx = b_map.get(int(cell))
+                if qidx is None or not len(grp):
+                    continue
+                vids = grp["vec_id"].to_numpy(dtype=np.int64)
+                B = np.vstack(grp["_bv"].to_numpy()).astype(np.float64)
+                D = (
+                    b_qn2[qidx][:, None]
+                    + (B * B).sum(axis=1)[None, :]
+                    - 2.0 * (b_Q[qidx] @ B.T)
+                )
+                kk = min(k, D.shape[1])
+                cand = (
+                    np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                    if kk < D.shape[1]
+                    else np.broadcast_to(
+                        np.arange(D.shape[1]), (len(qidx), D.shape[1])
+                    )
+                )
+                for i, qi in enumerate(qidx):
+                    cj = cand[i]
+                    dj = D[i, cj]
+                    order = np.lexsort((vids[cj], dj))[:k]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": b_qids[qi],
+                                "vec_id": vids[cj[order]],
+                                "dist": dj[order],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = pruned.mapInPandas(fn, "query_id long, vec_id long, dist double")
+    return topk_per_query(scored, k)
+
+
+def ivf_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: np.ndarray,
+    model,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011): coarse routing + asymmetric-distance
+    scoring over PQ codes inside the probed cells only.
+
+    ``codes`` must carry ``(id_col, code_col, cluster_col)``. Per query
+    the cost is an (M x K) LUT build (driver, tiny) + M gathers per
+    candidate in its nprobe cells; the scan is partition-pruned exactly
+    as in :func:`ivf_topk`. Returns (query_id, vec_id, dist, rank).
+    """
+    from vector_search_spark.operators import pq as _pq
+
+    routes = route_queries(
+        queries, centroids, nprobe, query_id_col, query_vec_col
+    ).toPandas()
+    qpdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    ).toPandas()
+    if not len(qpdf):
+        raise ValueError("empty query set")
+    m, kcent, dsub = model.codebooks.shape
+    qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+    Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64).reshape(len(qpdf), m, dsub)
+    lut = np.empty((len(qids), m, kcent))
+    for mi in range(m):
+        Qm, Cm = Q[:, mi, :], model.codebooks[mi]
+        lut[:, mi, :] = (
+            (Qm * Qm).sum(axis=1)[:, None]
+            + (Cm * Cm).sum(axis=1)[None, :]
+            - 2.0 * (Qm @ Cm.T)
+        )
+    qpos = {int(qid): i for i, qid in enumerate(qids)}
+    cell_to_q = {
+        int(cell): np.fromiter(
+            (qpos[int(q_)] for q_ in grp["query_id"]), dtype=np.int64
+        )
+        for cell, grp in routes.groupby("cluster_id")
+    }
+    routed_cells = sorted(cell_to_q)
+    bc = queries.sparkSession.sparkContext.broadcast((qids, lut, cell_to_q))
+
+    src = codes.select(
+        F.col(id_col).alias("_id"),
+        F.col(code_col).alias("_c"),
+        F.col(cluster_col).alias("_cell"),
+    ).filter(F.col("_cell").isin(routed_cells))
+
+    def fn(batches):
+        b_qids, b_lut, b_map = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for cell, grp in pdf.groupby("_cell"):
+                qidx = b_map.get(int(cell))
+                if qidx is None or not len(grp):
+                    continue
+                vids = grp["_id"].to_numpy(dtype=np.int64)
+                cm = np.vstack(grp["_c"].to_numpy()).astype(np.int64)
+                D = np.zeros((len(qidx), len(vids)))
+                for mi in range(m):
+                    D += b_lut[qidx][:, mi, :][
+                        np.arange(len(qidx))[:, None], cm[:, mi][None, :]
+                    ]
+                kk = min(k, D.shape[1])
+                cand = (
+                    np.argpartition(D, kk - 1, axis=1)[:, :kk]
+                    if kk < D.shape[1]
+                    else np.broadcast_to(
+                        np.arange(D.shape[1]), (len(qidx), D.shape[1])
+                    )
+                )
+                for i, qi in enumerate(qidx):
+                    cj = cand[i]
+                    dj = D[i, cj]
+                    order = np.lexsort((vids[cj], dj))[:k]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": b_qids[qi],
+                                "vec_id": vids[cj[order]],
+                                "dist": dj[order],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = src.mapInPandas(fn, "query_id long, vec_id long, dist double")
+    return topk_per_query(scored, k)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 import numpy as np
 
 from vector_search_spark import tables
-from vector_search_spark.operators import kmeans, pq
+from vector_search_spark.operators import ivf, kmeans, pq
 from vector_search_spark.queries import register, rnd
 
 _L2 = "list_sum(list_transform(range(1, len({a})+1), j -> ({a}[j]-{b}[j])^2))"
@@ -267,7 +267,7 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspaces, tol 1e-6). RNG-dependent -> rows-only; semantics covered
     by tests/test_pq.py invariants. Output: exploded codebooks."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    model, n_iter = pq.train_pq(emb, m=PQ_M, k=PQ_K, seed=42, max_iter=50)
+    model, n_iter = pq.train_pq(emb, m=PQ_M, k=PQ_K, seed=42, max_iter=15)
     rows = [
         (mi, ki, pi, float(model.codebooks[mi, ki, pi]))
         for mi in range(model.m)
@@ -275,3 +275,83 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pi in range(model.dsub)
     ]
     return spark.createDataFrame(rows, "m int, k int, pos int, val double")
+
+
+# --------------------------------------------------------------------------
+# IVF pruned search (SURVEY.md §7 step 6 — the batch replacement for
+# the reference's HNSW query path, py/hnsw.py:394-410)
+# --------------------------------------------------------------------------
+
+IVF_NC = 16      # coarse cells
+IVF_NPROBE = 4
+IVF_QUERIES = 20
+
+
+@register(
+    "ivf_knn",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cluster_id, v AS cv FROM pts WHERE vec_id < {IVF_NC}),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT p.vec_id, c.cluster_id, {_L2.format(a="p.v", b="c.cv")} AS d
+    FROM pts p CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < {IVF_QUERIES}),
+routes AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.query_id, c.cluster_id, {_L2.format(a="q.qv", b="c.cv")} AS d
+    FROM q CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cluster_id) <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT r.query_id, a.vec_id, {_L2.format(a="q.qv", b="p.v")} AS d
+  FROM routes r
+  JOIN assigned a ON a.cluster_id = r.cluster_id
+  JOIN q ON q.query_id = r.query_id
+  JOIN pts p ON p.vec_id = a.vec_id
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+""",
+    "vector",
+    "ivf",
+)
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat pruned kNN: coarse assignment (deterministic first-NC
+    centroids so the oracle reproduces it) -> route each query to its
+    nprobe nearest cells -> score only those cells -> exact top-10
+    within the probed set. The oracle replays routing + pruning in SQL,
+    so this checks the *pruning semantics*, not just distances."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, IVF_NC)
+    assigned = ivf.assign_clusters(emb, C)
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    out = ivf.ivf_topk(
+        queries, assigned, C, k=10, nprobe=IVF_NPROBE, impl="gemm"
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+@register("ivf_adc_knn", None, "vector", "ivf", "pq", "rows-only")
+def q_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: coarse routing + PQ-compressed (asymmetric-distance)
+    scoring inside the probed cells — the classic billion-scale layout
+    (Jégou et al. 2011). Trained models are RNG-dependent -> rows-only;
+    recall vs exact kNN is gated in tests/test_ivf.py."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.kmeans_plus_plus(emb, k=IVF_NC, seed=42)
+    res = kmeans.lloyd(emb, C, max_iter=8, tol=1e-4)
+    assigned = ivf.assign_clusters(emb, res.centroids).cache()
+    model, _ = pq.train_pq(emb, m=PQ_M, k=PQ_K, seed=42, max_iter=8)
+    codes = pq.encode(assigned, model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    out = ivf.ivf_adc_topk(
+        queries, codes, res.centroids, model, k=10, nprobe=IVF_NPROBE
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
