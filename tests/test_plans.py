@@ -4,9 +4,20 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from tests.conftest import SF_ORACLE
 from vector_search_spark import plans, tables
 from vector_search_spark.operators import knn
+
+
+@pytest.fixture(autouse=True)
+def _fresh_scans(spark):
+    # Other modules cache() the embeddings table; the CacheManager would
+    # then substitute InMemoryTableScan for the parquet scan and hide the
+    # PushedFilters/ReadSchema properties these tests pin down.
+    spark.catalog.clearCache()
+    yield
 
 
 def test_knn_expr_path_broadcasts_queries(spark):
