@@ -1,0 +1,135 @@
+"""Invariant tests for the dedup / text-analysis operators.
+
+The oracle gate (test_oracle_gate.py) checks value parity with DuckDB;
+these tests check the *semantics* the oracle can't see: LSH recall
+against exact ground truth, robustness of fingerprints to edits, metric
+bounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_search_spark import tables
+from vector_search_spark.operators import dedup, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return tables.load(spark, SF_ORACLE, "documents").cache()
+
+
+def test_exact_dedup_covers_all_docs(spark, docs):
+    out = dedup.exact_dedup(docs)
+    assert out.count() == docs.count()
+    # canonical is a member of the group and <= every member
+    assert out.filter(F.col("canonical_id") > F.col("doc_id")).count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """At Jaccard >= 0.9 the (P=12, r=3, b=4) band curve gives match
+    probability ~1-(1-0.9^3)^4 ~ 0.995 — demand >= 90% recall on the
+    planted near-dup pairs, and zero false positives (verified pairs)."""
+    exact = {
+        (r.a, r.b)
+        for r in dedup.ngram_jaccard_pairs(docs, 3, 0.9).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    lsh = {
+        (r.a, r.b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, shingle_n=3, num_perms=12, rows_per_band=3, threshold=0.9
+        ).collect()
+    }
+    assert lsh <= exact, "verified LSH pairs must be a subset of exact"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
+
+
+def test_minhash_similarity_estimates_jaccard(spark, docs):
+    """Fraction of agreeing minhash components is an unbiased Jaccard
+    estimator; with P=48 perms the planted ~0.95+ pairs must estimate
+    high (>0.6) and a random low pair must estimate low."""
+    sh = dedup.shingle_table(docs, 3)
+    sigs = dedup.minhash_signatures(sh, 48)
+    exact = dedup.ngram_jaccard_pairs(docs, 3, 0.9)
+    a = sigs.select(F.col("doc_id").alias("a"), "perm", F.col("minh").alias("ma"))
+    b = sigs.select(F.col("doc_id").alias("b"), "perm", F.col("minh").alias("mb"))
+    est = (
+        exact.join(a, "a")
+        .join(b, ["b", "perm"])
+        .groupBy("a", "b")
+        .agg(F.avg((F.col("ma") == F.col("mb")).cast("double")).alias("est"))
+    )
+    bad = est.filter(F.col("est") < 0.6).count()
+    assert bad == 0, "high-Jaccard pairs must have high minhash agreement"
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    """Planted near-dup pairs should have small SimHash Hamming distance
+    (on average far below the ~16 expected for random 32-bit pairs)."""
+    sh = dedup.simhash_table(docs)
+    exact = dedup.ngram_jaccard_pairs(docs, 3, 0.9)
+    a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    ham = (
+        exact.join(a, "a")
+        .join(b, "b")
+        .select(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("d")
+        )
+    )
+    avg = ham.agg(F.avg("d")).first()[0]
+    assert avg < 8, f"near-dup avg hamming {avg} not < 8"
+
+
+def test_embedding_near_dup_pairs_are_symmetric_canonical(spark):
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    out = dedup.embedding_near_dup(emb, threshold=0.4)
+    assert out.filter(F.col("a") >= F.col("b")).count() == 0
+    assert out.filter((F.col("cos_sim") < 0.4) | (F.col("cos_sim") > 1.0 + 1e-9)).count() == 0
+
+
+def test_quality_score_bounds(spark, docs):
+    q = textstats.quality_score(docs)
+    assert q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    assert (
+        q.filter(
+            (F.col("uniq_ratio") <= 0)
+            | (F.col("uniq_ratio") > 1)
+            | (F.col("stopword_ratio") < 0)
+            | (F.col("stopword_ratio") > 1)
+        ).count()
+        == 0
+    )
+
+
+def test_token_counts_consistent(spark, docs):
+    tc = textstats.token_counts(docs)
+    # whitespace tokens of space-separated text == bpe alpha runs here
+    # (fixture text is pure lowercase words); chars >= tokens
+    assert tc.filter(F.col("chars") < F.col("ws_tokens")).count() == 0
+    assert tc.filter(F.col("ws_tokens") <= 0).count() == 0
+
+
+def test_winnow_fingerprint_overlap_for_near_dups(spark, docs):
+    """Near-dup docs must share fingerprints (that is the point of
+    winnowing); a random non-dup pair shares few."""
+    fps = textstats.winnow_fingerprints(docs, 3, 4)
+    exact = dedup.ngram_jaccard_pairs(docs, 3, 0.9)
+    fa = fps.select(F.col("doc_id").alias("a"), "fingerprint")
+    fb = fps.select(F.col("doc_id").alias("b"), "fingerprint")
+    shared = (
+        exact.join(fa, "a").join(fb, ["b", "fingerprint"]).groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    assert shared.count() == exact.count(), "every near-dup pair shares >= 1 fingerprint"
+
+
+def test_language_id_deterministic_schema(spark, docs):
+    out = textstats.language_id(docs)
+    assert out.count() == docs.count()
+    langs = {r.pred_lang for r in out.select("pred_lang").distinct().collect()}
+    assert langs <= set(textstats.STOPWORDS)

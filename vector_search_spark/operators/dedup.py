@@ -1,0 +1,380 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Five dedup families, each the Spark-idiomatic shape that survives 100 TB:
+
+- exact: md5(normalized text) group — one shuffle on the hash key.
+- MinHash + LSH: shingle → P permutation min-hashes → band buckets →
+  bucket self-join. Work is linear in (docs × shingles × perms) and the
+  join is output-sensitive (only docs sharing a bucket ever meet);
+  the N² pair space is never materialized.
+- SimHash: 32-bit sign-fingerprint + byte-block LSH for Hamming pairs.
+- exact n-gram Jaccard: shingle-key self-join (output-sensitive: pairs
+  with zero shared shingles never appear) — the brute-force baseline
+  the approximate families are validated against.
+- embedding cosine near-dup: BLAS gemm pass with a threshold (the
+  all-pairs baseline; the IVF/LSH scale path lives in operators/ivf.py).
+
+Hashing is md5-derived throughout (functions/texts.py) so the DuckDB
+oracle reproduces every value exactly; no engine-private hash functions.
+
+Reference parity note: the reference (renanGit/Vector-Search) has no
+dedup surface at all — this module is part of the LLM-training-pipeline
+extension mandated by the build brief (SURVEY.md §7 step 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions import texts as T
+
+__all__ = [
+    "exact_dedup",
+    "shingle_table",
+    "minhash_signatures",
+    "lsh_buckets",
+    "lsh_candidate_pairs",
+    "pair_jaccard",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_table",
+    "simhash_near_dup",
+    "embedding_near_dup",
+]
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate grouping by md5 of normalized text.
+
+    Returns (id, canonical_id, group_size): every row keeps its group's
+    min-id as canonical. One hash shuffle; at any scale this is a single
+    groupBy-equivalent pass (window over the hash key).
+    """
+    w = Window.partitionBy("_h")
+    return (
+        docs.select(F.col(id_col), T.norm_text(text_col).alias("_n"))
+        .withColumn("_h", F.md5("_n"))
+        .select(
+            F.col(id_col),
+            F.min(id_col).over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+    )
+
+
+def shingle_table(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the base relation for MinHash and
+    exact Jaccard. Explode is linear in total tokens; the distinct is a
+    shuffle on (id, shingle)."""
+    return (
+        docs.select(
+            F.col(id_col), T.shingles(T.tokens(text_col), n).alias("_sh")
+        )
+        .select(id_col, F.explode("_sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perms: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature rows (id, perm, minh).
+
+    Permutation ``i`` is simulated by re-keying each shingle as
+    ``md5('<i>:' || shingle)`` and taking the lexicographic min — the
+    classic "min of a random permutation" with md5 as the permutation
+    family. String-min of fixed-width hex is order-isomorphic to the
+    integer min, and (unlike ``(a*h+b) mod p``) needs no 64-bit modular
+    arithmetic, which keeps the DuckDB oracle exact.
+
+    Cost: |sh| × P rows into one groupBy — linear, map-side-combinable.
+    """
+    perms = F.sequence(F.lit(0), F.lit(num_perms - 1))
+    return (
+        sh.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    perms,
+                    lambda i: F.md5(
+                        F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))
+                    ),
+                )
+            ).alias("perm", "h"),
+        )
+        .groupBy(id_col, "perm")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def lsh_buckets(
+    sigs: DataFrame, rows_per_band: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature: bucket key = md5 of the band's minhashes in
+    perm order. Returns (id, band, key)."""
+    banded = sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("perm", "minh"))),
+        lambda s: s["minh"],
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(F.array_join(ordered, "|")).alias("key")
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a, b) with a < b sharing at least one band bucket.
+
+    Equi-join on (band, key): only same-bucket docs ever pair, so the
+    cost is sum over buckets of |bucket|² — output-sensitive, no N².
+    A pathological mega-bucket (all-identical docs) is the one skew risk;
+    AQE skew-join splitting handles it.
+    """
+    a = buckets.select(F.col(id_col).alias("a"), "band", "key")
+    b = buckets.select(F.col(id_col).alias("b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def pair_jaccard(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for given candidate (a, b) pairs from the shingle
+    table: |A∩B| via a two-hop equi-join restricted to candidates,
+    |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    num_perms: int = 12,
+    rows_per_band: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → (a, b, jaccard ≥ threshold).
+
+    Candidates come from LSH banding (P=num_perms, r=rows_per_band,
+    b=P/r bands; match probability 1-(1-s^r)^b), then each candidate is
+    *verified* with exact Jaccard so the output has no false positives —
+    only LSH false negatives remain, governed by the band curve.
+    """
+    sh = shingle_table(docs, shingle_n, text_col, id_col).cache()
+    sigs = minhash_signatures(sh, num_perms, id_col)
+    buckets = lsh_buckets(sigs, rows_per_band, id_col)
+    cands = lsh_candidate_pairs(buckets, id_col)
+    return pair_jaccard(cands, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold (the dedup ground truth).
+
+    The shingle-key self-join only materializes pairs that share ≥1
+    shingle; with a stopword-free shingle length (n≥3) this is far below
+    N² on natural text. Hot shingles (boilerplate) are the skew risk —
+    at scale, drop shingles with document frequency above a cap first.
+    """
+    sh = shingle_table(docs, shingle_n, text_col, id_col)
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per document (Charikar 2002): each token votes its
+    hash bits (±count), fingerprint bit j = sign of the column sum.
+
+    Bit extraction is ``floor(h / 2^j) mod 2`` — plain arithmetic, exact
+    for h < 2^32 in float64, so the DuckDB oracle matches bit-for-bit
+    (no engine-specific bitwise operators needed on the build side).
+    Cost: tokens × 32 rows into a map-side-combinable groupBy.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("token")
+    )
+    tok_counts = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bits = tok_counts.select(
+        id_col,
+        "cnt",
+        T.h32("token").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+    ).select(
+        id_col,
+        "j",
+        (
+            F.col("cnt")
+            * (
+                2 * (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j")))
+                     .cast("bigint") % 2)
+                - 1
+            )
+        ).alias("vote"),
+    )
+    return (
+        bits.groupBy(id_col, "j")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("j")))
+                .otherwise(F.lit(0.0))
+                .cast("bigint")
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_dup(
+    sh: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the 4 bytes of the 32-bit
+    fingerprint (pigeonhole: Hamming ≤ 3 ⇒ at least one byte equal),
+    then verify Hamming via xor+bit_count. Returns (a, b, hamming).
+
+    The block join is the LSH step — pairs differing in every byte are
+    never materialized. Semantics (documented, oracle-replicated):
+    a pair is reported iff it shares ≥1 byte-block AND Hamming ≤ max.
+    """
+    blocks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"),
+    ).withColumn(
+        "bkey",
+        F.floor(
+            F.col("simhash") / F.pow(F.lit(2.0), F.col("blk") * 8)
+        ).cast("bigint")
+        % 256,
+    )
+    a = blocks.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "blk", "bkey"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "blk", "bkey"
+    )
+    return (
+        a.join(b, ["blk", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, sim ≥ threshold).
+
+    Same execution shape as knn.score_topk_gemm: broadcast the normalized
+    matrix, one BLAS pass over the base partitions, emit only rows over
+    the threshold — output-sensitive shuffle, never an N² exchange.
+    Broadcastability of the full set is the constraint; beyond that,
+    pre-block with IVF cells (operators/ivf.py) and run per-cell.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vector_search_spark.functions.distance import as_double_array
+
+    pdf = emb.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    ).toPandas()
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    M = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    Mn = np.divide(M, nrm[:, None], out=np.zeros_like(M), where=nrm[:, None] != 0)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, Mn))
+
+    src = emb.select(
+        F.col(id_col).alias("a"), as_double_array(vec_col).alias("_v")
+    )
+
+    def fn(batches):
+        b_ids, b_Mn = bc.value
+        for pdf_ in batches:
+            if not len(pdf_):
+                continue
+            aid = pdf_["a"].to_numpy(dtype=np.int64)
+            A = np.vstack(pdf_["_v"].to_numpy()).astype(np.float64)
+            an = np.linalg.norm(A, axis=1)
+            An = np.divide(A, an[:, None], out=np.zeros_like(A), where=an[:, None] != 0)
+            S = An @ b_Mn.T
+            ii, jj = np.nonzero((S >= threshold) & (aid[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"a": aid[ii], "b": b_ids[jj], "cos_sim": S[ii, jj]}
+            )
+
+    return src.mapInPandas(fn, "a long, b long, cos_sim double")

@@ -1,0 +1,188 @@
+"""Text analysis operators: language-ID, quality scoring, token counts,
+winnowing fingerprints.
+
+All pure Catalyst expressions over the ``documents`` table — no UDFs —
+so they run inside whole-stage codegen and are reproduced exactly by the
+DuckDB oracle. These are the per-document map-side stages of a training
+data pipeline: they scale embarrassingly (no shuffle except the final
+shapes the caller asks for).
+
+Extension surface (the reference has no text ops); mandated by the build
+brief / SURVEY.md §7 step 8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions import texts as T
+
+__all__ = [
+    "STOPWORDS",
+    "BPE_TOKEN_RE",
+    "language_id",
+    "quality_score",
+    "token_counts",
+    "winnow_fingerprints",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# language heuristic. Deliberately small and alphabetized: the heuristic
+# is the operator; real deployments plug in bigger lists.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("das", "der", "die", "ist", "nicht", "und"),
+    "en": ("a", "and", "is", "of", "the", "to"),
+    "es": ("de", "el", "es", "la", "los", "y"),
+    "fr": ("de", "est", "et", "la", "le", "les"),
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _ratio_in(toks, words: tuple[str, ...]):
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-ratio language ID: score = fraction of tokens in each
+    language's stopword list; argmax wins, ties broken by language code
+    ascending (deterministic). Returns (id, pred_lang, score).
+
+    One projection, no shuffle. The synthetic testdata draws all langs
+    from one vocabulary, so predictions are uniform there — the oracle
+    checks the *operator semantics*, not the fixture's realism.
+    """
+    toks = T.tokens(text_col)
+    scored = F.array(
+        *[
+            F.struct(
+                _ratio_in(toks, words).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(STOPWORDS.items())
+        ]
+    )
+    # array_max on struct: compares score first, then lang string —
+    # descending lang would win score-ties, so invert: sort and pick via
+    # reverse ordering on (score, neg-rank of lang) is messy; instead
+    # take max score then the min lang achieving it.
+    best_score = F.array_max(F.transform(scored, lambda s: s["score"]))
+    best_lang = F.array_min(
+        F.transform(
+            F.filter(scored, lambda s: s["score"] == best_score),
+            lambda s: s["lang"],
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        best_lang.alias("pred_lang"),
+        best_score.alias("score"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    Features (all map-side scalars): token count, mean token length,
+    distinct-token ratio (repetition), stopword ratio (fluency proxy),
+    punctuation ratio, digit ratio. Composite: clipped linear blend in
+    [0, 1] — the standard shape of C4/Gopher-style quality filters.
+    """
+    toks = T.tokens(text_col)
+    en_sw = STOPWORDS["en"]
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    stop_ratio = _ratio_in(toks, en_sw)
+    punct_ratio = (
+        n_char - F.length(F.regexp_replace(text_col, "[^A-Za-z0-9\\s]", ""))
+    ) / F.greatest(n_char, F.lit(1))
+    digit_ratio = (
+        n_char - F.length(F.regexp_replace(text_col, "[0-9]", ""))
+    ) / F.greatest(n_char, F.lit(1))
+    score = (
+        F.lit(0.25) * F.least(n_tok / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.25) * uniq_ratio
+        + F.lit(0.25) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.25)
+        * (F.lit(1.0) - F.least(punct_ratio + digit_ratio, F.lit(1.0)))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token accounting per document: whitespace tokens, BPE-ish regex
+    tokens, characters. The whole-corpus token total is then one
+    map-side-combined sum — the canonical "how many tokens is this
+    dataset" pipeline question."""
+    return docs.select(
+        F.col(id_col),
+        F.size(T.tokens(text_col)).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+        ).alias("bpe_tokens"),
+        F.length(F.col(text_col)).cast("bigint").alias("chars"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every n-gram shingle (rolling position), slide a window of
+    ``window`` consecutive shingle hashes, keep each window's min, emit
+    the distinct mins. Robust to local edits; the standard fingerprint
+    for plagiarism/near-dup sketching.
+
+    Shuffle-free except the final distinct: shingling and the windowed
+    min are per-document (partitioned window over id, ordered by shingle
+    position). Returns (id, fingerprint).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.posexplode(T.shingles(T.tokens(text_col), shingle_n)).alias(
+            "pos", "shingle"
+        ),
+    ).select(id_col, "pos", T.h64("shingle").alias("h"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    cnt = Window.partitionBy(id_col)
+    return (
+        sh.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("h").over(w).alias("fingerprint"),
+            F.count(F.lit(1)).over(cnt).alias("_n"),
+        )
+        .filter(F.col("pos") <= F.col("_n") - window)
+        .select(id_col, "fingerprint")
+        .distinct()
+    )

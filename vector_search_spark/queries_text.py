@@ -1,1 +1,431 @@
-"""Placeholder registrar module — populated in later milestones."""
+"""Text / dedup catalog queries over the ``documents`` table.
+
+Registered into vector_search_spark.queries.CATALOG on import.
+
+Every entry here is a *full pipeline* oracle: the DuckDB SQL replays the
+identical algorithm (same md5-derived hashes, same band/bucket keys,
+same thresholds), so the driver's value-hash compare checks MinHash
+banding, SimHash bit votes, winnowing windows — not just final counts.
+Portability rules: see vector_search_spark/queries.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_spark import tables
+from vector_search_spark.functions import texts as T
+from vector_search_spark.operators import dedup, textstats
+from vector_search_spark.queries import register, rnd
+
+# Shared oracle CTEs --------------------------------------------------------
+
+_TOKS = (
+    "toks AS (SELECT doc_id, "
+    + T.sql_tokens("text")
+    + " AS t FROM documents)"
+)
+
+
+def _sh_cte(n: int) -> str:
+    return (
+        "sh AS (SELECT DISTINCT doc_id, unnest("
+        + T.sql_shingles("t", n)
+        + ") AS shingle FROM toks)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH h AS (SELECT doc_id, md5({T.sql_norm_text("text")}) AS hh FROM documents)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY hh) AS canonical_id,
+       count(*) OVER (PARTITION BY hh) AS group_size
+FROM h
+""",
+    "text",
+    "dedup",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(normalized text) grouping, min-id canonical."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup (P=12 perms, r=3 rows/band -> 4 bands, 3-shingles)
+# --------------------------------------------------------------------------
+
+MH_PERMS = 12
+MH_ROWS = 3
+MH_N = 3
+MH_TAU = 0.5
+
+_MH_PIPE = f"""
+{_TOKS},
+{_sh_cte(MH_N)},
+mh AS (
+  SELECT doc_id, p.perm,
+         min(md5(CAST(p.perm AS VARCHAR) || ':' || shingle)) AS minh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {MH_PERMS})) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bk AS (
+  SELECT doc_id, CAST(perm // {MH_ROWS} AS INT) AS band,
+         md5(string_agg(minh, '|' ORDER BY perm)) AS key
+  FROM mh GROUP BY doc_id, CAST(perm // {MH_ROWS} AS INT)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+),
+szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+jac AS (
+  SELECT a, b, i * 1.0 / (x.n + y.n - i) AS j
+  FROM inter JOIN szs x ON x.doc_id = a JOIN szs y ON y.doc_id = b
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_MH_PIPE}
+SELECT a, b, (ROUND(j, 6) + 0.0) AS jaccard FROM jac WHERE j >= {MH_TAU}
+""",
+    "text",
+    "dedup",
+    "lsh",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified. The oracle
+    replays the identical banding (same md5 permutations), so LSH
+    candidate generation itself is under test."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(
+        docs,
+        shingle_n=MH_N,
+        num_perms=MH_PERMS,
+        rows_per_band=MH_ROWS,
+        threshold=MH_TAU,
+    )
+    return out.select("a", "b", rnd("jaccard").alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+WITH {_TOKS},
+{_sh_cte(MH_N)}
+SELECT doc_id, p.perm,
+       min(md5(CAST(p.perm AS VARCHAR) || ':' || shingle)) AS minh
+FROM sh CROSS JOIN (SELECT unnest(range(0, {MH_PERMS})) AS perm) p
+GROUP BY doc_id, p.perm
+""",
+    "text",
+    "dedup",
+    "lsh",
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw MinHash signature relation (doc_id, perm, minh)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, MH_N)
+    return dedup.minhash_signatures(sh, MH_PERMS)
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard (dedup ground truth)
+# --------------------------------------------------------------------------
+
+NJ_TAU = 0.05
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_TOKS},
+{_sh_cte(MH_N)},
+szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+),
+jac AS (
+  SELECT a, b, i * 1.0 / (x.n + y.n - i) AS j
+  FROM inter JOIN szs x ON x.doc_id = a JOIN szs y ON y.doc_id = b
+)
+SELECT a, b, (ROUND(j, 6) + 0.0) AS jaccard FROM jac WHERE j >= {NJ_TAU}
+""",
+    "text",
+    "dedup",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard >= tau via shingle-key self-join
+    (output-sensitive: disjoint docs never pair)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, shingle_n=MH_N, threshold=NJ_TAU)
+    return out.select("a", "b", rnd("jaccard").alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+# Hamming cut-off: the synthetic corpus shares one small vocabulary, so
+# fingerprints are globally close (median pair ~7 bits of 32); <=2 keeps
+# the planted near-dups plus a thin band of lookalikes (~200 pairs at
+# sf0.01) instead of 17k loosely-similar pairs.
+SH_MAX_HAM = 2
+
+_SIMHASH_PIPE = f"""
+{_TOKS},
+tokc AS (
+  SELECT doc_id, token, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS token FROM toks) GROUP BY doc_id, token
+),
+bits AS (
+  SELECT doc_id, jj.j,
+         sum(cnt * (2 * (CAST(floor(h / power(2, jj.j)) AS BIGINT) % 2) - 1)) AS s
+  FROM (SELECT doc_id, cnt, {T.sql_h32("token")} AS h FROM tokc)
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS j) jj
+  GROUP BY doc_id, jj.j
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN power(2, j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+
+@register(
+    "text_simhash",
+    f"""
+WITH {_SIMHASH_PIPE}
+SELECT doc_id, simhash FROM sim
+""",
+    "text",
+    "dedup",
+)
+def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash fingerprint (Charikar 2002)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.simhash_table(docs)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH {_SIMHASH_PIPE},
+blk AS (
+  SELECT doc_id, simhash, bb.b,
+         CAST(floor(simhash / power(2, bb.b * 8)) AS BIGINT) % 256 AS bkey
+  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                  x.simhash AS ha, y.simhash AS hb
+  FROM blk x JOIN blk y ON x.b = y.b AND x.bkey = y.bkey
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {SH_MAX_HAM}
+""",
+    "text",
+    "dedup",
+    "lsh",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-block LSH + Hamming <= {SH_MAX_HAM}."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = dedup.simhash_table(docs)
+    out = dedup.simhash_near_dup(sh, max_hamming=SH_MAX_HAM)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+EMB_TAU = 0.4
+
+_DOT = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+
+
+@register(
+    "dedup_embedding",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({_DOT.format(a="v", b="v")}) AS nrm FROM e),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         {_DOT.format(a="x.v", b="y.v")} / (x.nrm * y.nrm) AS c
+  FROM n x JOIN n y ON x.vec_id < y.vec_id
+)
+SELECT a, b, (ROUND(c, 6) + 0.0) AS cos_sim FROM p WHERE c >= {EMB_TAU}
+""",
+    "text",
+    "dedup",
+    "vector",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (gemm scan + threshold)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup(emb, threshold=EMB_TAU)
+    return out.select("a", "b", rnd("cos_sim").alias("cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_SW_VALUES = ", ".join(
+    "('{}', [{}])".format(
+        lang, ", ".join(f"'{w}'" for w in words)
+    )
+    for lang, words in sorted(textstats.STOPWORDS.items())
+)
+
+
+@register(
+    "text_language_id",
+    f"""
+WITH {_TOKS},
+sc AS (
+  SELECT doc_id, l.lang,
+         len(list_filter(t, x -> list_contains(l.words, x))) * 1.0
+           / greatest(len(t), 1) AS score
+  FROM toks CROSS JOIN (VALUES {_SW_VALUES}) l(lang, words)
+)
+SELECT doc_id, lang AS pred_lang, (ROUND(score, 6) + 0.0) AS score
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+""",
+    "text",
+    "analysis",
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (argmax, min-lang tie-break)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = textstats.language_id(docs)
+    return out.select("doc_id", "pred_lang", rnd("score").alias("score"))
+
+
+@register(
+    "text_quality",
+    f"""
+WITH {_TOKS},
+feat AS (
+  SELECT d.doc_id,
+    len(t) AS n_tokens,
+    list_sum(list_transform(t, x -> length(x))) * 1.0 / greatest(len(t), 1)
+      AS mean_token_len,
+    len(list_distinct(t)) * 1.0 / greatest(len(t), 1) AS uniq_ratio,
+    len(list_filter(t, x -> list_contains(['a','and','is','of','the','to'], x)))
+      * 1.0 / greatest(len(t), 1) AS stopword_ratio,
+    (length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9\\s]', '', 'g')))
+      * 1.0 / greatest(length(d.text), 1) AS punct_ratio,
+    (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')))
+      * 1.0 / greatest(length(d.text), 1) AS digit_ratio
+  FROM documents d JOIN toks USING (doc_id)
+)
+SELECT doc_id,
+  CAST(n_tokens AS INT) AS n_tokens,
+  (ROUND(mean_token_len, 6) + 0.0) AS mean_token_len,
+  (ROUND(uniq_ratio, 6) + 0.0) AS uniq_ratio,
+  (ROUND(stopword_ratio, 6) + 0.0) AS stopword_ratio,
+  (ROUND(punct_ratio, 6) + 0.0) AS punct_ratio,
+  (ROUND(digit_ratio, 6) + 0.0) AS digit_ratio,
+  (ROUND(0.25 * least(n_tokens / 64.0, 1.0)
+       + 0.25 * uniq_ratio
+       + 0.25 * least(stopword_ratio * 4, 1.0)
+       + 0.25 * (1.0 - least(punct_ratio + digit_ratio, 1.0)), 6) + 0.0)
+    AS quality
+FROM feat
+""",
+    "text",
+    "analysis",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality features + composite score per document."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = textstats.quality_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        rnd("mean_token_len").alias("mean_token_len"),
+        rnd("uniq_ratio").alias("uniq_ratio"),
+        rnd("stopword_ratio").alias("stopword_ratio"),
+        rnd("punct_ratio").alias("punct_ratio"),
+        rnd("digit_ratio").alias("digit_ratio"),
+        rnd("quality").alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    f"""
+WITH {_TOKS}
+SELECT d.doc_id,
+  CAST(len(t) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(d.text, '{textstats.BPE_TOKEN_RE}')) AS INT)
+    AS bpe_tokens,
+  CAST(length(d.text) AS BIGINT) AS chars
+FROM documents d JOIN toks USING (doc_id)
+""",
+    "text",
+    "analysis",
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting: whitespace tokens, BPE-ish regex tokens, chars."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return textstats.token_counts(docs)
+
+
+WIN_W = 4
+
+
+@register(
+    "text_fingerprint",
+    f"""
+WITH {_TOKS},
+shp AS (
+  SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos, unnest(s) AS shingle
+  FROM (SELECT doc_id, {T.sql_shingles("t", MH_N)} AS s FROM toks)
+),
+hh AS (SELECT doc_id, pos, {T.sql_h64("shingle")} AS h FROM shp),
+w AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+           AS fingerprint,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM hh
+)
+SELECT DISTINCT doc_id, fingerprint FROM w WHERE pos <= n - {WIN_W}
+""",
+    "text",
+    "analysis",
+    "dedup",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): windowed min of
+    rolling shingle hashes, distinct per document."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return textstats.winnow_fingerprints(
+        docs, shingle_n=MH_N, window=WIN_W
+    )
