@@ -1,1 +1,573 @@
-"""Placeholder registrar module — populated in later milestones."""
+"""Relational catalog: TPC-H-ish joins/aggs, windows, set ops, rollup/
+cube, as-of join, sessionization, JSON/date scalars.
+
+Registered into vector_search_spark.queries.CATALOG on import. This is
+the SURVEY.md §7 step-8 extension surface: the reference engine has no
+relational operators at all, so these queries exercise Spark built-ins
+end-to-end against the DuckDB oracle (portability rules: queries.py).
+
+Plan hygiene at scale: every dim table (region/nation/customer/supplier)
+joins via explicit ``F.broadcast``; fact-fact joins shuffle on their
+keys; windows partition by high-cardinality keys (customer, user).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_spark import tables
+from vector_search_spark.operators import asof
+from vector_search_spark.queries import register, rnd
+
+# Floor-to-second epoch. NOT CAST(epoch(ts) AS BIGINT): DuckDB's
+# double->int cast ROUNDS the fractional second while Spark's
+# unix_timestamp truncates — off-by-one on half the rows.
+_TS = "(epoch_us({c}) // 1000000)"
+
+
+def _epoch(c) -> F.Column:
+    return F.unix_timestamp(F.col(c) if isinstance(c, str) else c)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish joins + aggregations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3",
+    f"""
+SELECT l.l_orderkey,
+       (ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0) AS revenue,
+       {_TS.format(c="o.o_orderdate")} AS orderdate_epoch
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-06-30'
+  AND l.l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+    "relational",
+    "join",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority: 3-way join, agg, exact top-10 with explicit
+    orderkey tie-break (TakeOrderedAndProject, no full sort)."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-06-30").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(o.filter(F.col("o_orderdate") < cut), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey", "revenue", _epoch("o_orderdate").alias("orderdate_epoch")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    f"""
+SELECT n.n_name,
+       (ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+    "relational",
+    "join",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume: 6-way join; all dims broadcast, the one
+    shuffle join is lineitem⋈orders on orderkey."""
+    r = tables.load(spark, sf_dir, "region")
+    n = tables.load(spark, sf_dir, "nation")
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                                  F.col("n_regionkey") == F.col("r_regionkey"))),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "tpch_q6",
+    """
+SELECT (ROUND(SUM(l_extendedprice * l_discount), 2) + 0.0) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    "relational",
+    "agg",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue: pure filter+agg — the pushdown showcase (all
+    four predicates reach the parquet scan)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       (ROUND(c.c_acctbal, 2) + 0.0) AS acctbal,
+       (ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    "relational",
+    "join",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: top-20 customers by lost revenue."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    n = tables.load(spark, sf_dir, "nation")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            rnd("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_late_orders",
+    """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    "relational",
+    "semi-join",
+)
+def q_semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, priority histogram of
+    orders with any lineitem shipped >60 days after order date."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    """
+SELECT c.c_custkey, c.c_name, (ROUND(c.c_acctbal, 2) + 0.0) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+    "relational",
+    "anti-join",
+)
+def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large (>300k) order: NOT EXISTS → left-anti
+    join against the filtered fact (filter pushed below the join)."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_totalprice") > 300000),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name", rnd("c_acctbal", 2).alias("acctbal"))
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_customer_orders",
+    f"""
+SELECT o_custkey, o_orderkey,
+       {_TS.format(c="o_orderdate")} AS orderdate_epoch,
+       CAST(row_number() OVER w AS INT) AS rn,
+       (ROUND(SUM(o_totalprice) OVER w, 2) + 0.0) AS running_spend,
+       (ROUND(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) + 0.0) AS delta_prev
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "relational",
+    "window",
+)
+def q_window_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + running aggregate + lag in one pass (single window
+    partition per customer, one shuffle)."""
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _epoch("o_orderdate").alias("orderdate_epoch"),
+        F.row_number().over(w).alias("rn"),
+        rnd(F.sum("o_totalprice").over(wsum), 2).alias("running_spend"),
+        rnd(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("delta_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup / cube
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_lineitem",
+    """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       (ROUND(SUM(l_quantity), 2) + 0.0) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "relational",
+    "rollup",
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (flag → flag×status → grand total)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+@register(
+    "cube_events",
+    """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(date_part('dow', ts) AS INT), -1) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (ROUND(SUM(value), 2) + 0.0) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(date_part('dow', ts) AS INT))
+""",
+    "relational",
+    "cube",
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (event_type, day-of-week). dow normalized to
+    0=Sunday on both engines (Spark dayofweek is 1-based)."""
+    ev = tables.load(spark, sf_dir, "events").withColumn(
+        "dow", (F.dayofweek("ts") - 1).cast("int")
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "setop_converting_days",
+    f"""
+SELECT user_id, {_TS.format(c="d")} AS day_epoch FROM (
+  SELECT user_id, date_trunc('day', ts) AS d FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id, date_trunc('day', ts) FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id, date_trunc('day', ts) FROM events WHERE event_type = 'error'
+)
+""",
+    "relational",
+    "setop",
+)
+def q_setop_converting_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT on (user, day): days a user clicked and
+    purchased without hitting an error."""
+    ev = tables.load(spark, sf_dir, "events")
+
+    def days(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            "user_id", F.date_trunc("day", "ts").alias("d")
+        )
+
+    return (
+        days("click")
+        .intersect(days("purchase"))
+        .exceptAll(days("error").distinct())
+        .select("user_id", F.unix_timestamp("d").alias("day_epoch"))
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join + sessionization (temporal)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_view",
+    f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       {_TS.format(c="p.ts")} AS purchase_epoch,
+       COALESCE(v.event_id, -1) AS asof_id,
+       COALESCE({_TS.format(c="v.ts")}, -1) AS view_epoch,
+       COALESCE({_TS.format(c="p.ts")} - {_TS.format(c="v.ts")}, -1) AS gap_s
+FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) = 1
+""",
+    "relational",
+    "asof",
+)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the user's most recent
+    prior 'view'. Engine side runs the merge-shaped operator
+    (operators/asof.py) — union + sort + last-forward-fill, never the
+    range-join pair blowup the oracle SQL spells."""
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    v = ev.filter(F.col("event_type") == "view")
+    out = asof.asof_join_backward(
+        p, v, key="user_id", left_ts="ts", right_ts="ts",
+        right_id="event_id", right_cols=[],
+    )
+    # -1 sentinel instead of NULL: a nullable bigint coerces the whole
+    # pandas column to float on the oracle side, breaking value-hash.
+    return out.select(
+        "event_id",
+        "user_id",
+        _epoch("ts").alias("purchase_epoch"),
+        F.coalesce("asof_id", F.lit(-1)).alias("asof_id"),
+        F.coalesce(_epoch("asof_ts"), F.lit(-1)).alias("view_epoch"),
+        F.coalesce(_epoch("ts") - _epoch("asof_ts"), F.lit(-1)).alias("gap_s"),
+    )
+
+
+@register(
+    "sessionize_events",
+    f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR {_TS.format(c="ts")} - {_TS.format(c="lag(ts) OVER w")} > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+       {_TS.format(c="min(ts)")} AS session_start_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_TS.format(c="max(ts)")} - {_TS.format(c="min(ts)")} AS duration_s
+FROM s GROUP BY user_id, session_idx
+""",
+    "relational",
+    "window",
+    "session",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity): lag →
+    boundary flag → running sum = session id → per-session agg. The
+    batch twin of the streaming session_window (streaming module)."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((_epoch("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    s = g.withColumn("session_idx", F.sum("new_session").over(wsum))
+    return s.groupBy("user_id", F.col("session_idx").cast("int").alias("session_idx")).agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date / JSON scalar showcase
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_daily_json",
+    f"""
+SELECT {_TS.format(c="date_trunc('day', ts)")} AS day_epoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (ROUND(SUM(value), 2) + 0.0) AS sum_value,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+""",
+    "relational",
+    "scalar",
+    "json",
+)
+def q_events_daily_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type rollup with a JSON-extracted measure
+    (get_json_object ↔ json_extract_string)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+            F.sum(
+                F.get_json_object("props", "$.k").cast("int")
+            ).cast("bigint").alias("sum_k"),
+        )
+    )
