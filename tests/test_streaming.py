@@ -1,0 +1,189 @@
+"""Streaming execution tests: the same query bodies, run as real
+Structured Streaming micro-batches, must reproduce the batch results
+the DuckDB oracle already validated."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_search_spark import tables
+from vector_search_spark.streaming import events as sev
+from vector_search_spark.streaming.index_refresh import (
+    encode_batch,
+    incremental_pq_refresh,
+)
+
+EVENTS_SCHEMA = sev.EVENTS_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The events table re-written as 4 parquet files so the file
+    source produces 4 micro-batches (maxFilesPerTrigger=1)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = tables.load(spark, SF_ORACLE, "events")
+    # persist ts as int64 nanos to mirror the original layout. Files are
+    # RANGE-partitioned on ts: the file source reads part-00000.. in
+    # order, so event time advances monotonically across micro-batches
+    # and nothing falls behind the watermark (a random split would make
+    # later batches 'late' and the watermark would rightly drop them —
+    # real streaming semantics, but not what an equality test wants).
+    ev.withColumn(
+        "ts", (F.unix_micros("ts") * 1000).cast("long")
+    ).repartitionByRange(4, "ts").write.mode("overwrite").parquet(
+        str(d / "events.parquet")
+    )
+    # The file source orders batches by modification time, and a single
+    # write job gives every part the same mtime — force part order =
+    # range order so event time advances monotonically.
+    import glob
+    import os
+    import time
+
+    now = time.time()
+    for i, p in enumerate(sorted(glob.glob(str(d / "events.parquet/part-*")))):
+        os.utime(p, (now - 1000 + i * 10, now - 1000 + i * 10))
+    return str(d)
+
+
+def _run_stream(spark, df, name: str, mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir):
+    stream = sev.read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark, sev.tumbling_counts(stream), "t_tumble", "complete"
+    )
+    want = sev.tumbling_counts(tables.load(spark, SF_ORACLE, "events"))
+    # sum_value is rounded: micro-batch partial sums add in a different
+    # order than the batch plan (float assoc drift ~1e-12)
+    r = lambda df: df.withColumn("sum_value", F.round("sum_value", 2))
+    got, want = r(got), r(want)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_sliding_stream_equals_batch(spark, events_dir):
+    stream = sev.read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark, sev.sliding_counts(stream), "t_slide", "complete"
+    )
+    want = sev.sliding_counts(tables.load(spark, SF_ORACLE, "events"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_session_stream_equals_batch(spark, events_dir):
+    """Append mode with a zero watermark: a session is emitted once the
+    watermark (= max event time seen) passes its close (last event +
+    gap). Every emitted session must match batch exactly; every batch
+    session closed strictly before stream end must have been emitted.
+    (Complete mode is wrong for session windows: closed-session state
+    is evicted at the watermark, so early sessions vanish.)"""
+    stream = sev.read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark,
+        sev.session_counts(stream, watermark="0 seconds"),
+        "t_session",
+        "append",
+    )
+    ev = tables.load(spark, SF_ORACLE, "events")
+    want_all = sev.session_counts(ev)
+    assert got.exceptAll(want_all).count() == 0, "stream ⊆ batch"
+
+    # batch sessions that closed before stream end (1s safety margin
+    # against boundary-inclusive emission differences)
+    end_by_session = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    closed = (
+        end_by_session.filter(
+            F.unix_timestamp("last_ts") + 1801 < F.lit(max_ts).cast("timestamp").cast("long")
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+    assert closed.exceptAll(got).count() == 0, "closed batch sessions ⊆ stream"
+    assert got.count() >= closed.count()
+
+
+def test_dedup_within_watermark_drops_replayed_batch(
+    spark, events_dir, tmp_path
+):
+    """Duplicate a slice of events into an extra file; the streaming
+    dedup must emit each event_id exactly once."""
+    ev = tables.load(spark, SF_ORACLE, "events")
+    dup_dir = tmp_path / "dup_events.parquet"
+    src_dir = f"{events_dir}/events.parquet"
+    spark.read.parquet(src_dir).write.mode("overwrite").parquet(str(dup_dir))
+    # replay half the events as an extra file (same int64-nanos layout)
+    spark.read.parquet(src_dir).filter(F.col("event_id") % 2 == 0).coalesce(
+        1
+    ).write.mode("append").parquet(str(dup_dir))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(str(dup_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    got = _run_stream(
+        spark, sev.dedup_within_watermark(raw), "t_dedup", "append"
+    )
+    n = ev.count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
+def test_incremental_pq_refresh_matches_batch_encode(spark, tmp_path):
+    """Micro-batch IVFADC maintenance: stream the embeddings in 3
+    files, encode+append per batch; the resulting cell-partitioned
+    index must equal the one-shot batch encoding."""
+    from vector_search_spark.operators import kmeans, pq
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    C = kmeans.init_first_k(emb, 8)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=7, max_iter=5)
+
+    src_dir = tmp_path / "emb_stream"
+    emb.repartition(3).write.mode("overwrite").parquet(str(src_dir))
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src_dir))
+
+    out_dir = str(tmp_path / "index")
+    q = incremental_pq_refresh(
+        stream, C, model, out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = spark.read.parquet(out_dir).select("vec_id", "cluster_id", "code")
+    want = encode_batch(emb, C, model)
+    assert got.count() == emb.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # partition layout is cell-prunable
+    import os
+
+    assert any(
+        p.startswith("cluster_id=") for p in os.listdir(out_dir)
+    ), os.listdir(out_dir)

@@ -216,6 +216,7 @@ def get_catalog() -> dict[str, QuerySpec]:
     # appends to CATALOG on import. Kept lazy so a bug in one family
     # doesn't take down the whole entry point.
     import vector_search_spark.queries_relational  # noqa: F401
+    import vector_search_spark.queries_streaming  # noqa: F401
     import vector_search_spark.queries_text  # noqa: F401
     import vector_search_spark.queries_vector  # noqa: F401
 

@@ -1,0 +1,116 @@
+"""Streaming event ingest + windowed aggregations.
+
+The reference engine is synchronous/in-memory with a per-row ``Insert``
+(py/hnsw.py:337-392); the honest Spark translation of "continuously
+arriving data" is Structured Streaming: file-source micro-batches,
+event-time windows with watermarks for late data, and stateful
+operators. Every transformation here is defined once and works in BOTH
+batch and streaming mode (the same ``DataFrame`` expressions), which is
+how the batch catalog twins (queries_streaming.py) can be oracle-checked
+by DuckDB while tests assert stream-equals-batch on the identical input.
+
+Scale notes: windowed aggs shuffle on (window, key) with partial
+aggregation map-side; state store size is bounded by the watermark
+horizon; file sources scale by maxFilesPerTrigger. At 100 TB/day the
+same topology runs against Kafka with the identical query bodies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (TIMESTAMP(NANOS) read
+    as raw int64 then truncated to micros, same as tables.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-(hour, type) tumbling-window counts + value sum. Works on a
+    batch DataFrame identically (watermark is a no-op in batch)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows
+    (epoch-aligned starts, the same alignment DuckDB arithmetic gives)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) — the built-in
+    stateful ``session_window``. In batch mode its result must equal the
+    gaps-and-islands window-function formulation (sessionize_events),
+    which is exactly what the oracle checks."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact-dedup on event_id with bounded state:
+    duplicates arriving within the watermark horizon are dropped and
+    state older than the horizon is evicted (the streaming counterpart
+    of operators/dedup.exact_dedup)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
