@@ -1,0 +1,112 @@
+"""Semantics + recall gates for the graph operators (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_search_spark import tables
+from vector_search_spark.operators import graph, kmeans, knn
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = tables.load(spark, SF_ORACLE, "embeddings").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def exact5(spark, emb):
+    return knn.knn_graph(emb, k=5).select("src", "dst").cache()
+
+
+def test_blocked_graph_structure(spark, emb):
+    C = kmeans.init_first_k(emb, 16)
+    g = graph.knn_graph_blocked(emb, C, k=5, nprobe=2)
+    assert g.filter(F.col("src") == F.col("dst")).count() == 0
+    per_src = g.groupBy("src").count()
+    assert per_src.filter(F.col("count") > 5).count() == 0
+    # rank is 1..k, dense per src
+    assert g.filter((F.col("rank") < 1) | (F.col("rank") > 5)).count() == 0
+
+
+def test_nn_descent_improves_recall(spark, emb, exact5):
+    tot = exact5.count()
+    C = kmeans.lloyd(emb, kmeans.init_first_k(emb, 8), max_iter=8, tol=1e-4).centroids
+    g0 = graph.knn_graph_blocked(emb, C, k=5, nprobe=3)
+    r0 = g0.select("src", "dst").intersect(exact5).count() / tot
+    g = g0
+    for _ in range(2):
+        g = graph.nn_descent_round(g, emb, k=5).localCheckpoint()
+    r2 = g.select("src", "dst").intersect(exact5).count() / tot
+    assert r2 > r0, f"descent must improve recall ({r0:.3f} -> {r2:.3f})"
+    assert r2 >= 0.70, f"recall after 2 rounds {r2:.3f} < 0.70"
+
+
+def test_select_neighbors_heuristic_diversity(spark):
+    """Paper Algorithm 4: a candidate closer to an admitted neighbor
+    than to the node is pruned; a far-but-diverse one survives."""
+    pts = spark.createDataFrame(
+        [(0, [0.0, 0.0]),
+         (1, [1.0, 0.0]),     # nearest, admitted
+         (2, [1.1, 0.0]),     # close to 1 -> pruned
+         (3, [0.0, 2.0])],    # diverse -> admitted
+        "vec_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.21), (0, 3, 4.0)],
+        "src long, dst long, dist double",
+    )
+    sel = graph.select_neighbors_heuristic(cand, pts, m=2)
+    got = {r.dst for r in sel.collect()}
+    assert got == {1, 3}, got
+    # keep_pruned backfills up to m
+    sel2 = graph.select_neighbors_heuristic(cand, pts, m=3, keep_pruned=True)
+    assert {r.dst for r in sel2.collect()} == {1, 2, 3}
+
+
+def test_hnsw_build_invariants(spark, emb):
+    C = kmeans.lloyd(emb, kmeans.init_first_k(emb, 8), max_iter=5, tol=1e-4).centroids
+    hg = graph.hnsw_build(emb, C, m=8, ef_construction=24, seed=42)
+    levels = {r.vec_id: r.level for r in hg.levels.collect()}
+    assert hg.max_level == max(levels.values())
+    assert levels[hg.entry_point] == hg.max_level
+    # every node with an edge at layer l has level >= l
+    bad = (
+        hg.edges.join(hg.levels, hg.edges["src"] == hg.levels["vec_id"])
+        .filter(F.col("level") < F.col("layer"))
+        .count()
+    )
+    assert bad == 0
+    # degree cap m per (layer, src)
+    deg = hg.edges.groupBy("layer", "src").count()
+    assert deg.filter(F.col("count") > 8).count() == 0
+    # layer sizes decay geometrically (strictly fewer nodes per layer up)
+    sizes = {
+        r.layer: r.n
+        for r in hg.edges.groupBy("layer")
+        .agg(F.countDistinct("src").alias("n"))
+        .collect()
+    }
+    for l in range(1, hg.max_level + 1):
+        if l in sizes and (l - 1) in sizes:
+            assert sizes[l] < sizes[l - 1]
+
+
+def test_greedy_search_recall(spark, emb):
+    C = kmeans.lloyd(emb, kmeans.init_first_k(emb, 8), max_iter=8, tol=1e-4).centroids
+    hg = graph.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    res = graph.greedy_search(hg, emb, queries, k=10, ef=48, max_hops=12)
+    truth = knn.brute_force_knn(queries, emb, k=10)
+    inter = (
+        res.select("query_id", "vec_id")
+        .intersect(truth.select("query_id", "vec_id"))
+        .count()
+    )
+    recall = inter / truth.count()
+    assert recall >= 0.9, f"greedy Recall@10 {recall:.3f} < 0.9"
+    # results sorted ascending per query, rank dense
+    assert res.filter((F.col("rank") < 1) | (F.col("rank") > 10)).count() == 0

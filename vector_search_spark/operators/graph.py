@@ -1,0 +1,477 @@
+"""Batch kNN-graph construction + HNSW-style layered graph + greedy
+search demonstrator.
+
+The reference builds its HNSW graph incrementally, one vector at a time,
+against shared in-memory adjacency (py/hnsw.py:337-392). Batch-first
+Spark replaces that with (SURVEY.md §7 step 7):
+
+1. ``knn_graph_blocked`` — IVF-cell-blocked candidate generation: each
+   point is routed to its ``nprobe`` nearest coarse cells; candidate
+   pairs exist only within a shared cell, scored per-cell with a BLAS
+   gemm inside ``applyInPandas``. Work is Σ|cell|·|routed-to-cell|
+   instead of N² — the standard distributed NN-descent seed.
+2. ``hnsw_levels`` — the paper's geometric level draw
+   ``floor(-ln(U)·m_L)`` as a Catalyst expression (seeded F.rand). The
+   reference's two deviations from the paper (multiplier inside the
+   log, M_max0 chosen by the new element's level — SURVEY.md §2.8 ⚠)
+   are deliberately NOT replicated.
+3. ``select_neighbors_heuristic`` — the diversity-pruning rule
+   (py/hnsw.py:295-320): admit candidate c iff it is closer to the
+   node than to every already-admitted neighbor. Sequential per node →
+   the one justified pandas UDF (applyInPandas per src group).
+4. ``hnsw_build`` — levels + per-layer blocked graph + heuristic
+   pruning + symmetrization → a layered edge DataFrame artifact.
+5. ``greedy_search`` — batch frontier-expansion over the edge artifact:
+   all queries advance one hop per iteration (join frontier⋈edges,
+   anti-join visited, score, keep top-ef). The poorest Spark fit
+   (data-dependent iteration), kept as a faithful demonstrator; the
+   production query path is operators/ivf.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions.distance import as_double_array
+from vector_search_spark.operators import knn
+
+__all__ = [
+    "route_to_cells",
+    "knn_graph_blocked",
+    "hnsw_levels",
+    "select_neighbors_heuristic",
+    "hnsw_build",
+    "greedy_search",
+]
+
+
+def route_to_cells(
+    points: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, probe_rank, vec) — each point assigned to its nprobe
+    nearest coarse cells; probe_rank 0 is the home cell. Scored against
+    the broadcast centroid matrix in one mapInPandas pass."""
+    bc = points.sparkSession.sparkContext.broadcast(
+        centroids.astype(np.float64)
+    )
+    src = points.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    )
+    npb = nprobe
+
+    def fn(batches):
+        C = bc.value
+        cn2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.vstack(pdf["v"].to_numpy())
+            D = cn2[None, :] + (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T)
+            m = min(npb, D.shape[1])
+            cells = np.argsort(D, axis=1, kind="stable")[:, :m]
+            n = len(vids)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vids, m),
+                    "cell": cells.reshape(-1).astype(np.int32),
+                    "probe_rank": np.tile(np.arange(m, dtype=np.int32), n),
+                    "v": list(np.repeat(pdf["v"].to_numpy(), m)),
+                }
+            )
+
+    return src.mapInPandas(
+        fn, "vec_id long, cell int, probe_rank int, v array<double>"
+    )
+
+
+def knn_graph_blocked(
+    points: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN graph (src, dst, dist, rank): candidates are
+    pairs sharing a coarse cell (src routed to nprobe cells, dst in its
+    home cell), scored per cell with one gemm. A pair sharing several
+    cells is deduped by min-dist before the global per-src top-k."""
+    routed = route_to_cells(points, centroids, nprobe, id_col, vec_col)
+    kk = k + 4  # per-cell pad absorbs cross-cell dedup
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                {"src": [], "dst": [], "dist": []}
+            ).astype({"src": np.int64, "dst": np.int64, "dist": np.float64})
+        home = pdf[pdf["probe_rank"] == 0]
+        if not len(home):
+            return pd.DataFrame(
+                {"src": [], "dst": [], "dist": []}
+            ).astype({"src": np.int64, "dst": np.int64, "dist": np.float64})
+        S = np.vstack(pdf["v"].to_numpy())
+        B = np.vstack(home["v"].to_numpy())
+        sid = pdf["vec_id"].to_numpy(dtype=np.int64)
+        bid = home["vec_id"].to_numpy(dtype=np.int64)
+        D = (
+            (S * S).sum(axis=1)[:, None]
+            + (B * B).sum(axis=1)[None, :]
+            - 2.0 * (S @ B.T)
+        )
+        D[sid[:, None] == bid[None, :]] = np.inf
+        m = min(kk, D.shape[1])
+        cand = np.argpartition(D, m - 1, axis=1)[:, :m] if m < D.shape[1] else (
+            np.broadcast_to(np.arange(D.shape[1]), D.shape)
+        )
+        out_s, out_d, out_x = [], [], []
+        for i in range(len(sid)):
+            cj = cand[i]
+            dj = D[i, cj]
+            fin = np.isfinite(dj)
+            out_s.append(np.full(fin.sum(), sid[i]))
+            out_d.append(bid[cj][fin])
+            out_x.append(dj[fin])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_s),
+                "dst": np.concatenate(out_d),
+                "dist": np.concatenate(out_x),
+            }
+        )
+
+    scored = routed.groupBy("cell").applyInPandas(
+        per_cell, "src long, dst long, dist double"
+    )
+    deduped = scored.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    return (
+        deduped.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def nn_descent_round(
+    g: DataFrame,
+    points: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One NN-descent refinement round (Dong et al., WWW 2011): propose
+    neighbors-of-neighbors (both directions), score the new pairs, keep
+    the best k per node. Pair volume is O(N·k²) — linear in N — and
+    every step is a relational join/agg, so the round is one shuffle-
+    bounded job. Two or three rounds converge on most data.
+
+    The reference has no analog (its graph quality comes from the
+    sequential insert order); this is the batch-idiomatic substitute.
+    """
+    from vector_search_spark.functions import distance as dist
+
+    e = g.select("src", "dst")
+    # undirected neighborhood: u—v if either direction is in g
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # neighbors-of-neighbors: src —mid— cand
+    nn = (
+        und.alias("a")
+        .join(
+            und.alias("b"),
+            F.col("a.dst") == F.col("b.src"),
+        )
+        .select(
+            F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .join(e, ["src", "dst"], "left_anti")  # only genuinely new pairs
+    )
+    vecs_s = points.select(
+        F.col(id_col).alias("src"), as_double_array(vec_col).alias("sv")
+    )
+    vecs_d = points.select(
+        F.col(id_col).alias("dst"), as_double_array(vec_col).alias("dv")
+    )
+    scored_new = (
+        nn.join(vecs_s, "src")
+        .join(vecs_d, "dst")
+        .select("src", "dst", dist.l2_sqr("sv", "dv").alias("dist"))
+    )
+    merged = g.select("src", "dst", "dist").unionByName(scored_new)
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    return (
+        merged.groupBy("src", "dst")
+        .agg(F.min("dist").alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hnsw_levels(
+    points: DataFrame,
+    m_l: float,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Geometric level assignment, paper-faithful:
+    level = floor(-ln(U) * m_L), U ~ Uniform(0,1)."""
+    return points.select(
+        F.col(id_col).alias("vec_id"),
+        F.floor(-F.log(F.rand(seed)) * F.lit(m_l)).cast("int").alias("level"),
+    )
+
+
+def select_neighbors_heuristic(
+    cand: DataFrame,
+    points: DataFrame,
+    m: int,
+    keep_pruned: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """HNSW diversity pruning (reference py/hnsw.py:295-320, paper
+    Algorithm 4): scan candidates by ascending distance to the node;
+    admit c iff d(c, node) < d(c, r) for every admitted r. Optionally
+    backfill with pruned candidates (keep_pruned_connections).
+
+    Sequential per node → applyInPandas on the src group; candidate
+    vectors are joined in so each group is self-contained. Group size
+    is bounded by the candidate k (small), so state is tiny."""
+    vecs = points.select(
+        F.col(id_col).alias("dst"), as_double_array(vec_col).alias("dv")
+    )
+    svecs = points.select(
+        F.col(id_col).alias("src"), as_double_array(vec_col).alias("sv")
+    )
+    enriched = cand.join(vecs, "dst").join(svecs, "src")
+
+    def per_src(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["dist", "dst"]).reset_index(drop=True)
+        V = np.vstack(pdf["dv"].to_numpy())
+        admitted: list[int] = []
+        pruned: list[int] = []
+        for i in range(len(pdf)):
+            if len(admitted) >= m:
+                break
+            c = V[i]
+            d_cq = pdf["dist"].iloc[i]
+            ok = True
+            for j in admitted:
+                d_cr = float(((c - V[j]) ** 2).sum())
+                if d_cr < d_cq:
+                    ok = False
+                    break
+            (admitted if ok else pruned).append(i)
+        if keep_pruned:
+            for i in pruned:
+                if len(admitted) >= m:
+                    break
+                admitted.append(i)
+        sel = pdf.iloc[admitted]
+        return pd.DataFrame(
+            {
+                "src": sel["src"].to_numpy(dtype=np.int64),
+                "dst": sel["dst"].to_numpy(dtype=np.int64),
+                "dist": sel["dist"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    return enriched.groupBy("src").applyInPandas(
+        per_src, "src long, dst long, dist double"
+    )
+
+
+@dataclass
+class HNSWGraph:
+    edges: DataFrame  # (layer, src, dst, dist)
+    levels: DataFrame  # (vec_id, level)
+    entry_point: int
+    max_level: int
+
+
+def hnsw_build(
+    points: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    ef_construction: int = 32,
+    m_l: float | None = None,
+    nprobe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> HNSWGraph:
+    """Layered graph artifact, built batch-per-layer: nodes with
+    level >= l get blocked-candidate edges pruned by the diversity
+    heuristic, then symmetrized (union of both directions, re-capped at
+    m by ascending distance). Entry point = a node of maximal level
+    (min id among them, deterministic)."""
+    if m_l is None:
+        m_l = 1.0 / np.log(m)
+    levels = hnsw_levels(points, m_l, seed, id_col).cache()
+    top = levels.agg(F.max("level")).first()[0] or 0
+    ep = (
+        levels.filter(F.col("level") == top)
+        .agg(F.min("vec_id"))
+        .first()[0]
+    )
+
+    layer_edges = []
+    for layer in range(top + 1):
+        node_ids = levels.filter(F.col("level") >= layer).select("vec_id")
+        nodes = points.join(
+            node_ids, points[id_col] == node_ids["vec_id"], "left_semi"
+        )
+        cand = knn_graph_blocked(
+            nodes, centroids, k=ef_construction, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        ).select("src", "dst", "dist")
+        sel = select_neighbors_heuristic(
+            cand, nodes, m=m, id_col=id_col, vec_col=vec_col
+        )
+        # symmetrize: reverse edges, union, re-cap at m per node
+        sym = sel.unionByName(
+            sel.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "dist",
+            )
+        ).groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+        w = Window.partitionBy("src").orderBy("dist", "dst")
+        capped = (
+            sym.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= m)
+            .select(
+                F.lit(layer).alias("layer"), "src", "dst", "dist"
+            )
+        )
+        layer_edges.append(capped)
+
+    edges = layer_edges[0]
+    for e in layer_edges[1:]:
+        edges = edges.unionByName(e)
+    return HNSWGraph(
+        edges=edges.cache(), levels=levels, entry_point=int(ep),
+        max_level=int(top),
+    )
+
+
+def greedy_search(
+    graph: HNSWGraph,
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = 32,
+    max_hops: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Layer-0 batch greedy search over the edge artifact: every query
+    expands its frontier one hop per iteration until no frontier node
+    improves its current top-ef (or max_hops). Returns
+    (query_id, vec_id, dist, rank<=k).
+
+    Demonstrator of py/hnsw.py:240-277 in set-oriented form — the
+    early-termination heap loop becomes an iteration-level stop test.
+    Upper layers are skipped: with batch queries the descent saves a
+    couple of hops at the cost of L extra sequential jobs (noted in
+    SURVEY.md §4); entry is the global entry point for every query.
+    """
+    spark = points.sparkSession
+    qpdf = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).toPandas()
+    qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+    Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    base = points.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("bv")
+    )
+    edges0 = graph.edges.filter(F.col("layer") == 0).select("src", "dst")
+
+    def score(cands: DataFrame) -> DataFrame:
+        """(query_id, vec_id) -> + dist, via broadcast query matrix."""
+        withv = cands.join(base, "vec_id")
+
+        def fn(batches):
+            b_qids, b_Q = bc.value
+            pos = {int(q): i for i, q in enumerate(b_qids)}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                B = np.vstack(pdf["bv"].to_numpy())
+                qi = np.array(
+                    [pos[int(q)] for q in pdf["query_id"]], dtype=np.int64
+                )
+                d = ((B - b_Q[qi]) ** 2).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "vec_id": pdf["vec_id"],
+                        "dist": d,
+                    }
+                )
+
+        return withv.mapInPandas(fn, "query_id long, vec_id long, dist double")
+
+    # seed: entry point for every query
+    seed_df = spark.createDataFrame(
+        [(int(q), graph.entry_point) for q in qids], "query_id long, vec_id long"
+    )
+    results = score(seed_df).localCheckpoint()
+    visited = results.select("query_id", "vec_id").localCheckpoint()
+    frontier = results
+
+    wef = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    for _ in range(max_hops):
+        # expand frontier one hop
+        cand = (
+            frontier.select("query_id", F.col("vec_id").alias("src"))
+            .join(edges0, "src")
+            .select("query_id", F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(visited, ["query_id", "vec_id"], "left_anti")
+        )
+        scored = score(cand).localCheckpoint()
+        if not scored.take(1):
+            break
+        visited = visited.unionByName(
+            scored.select("query_id", "vec_id")
+        ).localCheckpoint()
+        results = (
+            results.unionByName(scored)
+            .withColumn("r", F.row_number().over(wef))
+            .filter(F.col("r") <= ef)
+            .drop("r")
+            .localCheckpoint()
+        )
+        # continue only for queries whose frontier can still improve:
+        # any newly-scored node beating the query's current worst-of-ef
+        worst = results.groupBy("query_id").agg(
+            F.max("dist").alias("worst"), F.count(F.lit(1)).alias("n")
+        )
+        frontier = (
+            scored.join(worst, "query_id")
+            .filter((F.col("dist") < F.col("worst")) | (F.col("n") < ef))
+            .select("query_id", "vec_id", "dist")
+            .localCheckpoint()
+        )
+        if not frontier.take(1):
+            break
+
+    return (
+        results.withColumn("rank", F.row_number().over(wef))
+        .filter(F.col("rank") <= k)
+    )

@@ -355,3 +355,89 @@ def q_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, codes, res.centroids, model, k=10, nprobe=IVF_NPROBE
     )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+# --------------------------------------------------------------------------
+# Batch kNN-graph + HNSW-style build + greedy search (SURVEY.md §7 step 7)
+# --------------------------------------------------------------------------
+
+NNG_NC = 16
+NNG_NPROBE = 2
+NNG_K = 5
+
+
+@register(
+    "nng_blocked",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM pts WHERE vec_id < {NNG_NC}),
+routed AS (
+  SELECT vec_id, cell, probe_rank FROM (
+    SELECT p.vec_id, c.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_L2.format(a="p.v", b="c.cv")}, c.cell) - 1
+             AS probe_rank
+    FROM pts p CROSS JOIN cents c)
+  WHERE probe_rank < {NNG_NPROBE}
+),
+home AS (SELECT vec_id, cell FROM routed WHERE probe_rank = 0),
+pairs AS (
+  SELECT DISTINCT r.vec_id AS src, h.vec_id AS dst
+  FROM routed r JOIN home h ON h.cell = r.cell
+  WHERE r.vec_id <> h.vec_id
+),
+scored AS (
+  SELECT p.src, p.dst, {_L2.format(a="a.v", b="b.v")} AS d
+  FROM pairs p JOIN pts a ON a.vec_id = p.src JOIN pts b ON b.vec_id = p.dst
+)
+SELECT src, dst, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= {NNG_K}
+""",
+    "vector",
+    "graph",
+    "ivf",
+)
+def q_nng_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked approximate kNN graph (operators/graph.py): each
+    point routed to its nprobe nearest coarse cells, pairs scored only
+    within shared cells (per-cell gemm in applyInPandas). The oracle
+    replays routing + blocking + top-k, so the *pruning semantics* are
+    under test; recall quality is gated in tests/test_graph.py."""
+    from vector_search_spark.operators import graph as gr
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, NNG_NC)
+    out = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=NNG_NPROBE)
+    return out.select("src", "dst", rnd("dist").alias("dist"), "rank")
+
+
+@register("nn_descent_graph", None, "vector", "graph", "rows-only")
+def q_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked seed graph + 2 NN-descent refinement rounds over
+    Lloyd-trained cells (recall gated in tests/test_graph.py)."""
+    from vector_search_spark.operators import graph as gr
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.lloyd(emb, kmeans.init_first_k(emb, 8), max_iter=8, tol=1e-4).centroids
+    g = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=3)
+    for _ in range(2):
+        g = gr.nn_descent_round(g, emb, k=NNG_K).localCheckpoint()
+    return g.select("src", "dst", rnd("dist").alias("dist"), "rank")
+
+
+@register("hnsw_knn", None, "vector", "graph", "hnsw", "rows-only")
+def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered-graph build (paper-faithful level draw, diversity-pruned
+    edges) + batch greedy layer-0 search for 20 queries. RNG-dependent
+    (seeded F.rand level draw) -> rows-only; Recall@10 vs brute force
+    is gated in tests/test_graph.py."""
+    from vector_search_spark.operators import graph as gr
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.lloyd(emb, kmeans.init_first_k(emb, 8), max_iter=8, tol=1e-4).centroids
+    hg = gr.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = gr.greedy_search(hg, emb, queries, k=10, ef=48, max_hops=12)
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
