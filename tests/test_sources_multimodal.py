@@ -1,0 +1,181 @@
+"""fvecs source, multimodal plumbing, SQ codec, and index persistence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_search_spark import tables
+from vector_search_spark.operators import ivf, kmeans, multimodal, pq, sq
+from vector_search_spark.sources import fvecs
+
+
+# ---------------------------------------------------------------- fvecs
+
+
+def test_fvecs_round_trip(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    want = rng.normal(size=(37, 16)).astype(np.float32)
+    p = tmp_path / "vecs.fvecs"
+    fvecs.write_fvecs_local(want, str(p))
+    got = fvecs.read_fvecs(spark, str(p)).orderBy("row_in_file").collect()
+    assert len(got) == 37
+    arr = np.array([r.embedding for r in got], dtype=np.float32)
+    assert np.array_equal(arr, want)
+    assert [r.row_in_file for r in got] == list(range(37))
+
+
+def test_fvecs_multi_file_ids(spark, tmp_path):
+    a = np.ones((3, 4), dtype=np.float32)
+    b = 2 * np.ones((5, 4), dtype=np.float32)
+    fvecs.write_fvecs_local(a, str(tmp_path / "a.fvecs"))
+    fvecs.write_fvecs_local(b, str(tmp_path / "b.fvecs"))
+    got = fvecs.read_fvecs(spark, str(tmp_path)).collect()
+    assert len(got) == 8
+    per_file = {}
+    for r in got:
+        per_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r.row_in_file)
+    assert sorted(per_file["a.fvecs"]) == [0, 1, 2]
+    assert sorted(per_file["b.fvecs"]) == [0, 1, 2, 3, 4]
+
+
+def test_fvecs_ragged_rejected(spark, tmp_path):
+    p = tmp_path / "bad.fvecs"
+    with open(p, "wb") as f:
+        f.write(b"\x02\x00\x00\x00" + b"\x00" * 8)
+        f.write(b"\x03\x00\x00\x00" + b"\x00" * 12)
+    with pytest.raises(Exception, match="(ragged|multiple)"):
+        fvecs.read_fvecs(spark, str(p)).collect()
+
+
+# ----------------------------------------------------------- multimodal
+
+
+@pytest.fixture(scope="module")
+def payload_df(spark):
+    docs = tables.load(spark, SF_ORACLE, "documents").limit(50)
+    return multimodal.with_payload(docs).cache()
+
+
+def test_payload_metadata_consistent(spark, payload_df):
+    out = multimodal.payload_metadata(payload_df)
+    bad = out.filter(
+        (F.col("meta.n_bytes") != F.octet_length("payload"))
+        | (F.col("meta.pseudo_width") < 1)
+        | (F.col("meta.pseudo_height") < 1)
+    )
+    assert bad.count() == 0
+
+
+def test_decode_image_fake_is_deterministic(spark, payload_df):
+    a = multimodal.decode_image(payload_df, size=8).collect()
+    b = multimodal.decode_image(payload_df, size=8).collect()
+    am = {r.doc_id: r.pixels for r in a}
+    bm = {r.doc_id: r.pixels for r in b}
+    assert am == bm
+    assert all(len(v) == 64 for v in am.values())
+    assert all(0.0 <= x <= 1.0 for v in am.values() for x in v)
+
+
+def test_decode_image_strict_raises_without_codec(spark, payload_df):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; strict path would really decode")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.decode_image(payload_df.limit(1), strict=True).collect()
+
+
+def test_frame_sample_stride_and_bounds(spark, payload_df):
+    out = multimodal.frame_sample(
+        payload_df, frame_bytes=32, every=4
+    ).collect()
+    assert out, "should emit frames"
+    for r in out:
+        assert r.frame_idx % 4 == 0
+        assert 1 <= len(r.frame) <= 32
+
+
+# ------------------------------------------------------------------ SQ
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = tables.load(spark, SF_ORACLE, "embeddings").cache()
+    df.count()
+    return df
+
+
+def test_sq_code_range_and_reconstruction(spark, emb):
+    model = sq.train_sq(emb)
+    coded = sq.encode(emb, model)
+    flat = coded.select(F.explode("code").alias("c"))
+    assert flat.filter((F.col("c") < 0) | (F.col("c") > 255)).count() == 0
+    dec = sq.decode(coded, model)
+    # max abs reconstruction error per element <= scale/2 (+eps)
+    err = dec.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("decoded"),
+                lambda x, y: F.abs(x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ).alias("maxerr")
+    ).agg(F.max("maxerr")).first()[0]
+    assert err <= model.scales.max() / 2 + 1e-9, err
+
+
+def test_sq_knn_close_to_exact(spark, emb):
+    from vector_search_spark.operators import knn
+
+    model = sq.train_sq(emb)
+    coded = sq.encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = sq.sq_topk(queries, coded, model, k=10)
+    truth = knn.brute_force_knn(queries, emb, k=10)
+    inter = (
+        got.select("query_id", "vec_id")
+        .intersect(truth.select("query_id", "vec_id"))
+        .count()
+    )
+    assert inter / truth.count() >= 0.95, "8-bit SQ should barely hurt recall"
+
+
+# ---------------------------------------------------------- persistence
+
+
+def test_pq_model_round_trip(spark, emb, tmp_path):
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=3, max_iter=5)
+    path = str(tmp_path / "pq_model")
+    pq.save_model(spark, model, path)
+    loaded = pq.load_model(spark, path)
+    assert loaded.m == model.m and loaded.k == model.k
+    assert np.allclose(loaded.codebooks, model.codebooks)
+    # loaded model encodes identically
+    a = pq.encode(emb.limit(50), model).collect()
+    b = pq.encode(emb.limit(50), loaded).collect()
+    assert {r.vec_id: list(r.code) for r in a} == {
+        r.vec_id: list(r.code) for r in b
+    }
+
+
+def test_ivf_index_round_trip_prunes(spark, emb, tmp_path):
+    C = kmeans.init_first_k(emb, 8)
+    assigned = ivf.assign_clusters(emb, C)
+    path = str(tmp_path / "ivf_index")
+    ivf.write_index(assigned, path)
+    back = spark.read.parquet(path)
+    assert back.count() == emb.count()
+    # partition pruning: filtering one cell reads one directory
+    one = back.filter(F.col("cluster_id") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "cluster_id" in plan
+    got = one.count()
+    want = assigned.filter(F.col("cluster_id") == 3).count()
+    assert got == want

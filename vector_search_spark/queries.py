@@ -215,6 +215,7 @@ def get_catalog() -> dict[str, QuerySpec]:
     # Import side-effect registrars for the wider surface; each module
     # appends to CATALOG on import. Kept lazy so a bug in one family
     # doesn't take down the whole entry point.
+    import vector_search_spark.queries_multimodal  # noqa: F401
     import vector_search_spark.queries_relational  # noqa: F401
     import vector_search_spark.queries_streaming  # noqa: F401
     import vector_search_spark.queries_text  # noqa: F401

@@ -441,3 +441,93 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     out = gr.greedy_search(hg, emb, queries, k=10, ef=48, max_hops=12)
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (int8-range) — second compression codec beside PQ
+# --------------------------------------------------------------------------
+
+_SQ_DIMS = """
+dims AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx FROM (
+    SELECT generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM pts)
+  GROUP BY pos
+),
+scl AS (
+  SELECT pos, mn,
+         CASE WHEN mx - mn = 0 THEN 1.0 ELSE (mx - mn) / 255.0 END AS s
+  FROM dims
+),
+expl AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM pts
+),
+codes AS (
+  SELECT e.vec_id, e.pos,
+         CAST(least(greatest(round((e.x - scl.mn) / scl.s, 0), 0), 255) AS INT)
+           AS code
+  FROM expl e JOIN scl USING (pos)
+)"""
+
+
+@register(
+    "sq_encode",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_SQ_DIMS}
+SELECT vec_id, CAST(pos AS INT) AS pos, code FROM codes
+""",
+    "vector",
+    "sq",
+)
+def q_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization encode (operators/sq.py): per-dim affine
+    256-level codes. Training (per-dim min/max) is deterministic, so
+    the oracle replays train+encode end-to-end."""
+    from vector_search_spark.operators import sq
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    model = sq.train_sq(emb)
+    coded = sq.encode(emb, model)
+    return coded.select(
+        "vec_id", F.posexplode("code").alias("pos", "code")
+    ).select("vec_id", F.col("pos").cast("int"), F.col("code").cast("int"))
+
+
+@register(
+    "sq_knn",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_SQ_DIMS},
+dec AS (
+  SELECT c.vec_id, c.pos, scl.mn + c.code * scl.s AS dx
+  FROM codes c JOIN scl USING (pos)
+),
+decv AS (
+  SELECT vec_id, list(dx ORDER BY pos) AS dv FROM dec GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+         {_L2.format(a="q.qv", b="d.dv")} AS dd
+  FROM decv d CROSS JOIN q
+)
+SELECT query_id, vec_id, (ROUND(dd, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dd, vec_id) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+""",
+    "vector",
+    "sq",
+)
+def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric kNN over SQ codes: raw query vs expression-decoded
+    base through the gemm scan. Train->encode->decode->search, all
+    replayed by the oracle."""
+    from vector_search_spark.operators import sq
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    model = sq.train_sq(emb)
+    coded = sq.encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = sq.sq_topk(queries, coded, model, k=10)
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
