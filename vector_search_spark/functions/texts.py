@@ -45,18 +45,29 @@ def tokens(c: Column | str) -> Column:
 def shingles(toks: Column, n: int) -> Column:
     """Word n-gram shingles of a token array, space-joined.
 
-    Documents shorter than ``n`` tokens yield an empty array (guarded:
-    ``F.sequence`` would otherwise count *down* and fabricate shingles).
+    Built by zipping the array with its n-1 shifted copies and joining
+    each struct — n slice calls per DOCUMENT instead of one per shingle.
+    (The obvious ``transform(sequence, i -> slice(toks, i, n))`` is
+    O(len²) per doc under interpreted higher-order functions and was
+    ~7x slower end-to-end at sf0.1.) arrays_zip pads the shorter shifted
+    copies with NULL and concat_ws would silently drop them, so the
+    result is sliced back to the len-n+1 genuine shingles.
+
+    Documents shorter than ``n`` tokens yield an empty array.
 
     DuckDB twin:
       list_transform(range(1, greatest(len(t)-{n}+2, 1)),
                      i -> array_to_string(t[i:i+{n}-1], ' '))
     """
-    body = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    sz = F.size(toks)
+    shifted = [toks.alias("c0")] + [
+        F.slice(toks, i + 1, sz).alias(f"c{i}") for i in range(1, n)
+    ]
+    z = F.arrays_zip(*shifted)
+    joined = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"c{i}"] for i in range(n)])
     )
-    return F.when(F.size(toks) >= n, body).otherwise(
+    return F.when(sz >= n, F.slice(joined, 1, sz - (n - 1))).otherwise(
         F.array().cast("array<string>")
     )
 

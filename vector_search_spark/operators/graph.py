@@ -431,7 +431,10 @@ def greedy_search(
         [(int(q), graph.entry_point) for q in qids], "query_id long, vec_id long"
     )
     results = score(seed_df).localCheckpoint()
-    visited = results.select("query_id", "vec_id").localCheckpoint()
+    # visited = union of already-materialized (checkpointed) score
+    # outputs — a shallow-lineage union, so it never needs its own
+    # checkpoint or maintenance job.
+    visited = results.select("query_id", "vec_id")
     frontier = results
 
     wef = Window.partitionBy("query_id").orderBy("dist", "vec_id")
@@ -445,29 +448,20 @@ def greedy_search(
             .join(visited, ["query_id", "vec_id"], "left_anti")
         )
         scored = score(cand).localCheckpoint()
-        if not scored.take(1):
-            break
-        visited = visited.unionByName(
-            scored.select("query_id", "vec_id")
-        ).localCheckpoint()
-        results = (
-            results.unionByName(scored)
+        visited = visited.unionByName(scored.select("query_id", "vec_id"))
+        # one window pass both truncates to ef and identifies the next
+        # frontier: a newly-scored row that survived into the top-ef
+        # necessarily improved the query's result set.
+        merged = (
+            results.withColumn("_new", F.lit(False))
+            .unionByName(scored.withColumn("_new", F.lit(True)))
             .withColumn("r", F.row_number().over(wef))
             .filter(F.col("r") <= ef)
             .drop("r")
             .localCheckpoint()
         )
-        # continue only for queries whose frontier can still improve:
-        # any newly-scored node beating the query's current worst-of-ef
-        worst = results.groupBy("query_id").agg(
-            F.max("dist").alias("worst"), F.count(F.lit(1)).alias("n")
-        )
-        frontier = (
-            scored.join(worst, "query_id")
-            .filter((F.col("dist") < F.col("worst")) | (F.col("n") < ef))
-            .select("query_id", "vec_id", "dist")
-            .localCheckpoint()
-        )
+        results = merged.drop("_new")
+        frontier = merged.filter(F.col("_new")).drop("_new")
         if not frontier.take(1):
             break
 
