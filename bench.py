@@ -50,6 +50,8 @@ def main() -> None:
     names = [n for n in HEADLINE if n in catalog]
     names += [n for n in sorted(catalog) if n not in names]
 
+    import gc
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
@@ -63,6 +65,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt
+        # Queries are independent: drop caches/checkpoint RDDs between
+        # them (outside the timer) so earlier queries' pinned blocks
+        # don't tax later ones' GC.
+        spark.catalog.clearCache()
+        gc.collect()
 
     print(
         json.dumps(

@@ -191,8 +191,14 @@ def minhash_lsh_pairs(
     b=P/r bands; match probability 1-(1-s^r)^b), then each candidate is
     *verified* with exact Jaccard so the output has no false positives —
     only LSH false negatives remain, governed by the band curve.
+
+    The shingle table is EAGERLY materialized (localCheckpoint), not
+    lazily cached: four downstream branches (signatures, both join
+    sides of the intersection, the size table) otherwise race to
+    compute it concurrently inside one action before the cache fills —
+    measured ~3× the whole-pipeline wall at sf0.1.
     """
-    sh = shingle_table(docs, shingle_n, text_col, id_col).cache()
+    sh = shingle_table(docs, shingle_n, text_col, id_col).localCheckpoint()
     sigs = minhash_signatures(sh, num_perms, id_col)
     buckets = lsh_buckets(sigs, rows_per_band, id_col)
     cands = lsh_candidate_pairs(buckets, id_col)
@@ -213,7 +219,8 @@ def ngram_jaccard_pairs(
     N² on natural text. Hot shingles (boilerplate) are the skew risk —
     at scale, drop shingles with document frequency above a cap first.
     """
-    sh = shingle_table(docs, shingle_n, text_col, id_col)
+    # eager: three branches reuse sh (see minhash_lsh_pairs)
+    sh = shingle_table(docs, shingle_n, text_col, id_col).localCheckpoint()
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
     inter = (
@@ -249,7 +256,11 @@ def simhash_table(
     Bit extraction is ``floor(h / 2^j) mod 2`` — plain arithmetic, exact
     for h < 2^32 in float64, so the DuckDB oracle matches bit-for-bit
     (no engine-specific bitwise operators needed on the build side).
-    Cost: tokens × 32 rows into a map-side-combinable groupBy.
+
+    The 32 per-bit vote sums are 32 aggregate COLUMNS of one grouped
+    pass over (doc, token, cnt) — not an exploded (doc, j) relation —
+    so there is a single map-side-combinable shuffle of |token| rows
+    and the fingerprint assembly is a plain projection.
     """
     toks = docs.select(
         F.col(id_col), F.explode(T.tokens(text_col)).alias("token")
@@ -257,34 +268,28 @@ def simhash_table(
     tok_counts = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    bits = tok_counts.select(
-        id_col,
-        "cnt",
-        T.h32("token").alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
-    ).select(
-        id_col,
-        "j",
-        (
+    withh = tok_counts.select(id_col, "cnt", T.h32("token").alias("h"))
+    votes = [
+        F.sum(
             F.col("cnt")
             * (
-                2 * (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j")))
-                     .cast("bigint") % 2)
+                2
+                * (
+                    F.floor(F.col("h") / F.lit(float(2**j))).cast("bigint")
+                    % 2
+                )
                 - 1
             )
-        ).alias("vote"),
-    )
-    return (
-        bits.groupBy(id_col, "j")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") >= 0, F.pow(F.lit(2.0), F.col("j")))
-                .otherwise(F.lit(0.0))
-                .cast("bigint")
-            ).alias("simhash")
-        )
+        ).alias(f"_s{j}")
+        for j in range(32)
+    ]
+    g = withh.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for j in range(32):
+        term = F.when(F.col(f"_s{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return g.select(
+        F.col(id_col), fingerprint.cast("bigint").alias("simhash")
     )
 
 
@@ -299,6 +304,8 @@ def simhash_near_dup(
     never materialized. Semantics (documented, oracle-replicated):
     a pair is reported iff it shares ≥1 byte-block AND Hamming ≤ max.
     """
+    # eager: the self-join reads blocks twice; without materialization
+    # the (possibly expensive) fingerprint lineage runs twice
     blocks = sh.select(
         id_col,
         "simhash",
@@ -309,7 +316,7 @@ def simhash_near_dup(
             F.col("simhash") / F.pow(F.lit(2.0), F.col("blk") * 8)
         ).cast("bigint")
         % 256,
-    )
+    ).localCheckpoint()
     a = blocks.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "blk", "bkey"
     )

@@ -240,6 +240,7 @@ def select_neighbors_heuristic(
     keep_pruned: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    group_cols: tuple[str, ...] = ("src",),
 ) -> DataFrame:
     """HNSW diversity pruning (reference py/hnsw.py:295-320, paper
     Algorithm 4): scan candidates by ascending distance to the node;
@@ -248,48 +249,74 @@ def select_neighbors_heuristic(
 
     Sequential per node → applyInPandas on the src group; candidate
     vectors are joined in so each group is self-contained. Group size
-    is bounded by the candidate k (small), so state is tiny."""
+    is bounded by the candidate k (small), so state is tiny.
+
+    ``group_cols`` widens the grouping key (e.g. ``("layer", "src")``
+    so one pass prunes every layer of a layered build at once).
+
+    The physical grouping key is a SALTED bucket of src (not src
+    itself): per-node groups are tiny (≤ ef_construction rows) and
+    dispatching one Python call per node dominates runtime once there
+    are thousands of nodes. Each bucket call loops its nodes with
+    numpy-sliced views, amortizing the per-call cost ~100×."""
     vecs = points.select(
         F.col(id_col).alias("dst"), as_double_array(vec_col).alias("dv")
     )
-    svecs = points.select(
-        F.col(id_col).alias("src"), as_double_array(vec_col).alias("sv")
+    n_buckets = 64
+    enriched = cand.join(vecs, "dst").withColumn(
+        "_b", F.pmod(F.hash("src"), F.lit(n_buckets)).cast("int")
     )
-    enriched = cand.join(vecs, "dst").join(svecs, "src")
+    extra = [c for c in group_cols if c != "src"]
+    out_schema = (
+        ", ".join(f"{c} int" for c in extra)
+        + (", " if extra else "")
+        + "src long, dst long, dist double"
+    )
+    sort_keys = extra + ["src", "dist", "dst"]
+    grp_keys = extra + ["src"]
 
-    def per_src(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["dist", "dst"]).reset_index(drop=True)
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_keys).reset_index(drop=True)
         V = np.vstack(pdf["dv"].to_numpy())
-        admitted: list[int] = []
-        pruned: list[int] = []
-        for i in range(len(pdf)):
-            if len(admitted) >= m:
-                break
-            c = V[i]
-            d_cq = pdf["dist"].iloc[i]
-            ok = True
-            for j in admitted:
-                d_cr = float(((c - V[j]) ** 2).sum())
-                if d_cr < d_cq:
-                    ok = False
-                    break
-            (admitted if ok else pruned).append(i)
-        if keep_pruned:
-            for i in pruned:
+        dists = pdf["dist"].to_numpy()
+        # group boundaries over the sorted frame
+        key_codes = pd.MultiIndex.from_frame(pdf[grp_keys]).codes
+        key_arr = np.column_stack(key_codes)
+        change = np.any(key_arr[1:] != key_arr[:-1], axis=1)
+        starts = np.concatenate(([0], np.nonzero(change)[0] + 1, [len(pdf)]))
+        keep: list[int] = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            admitted: list[int] = []
+            pruned: list[int] = []
+            for i in range(s, e):
                 if len(admitted) >= m:
                     break
-                admitted.append(i)
-        sel = pdf.iloc[admitted]
-        return pd.DataFrame(
+                c = V[i]
+                ok = True
+                for j in admitted:
+                    if float(((c - V[j]) ** 2).sum()) < dists[i]:
+                        ok = False
+                        break
+                (admitted if ok else pruned).append(i)
+            if keep_pruned:
+                for i in pruned:
+                    if len(admitted) >= m:
+                        break
+                    admitted.append(i)
+            keep.extend(admitted)
+        sel = pdf.iloc[keep]
+        out = {c: sel[c].to_numpy(dtype=np.int32) for c in extra}
+        out.update(
             {
                 "src": sel["src"].to_numpy(dtype=np.int64),
                 "dst": sel["dst"].to_numpy(dtype=np.int64),
                 "dist": sel["dist"].to_numpy(dtype=np.float64),
             }
         )
+        return pd.DataFrame(out)
 
-    return enriched.groupBy("src").applyInPandas(
-        per_src, "src long, dst long, dist double"
+    return enriched.groupBy(*(extra + ["_b"])).applyInPandas(
+        per_bucket, out_schema
     )
 
 
@@ -327,40 +354,109 @@ def hnsw_build(
         .first()[0]
     )
 
-    layer_edges = []
-    for layer in range(top + 1):
-        node_ids = levels.filter(F.col("level") >= layer).select("vec_id")
-        nodes = points.join(
-            node_ids, points[id_col] == node_ids["vec_id"], "left_semi"
+    # Single-pass layered candidate generation. Layer-l node sets are
+    # NESTED (level >= l), so one gemm per cell serves every layer: the
+    # full routed×home distance matrix is computed once, then each layer
+    # reads the submatrix of members with level >= l. Equivalent to
+    # running knn_graph_blocked per layer (routing is per-point, so
+    # filtering routed rows == routing the filtered subset) but with one
+    # shuffle pipeline instead of one per layer.
+    routed = route_to_cells(points, centroids, nprobe, id_col, vec_col).join(
+        levels, "vec_id"
+    )
+    kk = ef_construction + 4  # per-cell pad absorbs cross-cell dedup
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"layer": [], "src": [], "dst": [], "dist": []}
+        ).astype(
+            {"layer": np.int32, "src": np.int64, "dst": np.int64,
+             "dist": np.float64}
         )
-        cand = knn_graph_blocked(
-            nodes, centroids, k=ef_construction, nprobe=nprobe,
-            id_col=id_col, vec_col=vec_col,
-        ).select("src", "dst", "dist")
-        sel = select_neighbors_heuristic(
-            cand, nodes, m=m, id_col=id_col, vec_col=vec_col
+        if not len(pdf):
+            return empty
+        home = pdf[pdf["probe_rank"] == 0]
+        if not len(home):
+            return empty
+        S = np.vstack(pdf["v"].to_numpy())
+        B = np.vstack(home["v"].to_numpy())
+        sid = pdf["vec_id"].to_numpy(dtype=np.int64)
+        bid = home["vec_id"].to_numpy(dtype=np.int64)
+        slev = pdf["level"].to_numpy(dtype=np.int64)
+        blev = home["level"].to_numpy(dtype=np.int64)
+        D = (
+            (S * S).sum(axis=1)[:, None]
+            + (B * B).sum(axis=1)[None, :]
+            - 2.0 * (S @ B.T)
         )
-        # symmetrize: reverse edges, union, re-cap at m per node
-        sym = sel.unionByName(
+        D[sid[:, None] == bid[None, :]] = np.inf
+        frames = []
+        for layer in range(int(max(slev.max(), blev.max())) + 1):
+            rs = np.nonzero(slev >= layer)[0]
+            cs = np.nonzero(blev >= layer)[0]
+            if not len(rs) or not len(cs):
+                continue
+            Dl = D[np.ix_(rs, cs)]
+            m_ = min(kk, Dl.shape[1])
+            cand = (
+                np.argpartition(Dl, m_ - 1, axis=1)[:, :m_]
+                if m_ < Dl.shape[1]
+                else np.broadcast_to(
+                    np.arange(Dl.shape[1]), (Dl.shape[0], Dl.shape[1])
+                )
+            )
+            dj = np.take_along_axis(Dl, cand, axis=1)
+            fin = np.isfinite(dj)
+            if not fin.any():
+                continue
+            src_f = np.repeat(sid[rs], cand.shape[1]).reshape(cand.shape)
+            dst_f = bid[cs[cand]]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "layer": np.full(int(fin.sum()), layer, dtype=np.int32),
+                        "src": src_f[fin],
+                        "dst": dst_f[fin],
+                        "dist": dj[fin],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    scored = routed.groupBy("cell").applyInPandas(
+        per_cell, "layer int, src long, dst long, dist double"
+    )
+    deduped = scored.groupBy("layer", "src", "dst").agg(
+        F.min("dist").alias("dist")
+    )
+    wc = Window.partitionBy("layer", "src").orderBy("dist", "dst")
+    cand = (
+        deduped.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= ef_construction)
+        .select("layer", "src", "dst", "dist")
+    )
+    sel = select_neighbors_heuristic(
+        cand, points, m=m, id_col=id_col, vec_col=vec_col,
+        group_cols=("layer", "src"),
+    )
+    # symmetrize: reverse edges, union, re-cap at m per (layer, node)
+    sym = (
+        sel.unionByName(
             sel.select(
+                "layer",
                 F.col("dst").alias("src"),
                 F.col("src").alias("dst"),
                 "dist",
             )
-        ).groupBy("src", "dst").agg(F.min("dist").alias("dist"))
-        w = Window.partitionBy("src").orderBy("dist", "dst")
-        capped = (
-            sym.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= m)
-            .select(
-                F.lit(layer).alias("layer"), "src", "dst", "dist"
-            )
         )
-        layer_edges.append(capped)
-
-    edges = layer_edges[0]
-    for e in layer_edges[1:]:
-        edges = edges.unionByName(e)
+        .groupBy("layer", "src", "dst")
+        .agg(F.min("dist").alias("dist"))
+    )
+    edges = (
+        sym.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= m)
+        .select("layer", "src", "dst", "dist")
+    )
     return HNSWGraph(
         edges=edges.cache(), levels=levels, entry_point=int(ep),
         max_level=int(top),
@@ -376,6 +472,7 @@ def greedy_search(
     max_hops: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Layer-0 batch greedy search over the edge artifact: every query
     expands its frontier one hop per iteration until no frontier node
@@ -386,7 +483,10 @@ def greedy_search(
     early-termination heap loop becomes an iteration-level stop test.
     Upper layers are skipped: with batch queries the descent saves a
     couple of hops at the cost of L extra sequential jobs (noted in
-    SURVEY.md §4); entry is the global entry point for every query.
+    SURVEY.md §4); entry is the global entry point for every query,
+    optionally widened by ``seeds`` (query_id, vec_id) — e.g. per-cell
+    anchor nodes from coarse routing, the batch stand-in for the
+    upper-layer descent, which cuts hop count roughly in half.
     """
     spark = points.sparkSession
     qpdf = queries.select(
@@ -426,10 +526,14 @@ def greedy_search(
 
         return withv.mapInPandas(fn, "query_id long, vec_id long, dist double")
 
-    # seed: entry point for every query
+    # seed: entry point for every query (+ any caller-provided anchors)
     seed_df = spark.createDataFrame(
         [(int(q), graph.entry_point) for q in qids], "query_id long, vec_id long"
     )
+    if seeds is not None:
+        seed_df = seed_df.unionByName(
+            seeds.select("query_id", "vec_id")
+        ).distinct()
     results = score(seed_df).localCheckpoint()
     # visited = union of already-materialized (checkpointed) score
     # outputs — a shallow-lineage union, so it never needs its own

@@ -41,11 +41,6 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
-def _ratio_in(toks, words: tuple[str, ...]):
-    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
-
-
 def language_id(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -53,35 +48,43 @@ def language_id(
     language's stopword list; argmax wins, ties broken by language code
     ascending (deterministic). Returns (id, pred_lang, score).
 
-    One projection, no shuffle. The synthetic testdata draws all langs
-    from one vocabulary, so predictions are uniform there — the oracle
-    checks the *operator semantics*, not the fixture's realism.
+    Shape: explode tokens → one grouped pass with a conditional-sum per
+    language. An earlier all-expression version (array filter per lang)
+    inlined the tokenizer once per reference — interpreted higher-order
+    functions get no codegen CSE, so each inline re-ran the regex split
+    over the full text; the exploded groupBy is all codegen and one
+    map-side-combinable shuffle.
     """
-    toks = T.tokens(text_col)
+    langs = sorted(STOPWORDS.items())
+    tok = docs.select(
+        F.col(id_col), F.explode_outer(T.tokens(text_col)).alias("_tok")
+    )
+    aggs = [F.count("_tok").alias("_n")] + [
+        F.sum(F.when(F.col("_tok").isin(*words), 1).otherwise(0)).alias(
+            f"_h{i}"
+        )
+        for i, (_, words) in enumerate(langs)
+    ]
+    g = tok.groupBy(id_col).agg(*aggs)
+    # argmax with min-lang tie-break: struct compare on (score, inverted
+    # lang rank) so equal scores fall to the earliest language code.
     scored = F.array(
         *[
             F.struct(
-                _ratio_in(toks, words).alias("score"),
+                (
+                    F.col(f"_h{i}") / F.greatest(F.col("_n"), F.lit(1))
+                ).alias("score"),
+                F.lit(len(langs) - 1 - i).alias("inv"),
                 F.lit(lang).alias("lang"),
             )
-            for lang, words in sorted(STOPWORDS.items())
+            for i, (lang, _) in enumerate(langs)
         ]
     )
-    # array_max on struct: compares score first, then lang string —
-    # descending lang would win score-ties, so invert: sort and pick via
-    # reverse ordering on (score, neg-rank of lang) is messy; instead
-    # take max score then the min lang achieving it.
-    best_score = F.array_max(F.transform(scored, lambda s: s["score"]))
-    best_lang = F.array_min(
-        F.transform(
-            F.filter(scored, lambda s: s["score"] == best_score),
-            lambda s: s["lang"],
-        )
-    )
-    return docs.select(
+    best = F.array_max(scored)
+    return g.select(
         F.col(id_col),
-        best_lang.alias("pred_lang"),
-        best_score.alias("score"),
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("score"),
     )
 
 
@@ -95,36 +98,63 @@ def quality_score(
     punctuation ratio, digit ratio. Composite: clipped linear blend in
     [0, 1] — the standard shape of C4/Gopher-style quality filters.
     """
-    toks = T.tokens(text_col)
     en_sw = STOPWORDS["en"]
-    n_tok = F.size(toks)
+    # token-level features via explode + one grouped pass (see
+    # language_id for why this beats repeated array expressions)
+    tok = docs.select(
+        F.col(id_col), F.explode_outer(T.tokens(text_col)).alias("_tok")
+    )
+    tg = tok.groupBy(id_col).agg(
+        F.count("_tok").alias("_n"),
+        F.coalesce(F.sum(F.length("_tok")), F.lit(0)).alias("_len"),
+        F.count_distinct("_tok").alias("_uniq"),
+        F.sum(F.when(F.col("_tok").isin(*en_sw), 1).otherwise(0)).alias(
+            "_stop"
+        ),
+    )
+    # char-level features stay a plain projection (codegen'd regexes)
     n_char = F.length(F.col(text_col))
-    mean_len = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-    ) / F.greatest(n_tok, F.lit(1))
-    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
-    stop_ratio = _ratio_in(toks, en_sw)
-    punct_ratio = (
-        n_char - F.length(F.regexp_replace(text_col, "[^A-Za-z0-9\\s]", ""))
-    ) / F.greatest(n_char, F.lit(1))
-    digit_ratio = (
-        n_char - F.length(F.regexp_replace(text_col, "[0-9]", ""))
-    ) / F.greatest(n_char, F.lit(1))
+    cg = docs.select(
+        F.col(id_col),
+        (
+            (
+                n_char
+                - F.length(
+                    F.regexp_replace(text_col, "[^A-Za-z0-9\\s]", "")
+                )
+            )
+            / F.greatest(n_char, F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            (n_char - F.length(F.regexp_replace(text_col, "[0-9]", "")))
+            / F.greatest(n_char, F.lit(1))
+        ).alias("digit_ratio"),
+    )
+    nn = F.greatest(F.col("_n"), F.lit(1))
+    n_tok = F.col("_n").cast("int")
+    mean_len = F.col("_len") / nn
+    uniq_ratio = F.col("_uniq") / nn
+    stop_ratio = F.col("_stop") / nn
     score = (
         F.lit(0.25) * F.least(n_tok / F.lit(64.0), F.lit(1.0))
         + F.lit(0.25) * uniq_ratio
         + F.lit(0.25) * F.least(stop_ratio * 4, F.lit(1.0))
         + F.lit(0.25)
-        * (F.lit(1.0) - F.least(punct_ratio + digit_ratio, F.lit(1.0)))
+        * (
+            F.lit(1.0)
+            - F.least(
+                F.col("punct_ratio") + F.col("digit_ratio"), F.lit(1.0)
+            )
+        )
     )
-    return docs.select(
+    return tg.join(cg, id_col).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         mean_len.alias("mean_token_len"),
         uniq_ratio.alias("uniq_ratio"),
         stop_ratio.alias("stopword_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
+        F.col("punct_ratio"),
+        F.col("digit_ratio"),
         score.alias("quality"),
     )
 

@@ -439,7 +439,23 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = kmeans.lloyd(emb, kmeans.init_first_k(emb, 8), max_iter=8, tol=1e-4).centroids
     hg = gr.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
     queries = emb.filter(F.col("vec_id") < 20)
-    out = gr.greedy_search(hg, emb, queries, k=10, ef=48, max_hops=12)
+    # coarse-descent stand-in: seed each query with the anchor node
+    # (nearest-to-centroid member) of its nprobe nearest cells
+    anchors = (
+        kmeans.assign(emb, C)
+        .groupBy("cluster_id")
+        .agg(F.min_by("vec_id", F.struct("dist", "vec_id")).alias("vec_id"))
+        .withColumnRenamed("cluster_id", "cell")
+    )
+    seeds = (
+        gr.route_to_cells(queries, C, nprobe=2)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .join(anchors, "cell")
+        .select("query_id", "vec_id")
+    )
+    out = gr.greedy_search(
+        hg, emb, queries, k=10, ef=48, max_hops=12, seeds=seeds
+    )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
 
