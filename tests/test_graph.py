@@ -110,3 +110,28 @@ def test_greedy_search_recall(spark, emb):
     assert recall >= 0.9, f"greedy Recall@10 {recall:.3f} < 0.9"
     # results sorted ascending per query, rank dense
     assert res.filter((F.col("rank") < 1) | (F.col("rank") > 10)).count() == 0
+
+
+def test_graph_metadata_probes(spark, emb):
+    """Graph class probes (reference py/hnsw.py:15-80) as DF aggregates."""
+    C = kmeans.init_first_k(emb, 16)
+    g = graph.knn_graph_blocked(emb, C, k=5, nprobe=2).cache()
+    # un-layered graph: height 1, all edges at layer 0
+    assert graph.graph_height(g) == 1
+    counts = {r.layer: (r.nodes, r.edges) for r in graph.layer_node_counts(g).collect()}
+    assert set(counts) == {0}
+    assert counts[0][1] == g.count()
+    # degree_stats consistent with a direct groupBy
+    ds = graph.degree_stats(g)
+    direct = g.groupBy("src").count()
+    joined = ds.join(direct, "src")
+    assert joined.filter(F.col("degree") != F.col("count")).count() == 0
+    # neighbors_of returns exactly that node's out-edges
+    some = g.select("src").first().src
+    n_direct = g.filter(F.col("src") == some).count()
+    assert graph.neighbors_of(g, some).count() == n_direct
+    # layered variant
+    hg = graph.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
+    assert graph.graph_height(hg.edges) == hg.max_level + 1
+    lc = graph.layer_node_counts(hg.edges).collect()
+    assert {r.layer for r in lc} == set(range(hg.max_level + 1))

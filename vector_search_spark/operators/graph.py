@@ -48,7 +48,65 @@ __all__ = [
     "select_neighbors_heuristic",
     "hnsw_build",
     "greedy_search",
+    "graph_height",
+    "layer_node_counts",
+    "neighbors_of",
+    "degree_stats",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Graph metadata probes (reference Graph class, py/hnsw.py:15-80:
+# GetHeight / IsLayerEmpty / LayerNodeCnt / LayerNodeAdjCnt /
+# GetNeighbors / GetLayerNodes) — plain aggregates over the edge
+# DataFrame ``(layer?, src, dst, dist)``.
+# ---------------------------------------------------------------------------
+
+
+def graph_height(edges: DataFrame) -> int:
+    """Number of layers (reference GetHeight, py/hnsw.py:15-20)."""
+    if "layer" not in edges.columns:
+        return 1
+    top = edges.agg(F.max("layer")).first()[0]
+    return 0 if top is None else int(top) + 1
+
+
+def layer_node_counts(edges: DataFrame) -> DataFrame:
+    """(layer, nodes, edges) per layer — LayerNodeCnt/LayerNodeAdjCnt
+    (py/hnsw.py:34-57) for every layer in one aggregate."""
+    layered = (
+        edges
+        if "layer" in edges.columns
+        else edges.withColumn("layer", F.lit(0))
+    )
+    return layered.groupBy("layer").agg(
+        F.countDistinct("src").alias("nodes"),
+        F.count(F.lit(1)).alias("edges"),
+    )
+
+
+def neighbors_of(edges: DataFrame, node: int, layer: int = 0) -> DataFrame:
+    """Out-neighbors of a node at a layer (GetNeighbors, py/hnsw.py:59-71)."""
+    layered = (
+        edges
+        if "layer" in edges.columns
+        else edges.withColumn("layer", F.lit(0))
+    )
+    return (
+        layered.filter(
+            (F.col("layer") == layer) & (F.col("src") == node)
+        ).select("dst", "dist")
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node out-degree + distance stats of a kNN-graph edge list —
+    the relational form of the reference's adjacency probes."""
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("int").alias("degree"),
+        F.avg("dist").alias("mean_dist"),
+        F.max("dist").alias("max_dist"),
+    )
 
 
 def route_to_cells(

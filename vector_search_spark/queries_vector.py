@@ -366,10 +366,8 @@ NNG_NPROBE = 2
 NNG_K = 5
 
 
-@register(
-    "nng_blocked",
-    f"""
-WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_NNG_PIPE = f"""
+pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM pts WHERE vec_id < {NNG_NC}),
 routed AS (
   SELECT vec_id, cell, probe_rank FROM (
@@ -389,11 +387,20 @@ pairs AS (
 scored AS (
   SELECT p.src, p.dst, {_L2.format(a="a.v", b="b.v")} AS d
   FROM pairs p JOIN pts a ON a.vec_id = p.src JOIN pts b ON b.vec_id = p.dst
-)
-SELECT src, dst, (ROUND(d, 6) + 0.0) AS dist,
-       CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS INTEGER) AS "rank"
-FROM scored
-QUALIFY "rank" <= {NNG_K}
+),
+topk AS (
+  SELECT src, dst, d,
+         row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rnk
+  FROM scored QUALIFY rnk <= {NNG_K}
+)"""
+
+
+@register(
+    "nng_blocked",
+    f"""
+WITH {_NNG_PIPE}
+SELECT src, dst, (ROUND(d, 6) + 0.0) AS dist, CAST(rnk AS INTEGER) AS "rank"
+FROM topk
 """,
     "vector",
     "graph",
@@ -411,6 +418,35 @@ def q_nng_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = kmeans.init_first_k(emb, NNG_NC)
     out = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=NNG_NPROBE)
     return out.select("src", "dst", rnd("dist").alias("dist"), "rank")
+
+
+@register(
+    "knn_graph_degree",
+    f"""
+WITH {_NNG_PIPE}
+SELECT src, CAST(count(*) AS INT) AS degree,
+       (ROUND(avg(d), 6) + 0.0) AS mean_dist,
+       (ROUND(max(d), 6) + 0.0) AS max_dist
+FROM topk GROUP BY src
+""",
+    "vector",
+    "graph",
+)
+def q_knn_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph metadata probes (reference Graph class, py/hnsw.py:15-80)
+    in relational form: per-node out-degree + distance stats over the
+    blocked kNN graph; the oracle replays graph build + aggregation."""
+    from vector_search_spark.operators import graph as gr
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, NNG_NC)
+    g = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=NNG_NPROBE)
+    out = gr.degree_stats(g)
+    return out.select(
+        "src", "degree",
+        rnd("mean_dist").alias("mean_dist"),
+        rnd("max_dist").alias("max_dist"),
+    )
 
 
 @register("nn_descent_graph", None, "vector", "graph", "rows-only")
