@@ -133,3 +133,44 @@ def test_language_id_deterministic_schema(spark, docs):
     assert out.count() == docs.count()
     langs = {r.pred_lang for r in out.select("pred_lang").distinct().collect()}
     assert langs <= set(textstats.STOPWORDS)
+
+
+def test_connected_components_known_graph(spark):
+    """Two components + a chain: labels converge to component min-id."""
+    from vector_search_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], "a long, b long"
+    )
+    out = {
+        r.node: (r.canonical_id, r.group_size)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert out == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+    }
+
+
+def test_approx_distinct_tolerance(spark):
+    """HLL++ distinct users within 5% of exact, per event type."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark import tables
+    from tests.conftest import SF_ORACLE
+
+    ev = tables.load(spark, SF_ORACLE, "events")
+    approx = {
+        r.event_type: r.a
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.e
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("e"))
+        .collect()
+    }
+    for et, e in exact.items():
+        assert abs(approx[et] - e) / e <= 0.05, (et, approx[et], e)

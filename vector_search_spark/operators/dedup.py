@@ -37,6 +37,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "pair_jaccard",
     "minhash_lsh_pairs",
+    "connected_components",
     "ngram_jaccard_pairs",
     "simhash_table",
     "simhash_near_dup",
@@ -244,6 +245,62 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 30, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Connected components over near-dup pairs by min-label
+    propagation: every node starts as its own label; each round a node
+    takes the min of its and its neighbors' labels; fixpoint = min id
+    of the component. Returns (node, canonical_id, group_size) for
+    every node that appears in a pair.
+
+    This is the canonicalization step of a dedup pipeline ("keep one
+    doc per near-dup cluster"). Per round: one join + one groupBy —
+    O(E) shuffle, rounds bounded by component diameter (near-dup
+    clusters are shallow; the 30-round cap is generous). Convergence
+    is probed with the label sum, which strictly decreases until the
+    fixpoint — one tiny agg job per round, no row-level compare.
+    """
+    e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    und = e.unionByName(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct()
+    und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(max_iter):
+        msgs = (
+            und.join(labels, und["y"] == labels["node"])
+            .groupBy(F.col("x").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("group_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("node"),
+        F.col("lab").alias("canonical_id"),
+        "group_size",
     )
 
 

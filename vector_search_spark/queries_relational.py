@@ -571,3 +571,155 @@ def q_events_daily_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("sum_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Range join (non-equi): purchase follow-on activity within a day
+# --------------------------------------------------------------------------
+
+
+@register(
+    "range_join_purchase_follow",
+    f"""
+SELECT p.event_id AS purchase_id,
+       CAST(count(e.ts) AS INT) AS follow_cnt,
+       (ROUND(COALESCE(sum(e.value), 0), 6) + 0.0) AS follow_value
+FROM events p LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 DAY
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+    "relational",
+    "join",
+    "range",
+)
+def q_range_join_purchase_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for every purchase, the same user's event
+    count + value inside the following 24h. Physically an equi-join on
+    user_id with the time bounds as join residuals — the scale-safe
+    shape (shuffle on user, never a time-theta cross product)."""
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("value").alias("e_value"),
+    )
+    j = p.join(
+        e,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 DAY")),
+        "left",
+    )
+    return j.groupBy("purchase_id").agg(
+        F.count("e_ts").cast("int").alias("follow_cnt"),
+        rnd(F.coalesce(F.sum("e_value"), F.lit(0.0))).alias("follow_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14-style conditional-aggregate ratio (promo revenue share)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_monthly",
+    f"""
+SELECT {_TS.format(c="date_trunc('month', l.l_shipdate)")} AS month_epoch,
+       (ROUND(100.0 * SUM(CASE WHEN p.p_type IN ('ECONOMY', 'SMALL')
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+                    / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) + 0.0)
+         AS promo_share
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+""",
+    "relational",
+    "join",
+    "agg",
+)
+def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast part dim into the lineitem fact, then
+    a conditional-sum ratio per ship month (one shuffle on the month)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    pt = tables.load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").isin("ECONOMY", "SMALL"), rev).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("_m"))
+        .agg(
+            rnd(F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_share")
+        )
+        .select(_epoch("_m").alias("month_epoch"), "promo_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (the general form beside rollup/cube)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_events",
+    f"""
+SELECT event_type,
+       {_TS.format(c="date_trunc('day', ts)")} AS day_epoch,
+       CAST(count(*) AS BIGINT) AS n,
+       (ROUND(sum(value), 6) + 0.0) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+""",
+    "relational",
+    "agg",
+)
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — by type, by day, and the grand total in
+    one pass (Spark expands to a single Expand + hash aggregate)."""
+    ev = tables.load(spark, sf_dir, "events").withColumn(
+        "_day", F.date_trunc("day", "ts")
+    )
+    return (
+        ev.groupingSets(
+            [["event_type"], ["_day"], []], "event_type", "_day"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            _epoch("_day").alias("day_epoch"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (HLL sketch) — rows-only (sketches differ across
+# engines by construction); relative-error gate lives in tests/
+# --------------------------------------------------------------------------
+
+
+@register("events_approx_distinct", None, "relational", "agg", "rows-only")
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type: the constant-memory
+    distinct that replaces exact count_distinct at 100 TB. Rows-only
+    (DuckDB's sketch differs); tests gate |approx-exact|/exact <= 5%."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        )
+        .orderBy("event_type")
+    )

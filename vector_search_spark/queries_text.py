@@ -429,3 +429,44 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.winnow_fingerprints(
         docs, shingle_n=MH_N, window=WIN_W
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup canonicalization: connected components over near-dup pairs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_groups",
+    f"""
+WITH RECURSIVE {_MH_PIPE},
+prs AS (SELECT a, b FROM jac WHERE j >= {MH_TAU}),
+und AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+reach(node, lab) AS (
+  SELECT DISTINCT x, x FROM und
+  UNION
+  SELECT r.node, u.y FROM reach r JOIN und u ON u.x = r.lab
+),
+cc AS (SELECT node, min(lab) AS canonical_id FROM reach GROUP BY node)
+SELECT node, canonical_id,
+       CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS group_size
+FROM cc
+""",
+    "text",
+    "dedup",
+    "graph",
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization: MinHash-LSH verified pairs -> min-label
+    propagation to connected components (keep-one-per-cluster). The
+    oracle replays the same clustering with a recursive CTE, so the
+    distributed fixpoint itself is value-checked."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        shingle_n=MH_N,
+        num_perms=MH_PERMS,
+        rows_per_band=MH_ROWS,
+        threshold=MH_TAU,
+    )
+    return dedup.connected_components(pairs)
