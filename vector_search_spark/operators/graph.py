@@ -299,6 +299,8 @@ def select_neighbors_heuristic(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_cols: tuple[str, ...] = ("src",),
+    pre_dedup: bool = False,
+    pre_topk: int | None = None,
 ) -> DataFrame:
     """HNSW diversity pruning (reference py/hnsw.py:295-320, paper
     Algorithm 4): scan candidates by ascending distance to the node;
@@ -316,7 +318,13 @@ def select_neighbors_heuristic(
     itself): per-node groups are tiny (≤ ef_construction rows) and
     dispatching one Python call per node dominates runtime once there
     are thousands of nodes. Each bucket call loops its nodes with
-    numpy-sliced views, amortizing the per-call cost ~100×."""
+    numpy-sliced views, amortizing the per-call cost ~100×.
+
+    ``pre_dedup``/``pre_topk`` fold the upstream per-node
+    ``groupBy(dst).min(dist)`` + top-k window INTO the same pass (the
+    sort already orders by (dist, dst), so keep-first == min-dist and
+    a row cap == window rank ≤ k) — two shuffle stages fewer when the
+    caller feeds raw multi-cell candidates."""
     vecs = points.select(
         F.col(id_col).alias("dst"), as_double_array(vec_col).alias("dv")
     )
@@ -344,9 +352,24 @@ def select_neighbors_heuristic(
         starts = np.concatenate(([0], np.nonzero(change)[0] + 1, [len(pdf)]))
         keep: list[int] = []
         for s, e in zip(starts[:-1], starts[1:]):
+            idxs = range(s, e)
+            if pre_dedup or pre_topk is not None:
+                seen: set[int] = set()
+                dst_arr = pdf["dst"].to_numpy()
+                sel_idx: list[int] = []
+                for i in idxs:
+                    if pre_dedup:
+                        d = int(dst_arr[i])
+                        if d in seen:
+                            continue
+                        seen.add(d)
+                    sel_idx.append(i)
+                    if pre_topk is not None and len(sel_idx) >= pre_topk:
+                        break
+                idxs = sel_idx
             admitted: list[int] = []
             pruned: list[int] = []
-            for i in range(s, e):
+            for i in idxs:
                 if len(admitted) >= m:
                     break
                 c = V[i]
@@ -484,19 +507,14 @@ def hnsw_build(
     scored = routed.groupBy("cell").applyInPandas(
         per_cell, "layer int, src long, dst long, dist double"
     )
-    deduped = scored.groupBy("layer", "src", "dst").agg(
-        F.min("dist").alias("dist")
+    # cross-cell dedup + top-ef_construction + diversity pruning fused
+    # into one salted-bucket pass (see select_neighbors_heuristic)
+    sel = select_neighbors_heuristic(
+        scored, points, m=m, id_col=id_col, vec_col=vec_col,
+        group_cols=("layer", "src"),
+        pre_dedup=True, pre_topk=ef_construction,
     )
     wc = Window.partitionBy("layer", "src").orderBy("dist", "dst")
-    cand = (
-        deduped.withColumn("r", F.row_number().over(wc))
-        .filter(F.col("r") <= ef_construction)
-        .select("layer", "src", "dst", "dist")
-    )
-    sel = select_neighbors_heuristic(
-        cand, points, m=m, id_col=id_col, vec_col=vec_col,
-        group_cols=("layer", "src"),
-    )
     # symmetrize: reverse edges, union, re-cap at m per (layer, node)
     sym = (
         sel.unionByName(
@@ -593,9 +611,12 @@ def greedy_search(
             seeds.select("query_id", "vec_id")
         ).distinct()
     results = score(seed_df).localCheckpoint()
-    # visited = union of already-materialized (checkpointed) score
-    # outputs — a shallow-lineage union, so it never needs its own
-    # checkpoint or maintenance job.
+    # visited tracks EXPANDED nodes (seeds + every past frontier), not
+    # every scored node: a scored-but-evicted candidate may be rescored
+    # on a later hop, but the result set improves monotonically so it
+    # can never survive the window — identical output, and the whole
+    # hop (score + merge + truncate) collapses into ONE eager job.
+    # visited stays a shallow union of checkpointed selects.
     visited = results.select("query_id", "vec_id")
     frontier = results
 
@@ -609,14 +630,12 @@ def greedy_search(
             .distinct()
             .join(visited, ["query_id", "vec_id"], "left_anti")
         )
-        scored = score(cand).localCheckpoint()
-        visited = visited.unionByName(scored.select("query_id", "vec_id"))
         # one window pass both truncates to ef and identifies the next
         # frontier: a newly-scored row that survived into the top-ef
         # necessarily improved the query's result set.
         merged = (
             results.withColumn("_new", F.lit(False))
-            .unionByName(scored.withColumn("_new", F.lit(True)))
+            .unionByName(score(cand).withColumn("_new", F.lit(True)))
             .withColumn("r", F.row_number().over(wef))
             .filter(F.col("r") <= ef)
             .drop("r")
@@ -626,6 +645,9 @@ def greedy_search(
         frontier = merged.filter(F.col("_new")).drop("_new")
         if not frontier.take(1):
             break
+        visited = visited.unionByName(
+            frontier.select("query_id", "vec_id")
+        )
 
     return (
         results.withColumn("rank", F.row_number().over(wef))

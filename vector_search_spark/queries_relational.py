@@ -672,7 +672,7 @@ def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_events",
     f"""
 SELECT event_type,
-       {_TS.format(c="date_trunc('day', ts)")} AS day_epoch,
+       COALESCE({_TS.format(c="date_trunc('day', ts)")}, -1) AS day_epoch,
        CAST(count(*) AS BIGINT) AS n,
        (ROUND(sum(value), 6) + 0.0) AS total_value
 FROM events
@@ -697,7 +697,9 @@ def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            _epoch("_day").alias("day_epoch"),
+            # NULL-free epoch: a NULL BIGINT round-trips through pandas
+            # as float NaN on the DuckDB side, breaking the value hash
+            F.coalesce(_epoch("_day"), F.lit(-1)).alias("day_epoch"),
             "n",
             "total_value",
         )
