@@ -112,6 +112,98 @@ def test_greedy_search_recall(spark, emb):
     assert res.filter((F.col("rank") < 1) | (F.col("rank") > 10)).count() == 0
 
 
+def test_greedy_search_expand2_matches_or_beats(spark, emb):
+    """2-hop-per-job expansion is a superset search: recall must hold at
+    half the sequential job count."""
+    C = kmeans.train_coarse(emb, k=8, seed=42)
+    hg = graph.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    res = graph.greedy_search(
+        hg, emb, queries, k=10, ef=48, max_hops=6, expand=2
+    )
+    truth = knn.brute_force_knn(queries, emb, k=10)
+    inter = (
+        res.select("query_id", "vec_id")
+        .intersect(truth.select("query_id", "vec_id"))
+        .count()
+    )
+    recall = inter / truth.count()
+    assert recall >= 0.9, f"expand=2 Recall@10 {recall:.3f} < 0.9"
+
+
+def test_hnsw_sharded_recall(spark, emb):
+    """Per-cell HNSW + nprobe routing. The testdata embeddings are near-
+    random in 64-d, so the CELL-ROUTING ceiling (share of true neighbors
+    living in the nprobe probed cells) is well below 1 — the honest gate
+    is (a) recall vs the probed-set truth >= 0.95, isolating the HNSW
+    search quality the operator adds beyond routing, and (b) total
+    recall within 5% of the routing ceiling."""
+    import numpy as np
+
+    from vector_search_spark.operators import hnsw_sharded as hs
+
+    C = kmeans.train_coarse(emb, k=8, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    res = hs.hnsw_sharded_topk(
+        emb, C, queries, k=10, m=8, ef_construction=32, ef=48, nprobe=3
+    )
+    got = {
+        (r.query_id, r.vec_id) for r in res.select("query_id", "vec_id").collect()
+    }
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    D2C = (
+        (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * X @ C.T
+    )
+    home = D2C.argmin(1)
+    qpos = np.where(ids < 20)[0]
+    n_probed_hits = n_probed = n_ceil = 0
+    for qi in qpos:
+        probed = set(np.argsort(D2C[qi], kind="stable")[:3])
+        d = ((X - X[qi]) ** 2).sum(1)
+        order = np.lexsort((ids, d))
+        n_ceil += sum(1 for t in order[:10] if home[t] in probed)
+        in_cells = [t for t in order if home[t] in probed][:10]
+        n_probed += len(in_cells)
+        n_probed_hits += sum(
+            1 for t in in_cells if (ids[qi], ids[t]) in got
+        )
+    probed_recall = n_probed_hits / n_probed
+    total_recall = len(
+        got
+        & {
+            (ids[qi], ids[t])
+            for qi in qpos
+            for t in np.lexsort((ids, ((X - X[qi]) ** 2).sum(1)))[:10]
+        }
+    ) / (10 * len(qpos))
+    assert probed_recall >= 0.95, f"probed-set recall {probed_recall:.3f}"
+    assert total_recall >= n_ceil / (10 * len(qpos)) - 0.05, (
+        f"total {total_recall:.3f} vs ceiling {n_ceil / (10 * len(qpos)):.3f}"
+    )
+    assert res.filter((F.col("rank") < 1) | (F.col("rank") > 10)).count() == 0
+    per_q = res.groupBy("query_id").count()
+    assert per_q.filter(F.col("count") != 10).count() == 0
+
+
+def test_local_hnsw_self_retrieval():
+    """Every base vector's own nearest neighbor is itself (reference
+    invariant, py/test_hnsw.py:366-381) on one in-memory shard."""
+    import numpy as np
+
+    from vector_search_spark.operators import hnsw_sharded as hs
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(300, 16))
+    idx = hs.build_local(X, m=8, ef_construction=32, seed=3)
+    hits = 0
+    for i in range(50):
+        got = idx.search(X[i], k=1, ef=32)
+        hits += int(got and got[0][1] == i)
+    assert hits >= 48, f"self-retrieval {hits}/50"
+
+
 def test_graph_metadata_probes(spark, emb):
     """Graph class probes (reference py/hnsw.py:15-80) as DF aggregates."""
     C = kmeans.init_first_k(emb, 16)

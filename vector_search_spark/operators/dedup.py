@@ -263,6 +263,11 @@ def connected_components(
     clusters are shallow; the 30-round cap is generous). Convergence
     is probed with the label sum, which strictly decreases until the
     fixpoint — one tiny agg job per round, no row-level compare.
+
+    Each round also short-circuits label chains pointer-doubling style
+    (lab <- lab(lab), one extra self-join): labels then propagate
+    distance ~2^r instead of r, so rounds ~ log2(diameter) — the
+    standard trick that keeps iteration count flat as components grow.
     """
     e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     und = e.unionByName(
@@ -282,12 +287,21 @@ def connected_components(
             .groupBy(F.col("x").alias("node"))
             .agg(F.min("lab").alias("nlab"))
         )
+        upd = labels.join(msgs, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+            ).alias("lab"),
+        )
+        lmap = upd.select(
+            F.col("node").alias("_n"), F.col("lab").alias("_l")
+        )
         labels = (
-            labels.join(msgs, "node", "left")
+            upd.join(lmap, upd["lab"] == lmap["_n"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                    F.col("lab"), F.coalesce(F.col("_l"), F.col("lab"))
                 ).alias("lab"),
             )
             .localCheckpoint()

@@ -428,12 +428,10 @@ def hnsw_build(
     if m_l is None:
         m_l = 1.0 / np.log(m)
     levels = hnsw_levels(points, m_l, seed, id_col).cache()
-    top = levels.agg(F.max("level")).first()[0] or 0
-    ep = (
-        levels.filter(F.col("level") == top)
-        .agg(F.min("vec_id"))
-        .first()[0]
-    )
+    # one job: highest level, lowest id among its nodes
+    top_row = levels.orderBy(F.desc("level"), "vec_id").limit(1).first()
+    top = int(top_row["level"]) if top_row else 0
+    ep = int(top_row["vec_id"]) if top_row else 0
 
     # Single-pass layered candidate generation. Layer-l node sets are
     # NESTED (level >= l), so one gemm per cell serves every layer: the
@@ -514,24 +512,45 @@ def hnsw_build(
         group_cols=("layer", "src"),
         pre_dedup=True, pre_topk=ef_construction,
     )
-    wc = Window.partitionBy("layer", "src").orderBy("dist", "dst")
-    # symmetrize: reverse edges, union, re-cap at m per (layer, node)
-    sym = (
-        sel.unionByName(
-            sel.select(
-                "layer",
-                F.col("dst").alias("src"),
-                F.col("src").alias("dst"),
-                "dist",
-            )
+    # symmetrize: reverse edges, union, then ONE shuffle does both the
+    # (layer, src, dst) dedup and the per-node cap-at-m: collect each
+    # node's candidate list sorted by (dist, dst) and fold it with a
+    # keep-first-per-dst, stop-at-m aggregate (pure Catalyst HOFs) —
+    # replaces a groupBy-min + a rank window (two shuffle stages).
+    sym = sel.unionByName(
+        sel.select(
+            "layer",
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "dist",
         )
-        .groupBy("layer", "src", "dst")
-        .agg(F.min("dist").alias("dist"))
+    )
+    empty_acc = F.expr(
+        "CAST(array() AS array<struct<dist:double,dst:bigint>>)"
     )
     edges = (
-        sym.withColumn("r", F.row_number().over(wc))
-        .filter(F.col("r") <= m)
-        .select("layer", "src", "dst", "dist")
+        sym.groupBy("layer", "src")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dist", "dst"))
+            ).alias("cand")
+        )
+        .select(
+            "layer",
+            "src",
+            F.explode(
+                F.aggregate(
+                    "cand",
+                    empty_acc,
+                    lambda acc, x: F.when(
+                        (F.size(acc) >= m)
+                        | F.exists(acc, lambda a: a["dst"] == x["dst"]),
+                        acc,
+                    ).otherwise(F.array_append(acc, x)),
+                )
+            ).alias("e"),
+        )
+        .select("layer", "src", F.col("e.dst").alias("dst"), F.col("e.dist").alias("dist"))
     )
     return HNSWGraph(
         edges=edges.cache(), levels=levels, entry_point=int(ep),
@@ -549,6 +568,7 @@ def greedy_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seeds: DataFrame | None = None,
+    expand: int = 1,
 ) -> DataFrame:
     """Layer-0 batch greedy search over the edge artifact: every query
     expands its frontier one hop per iteration until no frontier node
@@ -563,6 +583,13 @@ def greedy_search(
     optionally widened by ``seeds`` (query_id, vec_id) — e.g. per-cell
     anchor nodes from coarse routing, the batch stand-in for the
     upper-layer descent, which cuts hop count roughly in half.
+
+    ``expand`` chains that many edge-joins per iteration (frontier →
+    neighbors → neighbors-of-neighbors → ...) before scoring, trading a
+    wider candidate batch (cheap: one gemm) for fewer sequential Spark
+    jobs — the scheduling latency of the iteration loop, not the scoring
+    work, is what dominates wall-clock. Recall can only improve: the
+    1-hop candidate set is a subset of the expanded one.
     """
     spark = points.sparkSession
     qpdf = queries.select(
@@ -622,13 +649,23 @@ def greedy_search(
 
     wef = Window.partitionBy("query_id").orderBy("dist", "vec_id")
     for _ in range(max_hops):
-        # expand frontier one hop
-        cand = (
-            frontier.select("query_id", F.col("vec_id").alias("src"))
-            .join(edges0, "src")
-            .select("query_id", F.col("dst").alias("vec_id"))
-            .distinct()
-            .join(visited, ["query_id", "vec_id"], "left_anti")
+        # expand frontier `expand` hops; dedup ONCE at the end (each
+        # intermediate distinct would cost a full shuffle stage, and the
+        # fanout between dedups is bounded by m^expand per frontier row)
+        cur = frontier.select("query_id", "vec_id")
+        hops = []
+        for _h in range(max(1, expand)):
+            cur = (
+                cur.select("query_id", F.col("vec_id").alias("src"))
+                .join(edges0, "src")
+                .select("query_id", F.col("dst").alias("vec_id"))
+            )
+            hops.append(cur)
+        reached = hops[0]
+        for h in hops[1:]:
+            reached = reached.unionByName(h)
+        cand = reached.distinct().join(
+            visited, ["query_id", "vec_id"], "left_anti"
         )
         # one window pass both truncates to ef and identifies the next
         # frontier: a newly-scored row that survived into the top-ef

@@ -153,6 +153,76 @@ def assign(
     return src.mapInPandas(fn, out_schema)
 
 
+def _np_kmeans(
+    X: np.ndarray, k: int, seed: int, iters: int = 25, tol: float = 1e-6
+) -> np.ndarray:
+    """Driver-local k-means++ + Lloyd on an in-memory sample."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    chosen = [int(rng.integers(0, n))]
+    d2 = ((X - X[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = float(d2.sum())
+        if total <= 0.0:
+            chosen.append(int(rng.integers(0, n)))
+            continue
+        r = rng.uniform(0.0, total)
+        idx = min(int(np.searchsorted(np.cumsum(d2), r, side="right")), n - 1)
+        chosen.append(idx)
+        d2 = np.minimum(d2, ((X - X[idx]) ** 2).sum(axis=1))
+    C = X[chosen].copy()
+    for _ in range(iters):
+        D = (
+            (X * X).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2.0 * (X @ C.T)
+        )
+        cid = D.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            mask = cid == j
+            if mask.any():
+                newC[j] = X[mask].mean(axis=0)
+        shift = float(((C - newC) ** 2).sum(axis=1).max())
+        C = newC
+        if shift <= tol:
+            break
+    return C
+
+
+def train_coarse(
+    points: DataFrame,
+    k: int,
+    seed: int = 42,
+    sample_per_centroid: int = 256,
+    iters: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse-quantizer centroids from a BOUNDED sample, trained on the
+    driver. This is the scale-honest path when centroids only partition
+    the space (IVF cells, graph-build blocking, shard routing): a coarse
+    quantizer needs O(k * a few hundred) training points regardless of
+    table size — FAISS caps IVF training at ~256 samples/centroid — so
+    the cluster does ONE bounded-collect job and Lloyd runs in
+    microseconds locally. The distributed ``lloyd`` above remains the
+    full-data trainer (kmeans_train / kmeans_lloyd catalog queries);
+    this replaces it where its output only routes rows to cells.
+    """
+    cap = max(k * sample_per_centroid, 2 * k)
+    # deterministic pseudo-random bounded sample: order by a seeded hash
+    # of the id — TakeOrderedAndProject keeps `cap` rows per task, so no
+    # full sort and no driver blow-up however large the table is
+    _, X = _collect_matrix(
+        points.orderBy(F.hash(F.col(id_col), F.lit(seed))).limit(cap),
+        id_col,
+        vec_col,
+    )
+    if len(X) < k:
+        raise ValueError(f"need >= {k} points, got {len(X)}")
+    return _np_kmeans(X, k, seed, iters=iters)
+
+
 @dataclass
 class LloydResult:
     centroids: np.ndarray  # (k, D)

@@ -343,16 +343,18 @@ def q_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Jégou et al. 2011). Trained models are RNG-dependent -> rows-only;
     recall vs exact kNN is gated in tests/test_ivf.py."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    C = kmeans.kmeans_plus_plus(emb, k=IVF_NC, seed=42)
-    res = kmeans.lloyd(emb, C, max_iter=8, tol=1e-4)
-    assigned = ivf.assign_clusters(emb, res.centroids).cache()
+    # coarse cells from a bounded-sample driver-side trainer (FAISS
+    # practice): the centroids only route rows, so full-data Lloyd jobs
+    # buy nothing here
+    C = kmeans.train_coarse(emb, k=IVF_NC, seed=42)
+    assigned = ivf.assign_clusters(emb, C).cache()
     model, _ = pq.train_pq(emb, m=PQ_M, k=PQ_K, seed=42, max_iter=8)
     codes = pq.encode(assigned, model).join(
         assigned.select("vec_id", "cluster_id"), "vec_id"
     )
     queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
     out = ivf.ivf_adc_topk(
-        queries, codes, res.centroids, model, k=10, nprobe=IVF_NPROBE
+        queries, codes, C, model, k=10, nprobe=IVF_NPROBE
     )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
@@ -456,7 +458,7 @@ def q_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_spark.operators import graph as gr
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    C = kmeans.lloyd(emb, kmeans.init_first_k(emb, 8), max_iter=8, tol=1e-4).centroids
+    C = kmeans.train_coarse(emb, k=8, seed=42)
     g = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=3)
     for _ in range(2):
         g = gr.nn_descent_round(g, emb, k=NNG_K).localCheckpoint()
@@ -472,9 +474,9 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_spark.operators import graph as gr
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    # coarse cells only block candidate generation — 3 Lloyd rounds give
-    # the same graph recall as 8 at half the training wall
-    C = kmeans.lloyd(emb, kmeans.init_first_k(emb, 8), max_iter=3, tol=1e-4).centroids
+    # coarse cells only block candidate generation -> bounded-sample
+    # driver-side trainer (see kmeans.train_coarse)
+    C = kmeans.train_coarse(emb, k=8, seed=42)
     hg = gr.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
     queries = emb.filter(F.col("vec_id") < 20)
     # coarse-descent stand-in: seed each query with the anchor node
@@ -492,7 +494,26 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     out = gr.greedy_search(
-        hg, emb, queries, k=10, ef=48, max_hops=12, seeds=seeds
+        hg, emb, queries, k=10, ef=48, max_hops=6, seeds=seeds, expand=2
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+@register("hnsw_sharded_knn", None, "vector", "graph", "hnsw", "rows-only")
+def q_hnsw_sharded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-sharded HNSW (operators/hnsw_sharded.py): one paper-
+    faithful insert-built HNSW per coarse cell, queries fan out to their
+    nprobe cells, shard answers merge via window top-k — the
+    production-shaped distributed ANN path (Lucene-per-segment layout).
+    RNG-dependent level draws -> rows-only; Recall@10 vs brute force is
+    gated in tests/test_graph.py."""
+    from vector_search_spark.operators import hnsw_sharded as hs
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.train_coarse(emb, k=8, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = hs.hnsw_sharded_topk(
+        emb, C, queries, k=10, m=8, ef_construction=32, ef=48, nprobe=3
     )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
