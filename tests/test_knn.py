@@ -85,3 +85,28 @@ def test_gemm_equals_expr_on_real_embeddings(spark):
         ra = sorted((r.query_id, r.vec_id, r.rank) for r in a.collect())
         rb = sorted((r.query_id, r.vec_id, r.rank) for r in b.collect())
         assert ra == rb, metric
+
+
+def test_lsh_self_retrieval_and_bucket_semantics(spark):
+    """A query always shares every bucket with itself -> rank 1 is the
+    query at distance 0; all candidate pairs share >= 1 bucket."""
+    from tests.conftest import SF_ORACLE
+    from vector_search_spark import tables
+    from vector_search_spark.operators import lsh_ann
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+
+    H = lsh_ann.hyperplanes(dim=64, n_bits=8, n_tables=2, seed=7)
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = lsh_ann.lsh_topk(emb, queries, H, k=5)
+    top1 = res.filter(F.col("rank") == 1)
+    assert top1.count() == 10
+    assert top1.filter(F.col("query_id") != F.col("vec_id")).count() == 0
+    assert top1.agg(F.max("dist")).first()[0] == 0.0
+    # every returned candidate shares a (t, sig) bucket with its query
+    sigs = lsh_ann.lsh_signatures(emb, H)
+    qs = sigs.withColumnRenamed("vec_id", "query_id")
+    shared = res.join(qs, "query_id").join(
+        sigs, ["t", "sig", "vec_id"], "left_semi"
+    )
+    assert shared.select("query_id", "vec_id").distinct().count() == res.count()

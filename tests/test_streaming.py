@@ -187,3 +187,50 @@ def test_incremental_pq_refresh_matches_batch_encode(spark, tmp_path):
     assert any(
         p.startswith("cluster_id=") for p in os.listdir(out_dir)
     ), os.listdir(out_dir)
+
+
+def test_streaming_topk_state_equals_batch(spark, tmp_path):
+    """applyInPandasWithState running top-k: after the stream drains,
+    each query's freshest state (max n_seen) must equal the batch
+    brute-force top-k exactly — the stateful merge is order-insensitive
+    by construction."""
+    import numpy as np
+
+    from vector_search_spark.operators import knn
+    from vector_search_spark.streaming import stateful
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    d = str(tmp_path / "emb_stream")
+    emb.repartitionByRange(4, "vec_id").write.mode("overwrite").parquet(d)
+
+    qpdf = emb.filter(F.col("vec_id") < 5).toPandas()
+    qids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    Q = np.vstack(qpdf["embedding"].to_numpy()).astype(np.float64)
+
+    schema = emb.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    scored = stateful.score_stream(stream, qids, Q)
+    got_all = _run_stream(
+        spark, stateful.streaming_topk(scored, k=10), "t_topk", "update"
+    )
+    # freshest emission per query = rows carrying n_seen == |table|
+    n_total = emb.count()
+    got = got_all.filter(F.col("n_seen") == n_total).select(
+        "query_id", "vec_id", "rank"
+    )
+    assert (
+        got_all.groupBy("query_id").agg(F.max("n_seen").alias("m"))
+        .filter(F.col("m") != n_total).count() == 0
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = knn.brute_force_knn(queries, emb, k=10).select(
+        "query_id", "vec_id", "rank"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -360,6 +360,48 @@ def q_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (bucketed similarity search, brief-mandated)
+# --------------------------------------------------------------------------
+
+from vector_search_spark.operators import lsh_ann  # noqa: E402
+
+_LSH_H = lsh_ann.hyperplanes(dim=64, n_bits=8, n_tables=4, seed=7)
+
+
+@register(
+    "ann_lsh",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS ({lsh_ann.signature_sql(_LSH_H)}),
+q AS (SELECT vec_id AS query_id, t, sig FROM sigs WHERE vec_id < {IVF_QUERIES}),
+cand AS (SELECT DISTINCT q.query_id, s.vec_id FROM q JOIN sigs s USING (t, sig)),
+scored AS (
+  SELECT c.query_id, c.vec_id, {_L2.format(a="pq.v", b="pb.v")} AS d
+  FROM cand c
+  JOIN pts pq ON pq.vec_id = c.query_id
+  JOIN pts pb ON pb.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+""",
+    "vector",
+    "lsh",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (operators/lsh_ann.py): 4 tables x 8-bit random-
+    hyperplane signatures, candidates share a bucket in any table, exact
+    re-rank inside the candidate set. Integer hyperplanes make the whole
+    pipeline deterministic, so the oracle replays signatures, bucketing,
+    AND re-rank — the pruning semantics are value-checked like ivf_knn."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    out = lsh_ann.lsh_topk(emb, queries, _LSH_H, k=10)
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+# --------------------------------------------------------------------------
 # Batch kNN-graph + HNSW-style build + greedy search (SURVEY.md §7 step 7)
 # --------------------------------------------------------------------------
 
