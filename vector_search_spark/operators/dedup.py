@@ -33,7 +33,9 @@ __all__ = [
     "exact_dedup",
     "shingle_table",
     "minhash_signatures",
+    "minhash_signatures_wide",
     "lsh_buckets",
+    "lsh_buckets_wide",
     "lsh_candidate_pairs",
     "pair_jaccard",
     "minhash_lsh_pairs",
@@ -93,23 +95,34 @@ def minhash_signatures(
     integer min, and (unlike ``(a*h+b) mod p``) needs no 64-bit modular
     arithmetic, which keeps the DuckDB oracle exact.
 
-    Cost: |sh| × P rows into one groupBy — linear, map-side-combinable.
+    Physical shape: the P permutation hashes are P COLUMNS of one
+    shingle-table pass aggregated with P ``min`` expressions — one
+    map-side-combinable shuffle of |sh| narrow rows. (The naive layout,
+    posexplode to |sh| x P rows then groupBy(id, perm), shuffles P
+    times the data for the same answer.) The long (id, perm, minh)
+    output shape is then a cheap per-doc explode.
     """
-    perms = F.sequence(F.lit(0), F.lit(num_perms - 1))
-    return (
-        sh.select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    perms,
-                    lambda i: F.md5(
-                        F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))
-                    ),
-                )
-            ).alias("perm", "h"),
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minh"))
+    wide = minhash_signatures_wide(sh, num_perms, id_col)
+    return wide.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.col(f"h{i}") for i in range(num_perms)])
+        ).alias("perm", "minh"),
+    )
+
+
+def minhash_signatures_wide(
+    sh: DataFrame, num_perms: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, h0..h{P-1}) one row per doc — the columnar signature form
+    shared by minhash_signatures and lsh_buckets."""
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+            ).alias(f"h{i}")
+            for i in range(num_perms)
+        ]
     )
 
 
@@ -125,6 +138,34 @@ def lsh_buckets(
     )
     return banded.groupBy(id_col, "band").agg(
         F.md5(F.array_join(ordered, "|")).alias("key")
+    )
+
+
+def lsh_buckets_wide(
+    wide: DataFrame,
+    rows_per_band: int,
+    num_perms: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """lsh_buckets from the wide signature form: band keys are row-local
+    concat+md5 expressions — zero additional shuffle."""
+    n_bands = num_perms // rows_per_band
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select(
+        id_col, F.posexplode(keys).alias("band", "key")
     )
 
 
@@ -200,8 +241,8 @@ def minhash_lsh_pairs(
     measured ~3× the whole-pipeline wall at sf0.1.
     """
     sh = shingle_table(docs, shingle_n, text_col, id_col).localCheckpoint()
-    sigs = minhash_signatures(sh, num_perms, id_col)
-    buckets = lsh_buckets(sigs, rows_per_band, id_col)
+    wide = minhash_signatures_wide(sh, num_perms, id_col)
+    buckets = lsh_buckets_wide(wide, rows_per_band, num_perms, id_col)
     cands = lsh_candidate_pairs(buckets, id_col)
     return pair_jaccard(cands, sh, id_col).filter(F.col("jaccard") >= threshold)
 
