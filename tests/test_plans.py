@@ -49,3 +49,57 @@ def test_filter_pushdown_reaches_scan(spark):
     filtered = emb.filter(F.col("vec_id") < 10).select("vec_id")
     pushed = plans.pushed_filters(filtered)
     assert any("vec_id" in p for p in pushed), f"no pushdown: {pushed}"
+
+
+def test_cobucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed-by-key tables sort-merge join without any shuffle: the
+    write-time bucketing replaces both Exchanges."""
+    from vector_search_spark.sources import bucketed
+
+    # warehouse dir is a static conf; managed tables land in the default
+    # ./spark-warehouse and are dropped (data included) in the finally
+    orders = tables.load(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = tables.load(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    try:
+        bucketed.write_bucketed(orders, "b_orders", ["o_orderkey"], 8,
+                                sort_cols=["o_orderkey"])
+        bucketed.write_bucketed(li, "b_lineitem", ["o_orderkey"], 8,
+                                sort_cols=["o_orderkey"])
+        j = bucketed.cobucketed_join(
+            spark, "b_orders", "b_lineitem", ["o_orderkey"]
+        )
+        plan = plans.formatted_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # same answer as the plain shuffled join
+        want = orders.join(li, "o_orderkey").count()
+        assert j.count() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting spreads a hot key over n_salts sub-keys without changing
+    the join result (row-for-row, including duplicate multiplicity)."""
+    from vector_search_spark.operators import skew
+
+    # skewed fact: 90% of rows share key 1
+    big = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+    )
+    got = skew.salted_join(big, small, ["k"], n_salts=8)
+    want = big.join(small, ["k"])
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
