@@ -146,3 +146,53 @@ def test_load_model_validates_shape(spark, model, tmp_path):
     ).parquet(str(tmp_path / "cb_missing.parquet"))
     with pytest.raises(ValueError):
         pq.load_model(spark, str(tmp_path / "cb_missing.parquet"))
+
+
+def test_codec_protocol_generic_search(spark):
+    """Reference parity for the VectorCompression strategy switch
+    (py/vector_compression.py:5-94, composed at py/hnsw.py:181-189):
+    the SAME search harness runs over PQ, SQ, and the identity codec;
+    each must retrieve every query's own vector at rank 1 (distance-0
+    invariant holds exactly for NoCompression, and for PQ/SQ because
+    a query's code is its own nearest reconstruction here)."""
+    from tests.conftest import SF_ORACLE
+    from vector_search_spark import tables
+    from vector_search_spark.functions.compression import (
+        NoCompression,
+        PQCodec,
+        SQCodec,
+        VectorCompression,
+    )
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in __import__(
+            "vector_search_spark.operators.knn", fromlist=["knn"]
+        ).brute_force_knn(queries, emb, k=10).collect()
+    }
+    for codec in (NoCompression(), SQCodec(), PQCodec(m=8, k=16)):
+        assert isinstance(codec, VectorCompression)
+        codec.train(emb)
+        assert codec.is_trained()
+        coded = codec.encode(emb)
+        res = codec.asymmetric_topk(queries, coded, k=10)
+        rows = res.collect()
+        assert len(rows) == 50
+        top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+        # self-retrieval at rank 1 for every query, any codec
+        assert top1 == {q: q for q in range(5)}, (type(codec).__name__, top1)
+        if isinstance(codec, NoCompression):
+            got = {(r.query_id, r.rank): r.vec_id for r in rows}
+            assert got == exact
+
+
+def test_codec_untrained_raises(spark):
+    from vector_search_spark.functions.compression import PQCodec, SQCodec
+
+    import pytest as _pt
+
+    for codec in (PQCodec(), SQCodec()):
+        with _pt.raises(ValueError, match="not trained"):
+            codec.encode(None)
