@@ -470,3 +470,78 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=MH_TAU,
     )
     return dedup.connected_components(pairs)
+
+
+# --------------------------------------------------------------------------
+# Deterministic dataset splitting / sampling (training-pipeline staple)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_split_assign",
+    """
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents)
+""",
+    "text",
+    "pipeline",
+)
+def q_docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 of the id —
+    the reproducible, engine-portable form of dataset splitting (RNG
+    splits can't be replayed across engines or reruns; a hash split is
+    stable under re-partitioning, appends, and retries). One narrow map
+    pass, no shuffle."""
+    docs = tables.load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "docs_sample_hash",
+    """
+SELECT doc_id, length(text) AS text_len
+FROM documents
+WHERE CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < 10
+""",
+    "text",
+    "pipeline",
+)
+def q_docs_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by salted id-hash: the replayable
+    sample every data pipeline needs for eval sets and quick iteration
+    (same rows on every engine and every rerun, unlike sample())."""
+    docs = tables.load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.filter(bucket < 10).select(
+        "doc_id", F.length("text").alias("text_len")
+    )
