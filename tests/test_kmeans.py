@@ -71,3 +71,23 @@ def test_centroids_roundtrip(spark, clustered_df, tmp_path):
     kmeans.centroids_df(spark, res.centroids).write.parquet(path)
     loaded = kmeans.load_centroids(spark.read.parquet(path))
     assert np.allclose(loaded, res.centroids)
+
+
+def test_train_coarse_deterministic_and_bounded(spark):
+    """Same seed -> identical centroids regardless of partitioning (the
+    sample is hash-ordered, not partition-ordered); k > n raises."""
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE
+    from vector_search_spark import tables
+    from vector_search_spark.operators import kmeans
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    c1 = kmeans.train_coarse(emb, k=8, seed=42)
+    c2 = kmeans.train_coarse(emb.repartition(7), k=8, seed=42)
+    assert np.array_equal(c1, c2)
+    c3 = kmeans.train_coarse(emb, k=8, seed=43)
+    assert not np.array_equal(c1, c3)
+    assert c1.shape == (8, 64)
+    with __import__("pytest").raises(ValueError, match="need >="):
+        kmeans.train_coarse(emb.limit(3), k=8)
