@@ -1,0 +1,134 @@
+"""Property-based checks (hypothesis): the Catalyst distance kernels
+must agree with numpy on arbitrary inputs, and metric axioms must hold.
+
+The reference asserts these properties on hand-picked cases
+(py/test_hnsw.py:384-447 edge cases, :395-407 identical-vector zero);
+hypothesis generalizes them to generated data. All examples for a
+property are batched into ONE DataFrame so each property costs one
+Spark job, not one per example."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions import distance as D
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+def _vec_pairs(draw, max_dim=16, max_pairs=8):
+    dim = draw(st.integers(1, max_dim))
+    n = draw(st.integers(1, max_pairs))
+    pairs = draw(
+        st.lists(
+            st.tuples(
+                st.lists(finite, min_size=dim, max_size=dim),
+                st.lists(finite, min_size=dim, max_size=dim),
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def session(spark):
+    return spark
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_l2_matches_numpy_and_axioms(session, data):
+    pairs = _vec_pairs(data.draw)
+    df = session.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a array<double>, b array<double>",
+    )
+    rows = df.select(
+        "i",
+        D.l2_sqr("a", "b").alias("ab"),
+        D.l2_sqr("b", "a").alias("ba"),
+        D.l2_sqr("a", "a").alias("aa"),
+    ).collect()
+    for r, (a, b) in zip(sorted(rows, key=lambda r: r.i), pairs):
+        want = float(((np.array(a) - np.array(b)) ** 2).sum())
+        assert math.isclose(r.ab, want, rel_tol=1e-9, abs_tol=1e-9)
+        assert r.ab == r.ba  # symmetry
+        assert r.aa == 0.0  # identity
+        assert r.ab >= 0.0  # non-negativity
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_dot_and_cosine_match_numpy(session, data):
+    pairs = _vec_pairs(data.draw)
+    df = session.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i long, a array<double>, b array<double>",
+    )
+    rows = df.select(
+        "i",
+        D.dot("a", "b").alias("d"),
+        D.cosine_distance("a", "b").alias("c"),
+    ).collect()
+    for r, (a, b) in zip(sorted(rows, key=lambda r: r.i), pairs):
+        na, nb = np.array(a), np.array(b)
+        assert math.isclose(
+            r.d, float(na @ nb), rel_tol=1e-9, abs_tol=1e-6
+        )
+        denom = float(np.linalg.norm(na) * np.linalg.norm(nb))
+        if denom > 1e-9:
+            want_c = 1.0 - float(na @ nb) / denom
+            assert math.isclose(r.c, want_c, rel_tol=1e-6, abs_tol=1e-6)
+        assert -1e-9 <= r.c <= 2.0 + 1e-9  # cosine distance range
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(5, 40),
+    k=st.integers(1, 12),
+)
+def test_topk_invariants_random_data(session, seed, n, k):
+    """Top-k over random vectors: dense ranks 1..min(k,n), ascending
+    distances, and rank-1 = self when the query is in the base set."""
+    from vector_search_spark.operators import knn
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 4))
+    df = session.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    res = knn.brute_force_knn(df.limit(3), df, k=k).collect()
+    by_q: dict[int, list] = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, min(k, n) + 1))
+        dists = [r.dist for r in rows]
+        assert dists == sorted(dists)
+        assert rows[0].vec_id == q and rows[0].dist == 0.0

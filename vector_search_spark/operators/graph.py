@@ -187,6 +187,7 @@ def knn_graph_blocked(
             + (B * B).sum(axis=1)[None, :]
             - 2.0 * (S @ B.T)
         )
+        np.maximum(D, 0.0, out=D)  # gemm cancellation can dip below 0
         D[sid[:, None] == bid[None, :]] = np.inf
         m = min(kk, D.shape[1])
         cand = np.argpartition(D, m - 1, axis=1)[:, :m] if m < D.shape[1] else (
@@ -468,6 +469,7 @@ def hnsw_build(
             + (B * B).sum(axis=1)[None, :]
             - 2.0 * (S @ B.T)
         )
+        np.maximum(D, 0.0, out=D)  # gemm cancellation can dip below 0
         D[sid[:, None] == bid[None, :]] = np.inf
         frames = []
         for layer in range(int(max(slev.max(), blev.max())) + 1):

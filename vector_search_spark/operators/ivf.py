@@ -210,6 +210,7 @@ def ivf_topk(
                     + (B * B).sum(axis=1)[None, :]
                     - 2.0 * (b_Q[qidx] @ B.T)
                 )
+                np.maximum(D, 0.0, out=D)  # cancellation clamp
                 kk = min(k, D.shape[1])
                 cand = (
                     np.argpartition(D, kk - 1, axis=1)[:, :kk]
@@ -281,6 +282,7 @@ def ivf_adc_topk(
             + (Cm * Cm).sum(axis=1)[None, :]
             - 2.0 * (Qm @ Cm.T)
         )
+    np.maximum(lut, 0.0, out=lut)  # cancellation clamp
     qpos = {int(qid): i for i, qid in enumerate(qids)}
     cell_to_q = {
         int(cell): np.fromiter(

@@ -211,8 +211,11 @@ def score_topk_gemm(
             B = np.vstack(pdf["bv"].to_numpy()).astype(np.float64)
             if metric in ("l2_sqr", "l2"):
                 D = b_qn2[:, None] + (B * B).sum(axis=1)[None, :] - 2.0 * (b_Q @ B.T)
+                # ||a||^2+||b||^2-2ab cancels catastrophically near 0 and
+                # can go slightly negative — clamp so self-distance is 0
+                D = np.maximum(D, 0.0)
                 if metric == "l2":
-                    D = np.sqrt(np.maximum(D, 0.0))
+                    D = np.sqrt(D)
             elif metric == "cosine":
                 bn = np.linalg.norm(B, axis=1)
                 Bn = np.divide(B, bn[:, None], out=np.zeros_like(B), where=bn[:, None] != 0)
@@ -226,10 +229,25 @@ def score_topk_gemm(
                 cand = np.argpartition(D, m - 1, axis=1)[:, :m]
             else:
                 cand = np.broadcast_to(np.arange(D.shape[1]), (nq, D.shape[1]))
+            if metric in ("l2_sqr", "l2"):
+                # re-derive the kept distances with the cancellation-free
+                # (a-b)^2 form: the gemm expansion is off by ~1e-16 near
+                # zero, and the reference invariant (identical vectors ->
+                # distance exactly 0, py/test_hnsw.py:395-407) plus the
+                # element-wise SQL oracle both demand the exact kernel.
+                # Cost: nq x kk x d on just the survivors.
+                diff = B[cand] - b_Q[:, None, :]
+                Dk = (diff * diff).sum(axis=2)
+                if metric == "l2":
+                    Dk = np.sqrt(Dk)
+                if exclude_self:
+                    Dk[b_qids[:, None] == vids[cand]] = np.inf
+            else:
+                Dk = None
             rows_q, rows_v, rows_d = [], [], []
             for i in range(nq):
                 cj = cand[i]
-                dj = D[i, cj]
+                dj = D[i, cj] if Dk is None else Dk[i]
                 order = np.lexsort((vids[cj], dj))[:k]
                 keep = cj[order]
                 dk = dj[order]

@@ -339,6 +339,7 @@ def adc_topk(
             + (Cm * Cm).sum(axis=1)[None, :]
             - 2.0 * (Qm @ Cm.T)
         )
+    np.maximum(lut, 0.0, out=lut)  # cancellation clamp
     bc = queries.sparkSession.sparkContext.broadcast((qids, lut))
     src = codes.select(F.col(id_col).alias("_id"), F.col(code_col).alias("_c"))
 
