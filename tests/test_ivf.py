@@ -117,3 +117,47 @@ def test_ivf_adc_recall(spark, queries, assigned, centroids, exact, emb):
     # worse than SIFT; reference saw 0.5069 there) — loose sanity bound.
     r = knn.recall_at_k(out, exact, k=K)
     assert r >= 0.15, f"IVFADC recall implausibly low: {r}"
+
+
+def test_ivf_adc_residual_beats_raw_codes(
+    spark, queries, assigned, centroids, exact
+):
+    """Residual encoding (Jégou §III) must not lose recall vs raw-vector
+    codes at the same (M, K, nprobe) — residual energy is strictly
+    easier for PQ to capture. Gate: recall_res >= recall_raw - 0.02
+    (epsilon for RNG-dependent codebooks) and an absolute floor."""
+    from vector_search_spark.operators import pq
+
+    def recall(res_df):
+        hit = (
+            res_df.select("query_id", "vec_id")
+            .intersect(exact.select("query_id", "vec_id"))
+            .count()
+        )
+        return hit / exact.count()
+
+    raw_model, _ = pq.train_pq(assigned, m=8, k=16, seed=42, max_iter=15)
+    raw_codes = pq.encode(assigned, raw_model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    )
+    r_raw = recall(
+        ivf.ivf_adc_topk(
+            queries, raw_codes, centroids, raw_model, k=K, nprobe=NPROBE
+        )
+    )
+
+    res = ivf.residuals(assigned, centroids).cache()
+    res_model, _ = pq.train_pq(
+        res, m=8, k=16, seed=42, max_iter=15, vec_col="residual"
+    )
+    res_codes = pq.encode(res, res_model, vec_col="residual").join(
+        res.select("vec_id", "cluster_id"), "vec_id"
+    )
+    r_res = recall(
+        ivf.ivf_adc_topk(
+            queries, res_codes, centroids, res_model, k=K,
+            nprobe=NPROBE, residual=True,
+        )
+    )
+    assert r_res >= r_raw - 0.02, f"residual {r_res:.3f} < raw {r_raw:.3f}"
+    assert r_res >= 0.30, f"residual IVFADC recall {r_res:.3f}"

@@ -239,6 +239,36 @@ def ivf_topk(
     return topk_per_query(scored, k)
 
 
+def residuals(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    out_col: str = "residual",
+) -> DataFrame:
+    """``out_col = vec - centroid[cluster]`` — the quantity IVFADC
+    actually PQ-encodes (Jégou et al. 2011 §III: encoding residuals
+    concentrates the energy PQ must capture, a large recall win over
+    raw-vector codes). Pure Catalyst: broadcast centroid dim table +
+    ``zip_with`` subtraction, no Python in the row path."""
+    cents = F.broadcast(
+        kmeans.centroids_df(assigned.sparkSession, centroids).select(
+            F.col("cluster_id").alias(cluster_col),
+            F.col("centroid").alias("_cv"),
+        )
+    )
+    return (
+        assigned.join(cents, cluster_col)
+        .withColumn(
+            out_col,
+            F.zip_with(
+                as_double_array(vec_col), "_cv", lambda a, b: a - b
+            ),
+        )
+        .drop("_cv")
+    )
+
+
 def ivf_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -246,6 +276,7 @@ def ivf_adc_topk(
     model,
     k: int = 10,
     nprobe: int = 4,
+    residual: bool = False,
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -259,6 +290,11 @@ def ivf_adc_topk(
     the cost is an (M x K) LUT build (driver, tiny) + M gathers per
     candidate in its nprobe cells; the scan is partition-pruned exactly
     as in :func:`ivf_topk`. Returns (query_id, vec_id, dist, rank).
+
+    ``residual=True`` is the paper-faithful variant: codes were produced
+    from :func:`residuals` output, and each (query, cell) pair gets its
+    own LUT built from the query's residual against THAT cell's
+    centroid — still driver-tiny (routed-pairs x M x K doubles).
     """
     from vector_search_spark.operators import pq as _pq
 
@@ -273,25 +309,37 @@ def ivf_adc_topk(
         raise ValueError("empty query set")
     m, kcent, dsub = model.codebooks.shape
     qids = qpdf["query_id"].to_numpy(dtype=np.int64)
-    Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64).reshape(len(qpdf), m, dsub)
-    lut = np.empty((len(qids), m, kcent))
-    for mi in range(m):
-        Qm, Cm = Q[:, mi, :], model.codebooks[mi]
-        lut[:, mi, :] = (
-            (Qm * Qm).sum(axis=1)[:, None]
-            + (Cm * Cm).sum(axis=1)[None, :]
-            - 2.0 * (Qm @ Cm.T)
-        )
-    np.maximum(lut, 0.0, out=lut)  # cancellation clamp
+    Qflat = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
+
+    def lut_for(Qsub: np.ndarray) -> np.ndarray:
+        Q3 = Qsub.reshape(len(Qsub), m, dsub)
+        out = np.empty((len(Qsub), m, kcent))
+        for mi in range(m):
+            Qm, Cm = Q3[:, mi, :], model.codebooks[mi]
+            out[:, mi, :] = (
+                (Qm * Qm).sum(axis=1)[:, None]
+                + (Cm * Cm).sum(axis=1)[None, :]
+                - 2.0 * (Qm @ Cm.T)
+            )
+        np.maximum(out, 0.0, out=out)  # cancellation clamp
+        return out
+
     qpos = {int(qid): i for i, qid in enumerate(qids)}
-    cell_to_q = {
-        int(cell): np.fromiter(
+    # cell -> (query positions, per-cell LUT). Non-residual: one global
+    # LUT sliced per cell; residual: LUT from (q - cell centroid).
+    glob = None if residual else lut_for(Qflat)
+    cell_to_q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for cell, grp in routes.groupby("cluster_id"):
+        qidx = np.fromiter(
             (qpos[int(q_)] for q_ in grp["query_id"]), dtype=np.int64
         )
-        for cell, grp in routes.groupby("cluster_id")
-    }
+        if residual:
+            lut_c = lut_for(Qflat[qidx] - centroids[int(cell)][None, :])
+        else:
+            lut_c = glob[qidx]
+        cell_to_q[int(cell)] = (qidx, lut_c)
     routed_cells = sorted(cell_to_q)
-    bc = queries.sparkSession.sparkContext.broadcast((qids, lut, cell_to_q))
+    bc = queries.sparkSession.sparkContext.broadcast((qids, cell_to_q))
 
     src = codes.select(
         F.col(id_col).alias("_id"),
@@ -300,20 +348,21 @@ def ivf_adc_topk(
     ).filter(F.col("_cell").isin(routed_cells))
 
     def fn(batches):
-        b_qids, b_lut, b_map = bc.value
+        b_qids, b_map = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             out = []
             for cell, grp in pdf.groupby("_cell"):
-                qidx = b_map.get(int(cell))
-                if qidx is None or not len(grp):
+                hit = b_map.get(int(cell))
+                if hit is None or not len(grp):
                     continue
+                qidx, lut_c = hit
                 vids = grp["_id"].to_numpy(dtype=np.int64)
                 cm = np.vstack(grp["_c"].to_numpy()).astype(np.int64)
                 D = np.zeros((len(qidx), len(vids)))
                 for mi in range(m):
-                    D += b_lut[qidx][:, mi, :][
+                    D += lut_c[:, mi, :][
                         np.arange(len(qidx))[:, None], cm[:, mi][None, :]
                     ]
                 kk = min(k, D.shape[1])

@@ -338,23 +338,28 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivf_adc_knn", None, "vector", "ivf", "pq", "rows-only")
 def q_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC: coarse routing + PQ-compressed (asymmetric-distance)
-    scoring inside the probed cells — the classic billion-scale layout
-    (Jégou et al. 2011). Trained models are RNG-dependent -> rows-only;
-    recall vs exact kNN is gated in tests/test_ivf.py."""
+    """IVFADC, paper-faithful residual form (Jégou et al. 2011 §III):
+    coarse routing, PQ trained on and encoding RESIDUALS
+    (x - centroid[cell]), asymmetric-distance scoring with a per
+    (query, cell) LUT inside the probed cells — the classic
+    billion-scale layout. Trained models are RNG-dependent ->
+    rows-only; recall vs exact kNN is gated in tests/test_ivf.py."""
     emb = tables.load(spark, sf_dir, "embeddings")
     # coarse cells from a bounded-sample driver-side trainer (FAISS
     # practice): the centroids only route rows, so full-data Lloyd jobs
     # buy nothing here
     C = kmeans.train_coarse(emb, k=IVF_NC, seed=42)
-    assigned = ivf.assign_clusters(emb, C).cache()
-    model, _ = pq.train_pq(emb, m=PQ_M, k=PQ_K, seed=42, max_iter=8)
-    codes = pq.encode(assigned, model).join(
-        assigned.select("vec_id", "cluster_id"), "vec_id"
+    assigned = ivf.assign_clusters(emb, C)
+    res = ivf.residuals(assigned, C).cache()
+    model, _ = pq.train_pq(
+        res, m=PQ_M, k=PQ_K, seed=42, max_iter=8, vec_col="residual"
+    )
+    codes = pq.encode(res, model, vec_col="residual").join(
+        res.select("vec_id", "cluster_id"), "vec_id"
     )
     queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
     out = ivf.ivf_adc_topk(
-        queries, codes, C, model, k=10, nprobe=IVF_NPROBE
+        queries, codes, C, model, k=10, nprobe=IVF_NPROBE, residual=True
     )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
