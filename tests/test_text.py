@@ -128,6 +128,59 @@ def test_winnow_fingerprint_overlap_for_near_dups(spark, docs):
     assert shared.count() == exact.count(), "every near-dup pair shares >= 1 fingerprint"
 
 
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    """A boilerplate shingle shared by every doc must not force all-pairs:
+    with the cap below N the hot shingle is dropped, leaving only the
+    genuinely-similar pair; without a cap every doc pairs with every
+    other via the boilerplate."""
+    boiler = "terms of service apply"
+    rows = [(i, f"{boiler} unique{i} filler{i} body{i}") for i in range(10)]
+    # plant one real near-dup pair (docs 100/101 share all content)
+    rows += [
+        (100, f"{boiler} shared content here exactly alike"),
+        (101, f"{boiler} shared content here exactly alike"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.01)
+    capped = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.01, max_shingle_df=5
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 12 * 11 / 2 * 0.5, "boilerplate should pair most docs"
+    assert n_cap < n_un
+    capped_pairs = {(r.a, r.b) for r in capped.collect()}
+    assert (100, 101) in capped_pairs, "real near-dup must survive the cap"
+    # inert cap (above every df) reproduces the exact ground truth
+    inert = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.01, max_shingle_df=1000
+    )
+    assert {(r.a, r.b, round(r.jaccard, 9)) for r in inert.collect()} == {
+        (r.a, r.b, round(r.jaccard, 9)) for r in uncapped.collect()
+    }
+
+
+def test_winnow_short_docs_emit_one_fingerprint(spark):
+    """Documents with 0 < n_shingles < window must emit min(h) (the
+    winnowing guarantee: every document with >=1 shingle is visible to
+    the sketch), not vanish."""
+    short = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # 1 shingle (n=3 tokens)
+            (2, "alpha beta gamma delta"),    # 2 shingles < window=4
+            (3, "a b c d e f g h i j"),       # 8 shingles >= window
+        ],
+        "doc_id long, text string",
+    )
+    fps = textstats.winnow_fingerprints(short, shingle_n=3, window=4)
+    per_doc = {
+        r.doc_id: r.n
+        for r in fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_doc.get(1, 0) == 1
+    assert per_doc.get(2, 0) == 1
+    assert per_doc.get(3, 0) >= 1
+
+
 def test_language_id_deterministic_schema(spark, docs):
     out = textstats.language_id(docs)
     assert out.count() == docs.count()

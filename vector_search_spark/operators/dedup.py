@@ -253,18 +253,36 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold (the dedup ground truth).
 
     The shingle-key self-join only materializes pairs that share ≥1
     shingle; with a stopword-free shingle length (n≥3) this is far below
-    N² on natural text. Hot shingles (boilerplate) are the skew risk —
-    at scale, drop shingles with document frequency above a cap first.
+    N² on natural text. Hot shingles (boilerplate) are the skew risk:
+    ``max_shingle_df`` drops shingles whose document frequency exceeds
+    the cap BEFORE the self-join (one extra groupBy + semi-join on the
+    shingle key), bounding the per-shingle join fan-out at df², so one
+    boilerplate shingle can never produce an N² pair blow-up. The
+    intersection counts then undercount by the dropped shingles — with
+    |A|,|B| still exact, reported Jaccard is a lower bound, which only
+    *drops* borderline pairs (standard practice in web-dedup pipelines).
+    With the cap unset (or above every df) output is exactly the
+    ground-truth Jaccard.
     """
     # eager: three branches reuse sh (see minhash_lsh_pairs)
     sh = shingle_table(docs, shingle_n, text_col, id_col).localCheckpoint()
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    joinable = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle", "left_semi")
+    a = joinable.select(F.col(id_col).alias("a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
@@ -454,19 +472,72 @@ def embedding_near_dup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, sim ≥ threshold).
 
-    Same execution shape as knn.score_topk_gemm: broadcast the normalized
-    matrix, one BLAS pass over the base partitions, emit only rows over
-    the threshold — output-sensitive shuffle, never an N² exchange.
-    Broadcastability of the full set is the constraint; beyond that,
-    pre-block with IVF cells (operators/ivf.py) and run per-cell.
+    Two shapes:
+
+    - ``centroids`` given (the SCALE path): IVF-cell blocking, the
+      mirror of graph.knn_graph_blocked — every vector is routed to its
+      ``nprobe`` nearest coarse cells, candidate pairs exist only
+      within a shared cell (one side routed, one side home), scored
+      per-cell with a normalized gemm inside applyInPandas. Work is
+      Σ|cell|·|routed-to-cell|, never N², and nothing is ever collected
+      to the driver or broadcast whole. Pairs whose members share no
+      probed cell are the (tunable) false negatives, exactly as in any
+      IVF-blocked similarity join.
+    - ``centroids=None`` (exact baseline): broadcast the full
+      normalized matrix, one BLAS pass over the partitions — the
+      all-pairs ground truth, valid only while the set fits a
+      broadcast (same constraint as any broadcast join).
     """
     import numpy as np
     import pandas as pd
 
     from vector_search_spark.functions.distance import as_double_array
+
+    if centroids is not None:
+        from vector_search_spark.operators.graph import route_to_cells
+
+        routed = route_to_cells(emb, centroids, nprobe, id_col, vec_col)
+
+        def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"a": [], "b": [], "cos_sim": []}).astype(
+                {"a": np.int64, "b": np.int64, "cos_sim": np.float64}
+            )
+            if not len(pdf):
+                return empty
+            home = pdf[pdf["probe_rank"] == 0]
+            if not len(home):
+                return empty
+            S = np.vstack(pdf["v"].to_numpy())
+            B = np.vstack(home["v"].to_numpy())
+            sid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            bid = home["vec_id"].to_numpy(dtype=np.int64)
+
+            def normalize(M):
+                n = np.linalg.norm(M, axis=1)
+                return np.divide(
+                    M, n[:, None], out=np.zeros_like(M), where=n[:, None] != 0
+                )
+
+            C = normalize(S) @ normalize(B).T
+            ii, jj = np.nonzero(
+                (C >= threshold) & (sid[:, None] != bid[None, :])
+            )
+            a = np.minimum(sid[ii], bid[jj])
+            b = np.maximum(sid[ii], bid[jj])
+            return pd.DataFrame({"a": a, "b": b, "cos_sim": C[ii, jj]})
+
+        scored = routed.groupBy("cell").applyInPandas(
+            per_cell, "a long, b long, cos_sim double"
+        )
+        # a pair sharing several cells (or seen from both directions)
+        # dedups on the key; max() guards against last-bit gemm drift
+        # between different per-cell matrix shapes
+        return scored.groupBy("a", "b").agg(F.max("cos_sim").alias("cos_sim"))
 
     pdf = emb.select(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")

@@ -47,6 +47,7 @@ __all__ = [
     "hnsw_levels",
     "select_neighbors_heuristic",
     "hnsw_build",
+    "descend_entry_points",
     "greedy_search",
     "graph_height",
     "layer_node_counts",
@@ -115,15 +116,20 @@ def route_to_cells(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, cell, probe_rank, vec) — each point assigned to its nprobe
-    nearest coarse cells; probe_rank 0 is the home cell. Scored against
-    the broadcast centroid matrix in one mapInPandas pass."""
+    """(id, cell, probe_rank, vec[, carry...]) — each point assigned to
+    its nprobe nearest coarse cells; probe_rank 0 is the home cell.
+    Scored against the broadcast centroid matrix in one mapInPandas
+    pass. ``carry_cols`` (int-typed) ride along through the pass so
+    callers don't need a post-routing join to re-attach them."""
     bc = points.sparkSession.sparkContext.broadcast(
         centroids.astype(np.float64)
     )
     src = points.select(
-        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+        F.col(id_col).alias("vec_id"),
+        as_double_array(vec_col).alias("v"),
+        *[F.col(c) for c in carry_cols],
     )
     npb = nprobe
 
@@ -139,17 +145,20 @@ def route_to_cells(
             m = min(npb, D.shape[1])
             cells = np.argsort(D, axis=1, kind="stable")[:, :m]
             n = len(vids)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(vids, m),
-                    "cell": cells.reshape(-1).astype(np.int32),
-                    "probe_rank": np.tile(np.arange(m, dtype=np.int32), n),
-                    "v": list(np.repeat(pdf["v"].to_numpy(), m)),
-                }
-            )
+            out = {
+                "vec_id": np.repeat(vids, m),
+                "cell": cells.reshape(-1).astype(np.int32),
+                "probe_rank": np.tile(np.arange(m, dtype=np.int32), n),
+                "v": list(np.repeat(pdf["v"].to_numpy(), m)),
+            }
+            for c in pdf.columns:
+                if c not in ("vec_id", "v"):
+                    out[c] = np.repeat(pdf[c].to_numpy(), m)
+            yield pd.DataFrame(out)
 
+    carry_schema = "".join(f", {c} int" for c in carry_cols)
     return src.mapInPandas(
-        fn, "vec_id long, cell int, probe_rank int, v array<double>"
+        fn, f"vec_id long, cell int, probe_rank int, v array<double>{carry_schema}"
     )
 
 
@@ -428,11 +437,6 @@ def hnsw_build(
     (min id among them, deterministic)."""
     if m_l is None:
         m_l = 1.0 / np.log(m)
-    levels = hnsw_levels(points, m_l, seed, id_col).cache()
-    # one job: highest level, lowest id among its nodes
-    top_row = levels.orderBy(F.desc("level"), "vec_id").limit(1).first()
-    top = int(top_row["level"]) if top_row else 0
-    ep = int(top_row["vec_id"]) if top_row else 0
 
     # Single-pass layered candidate generation. Layer-l node sets are
     # NESTED (level >= l), so one gemm per cell serves every layer: the
@@ -441,9 +445,28 @@ def hnsw_build(
     # running knn_graph_blocked per layer (routing is per-point, so
     # filtering routed rows == routing the filtered subset) but with one
     # shuffle pipeline instead of one per layer.
-    routed = route_to_cells(points, centroids, nprobe, id_col, vec_col).join(
-        levels, "vec_id"
+    #
+    # The level draw rides through the routing pass (carry_cols) and the
+    # routed relation is checkpointed ONCE: the level probe, the edge
+    # pipeline, and HNSWGraph.levels all read the same materialized
+    # draw — no second F.rand evaluation anywhere (F.rand is partition-
+    # dependent, so re-evaluating it in two plans invites divergence).
+    lvl_expr = F.floor(-F.log(F.rand(seed)) * F.lit(m_l)).cast("int")
+    routed = route_to_cells(
+        points.withColumn("level", lvl_expr),
+        centroids,
+        nprobe,
+        id_col,
+        vec_col,
+        carry_cols=("level",),
+    ).localCheckpoint()
+    levels = routed.filter(F.col("probe_rank") == 0).select(
+        "vec_id", "level"
     )
+    # one tiny job over the checkpoint: highest level, lowest id
+    top_row = levels.orderBy(F.desc("level"), "vec_id").limit(1).first()
+    top = int(top_row["level"]) if top_row else 0
+    ep = int(top_row["vec_id"]) if top_row else 0
     kk = ef_construction + 4  # per-cell pad absorbs cross-cell dedup
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -554,45 +577,28 @@ def hnsw_build(
         )
         .select("layer", "src", F.col("e.dst").alias("dst"), F.col("e.dist").alias("dist"))
     )
+    # eager materialization, not lazy cache: the search walks this
+    # artifact from MANY subtrees of one action (descent layers + hop
+    # unrolls); a lazy cache races — every subtree recomputes the whole
+    # build before the cache fills. The artifact is the "built index",
+    # bounded at N*m rows per layer sum, exactly what a real pipeline
+    # would persist to parquet between build and serve.
     return HNSWGraph(
-        edges=edges.cache(), levels=levels, entry_point=int(ep),
+        edges=edges.localCheckpoint(), levels=levels, entry_point=int(ep),
         max_level=int(top),
     )
 
 
-def greedy_search(
-    graph: HNSWGraph,
+def _broadcast_query_scorer(
     points: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    ef: int = 32,
-    max_hops: int = 12,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seeds: DataFrame | None = None,
-    expand: int = 1,
-) -> DataFrame:
-    """Layer-0 batch greedy search over the edge artifact: every query
-    expands its frontier one hop per iteration until no frontier node
-    improves its current top-ef (or max_hops). Returns
-    (query_id, vec_id, dist, rank<=k).
-
-    Demonstrator of py/hnsw.py:240-277 in set-oriented form — the
-    early-termination heap loop becomes an iteration-level stop test.
-    Upper layers are skipped: with batch queries the descent saves a
-    couple of hops at the cost of L extra sequential jobs (noted in
-    SURVEY.md §4); entry is the global entry point for every query,
-    optionally widened by ``seeds`` (query_id, vec_id) — e.g. per-cell
-    anchor nodes from coarse routing, the batch stand-in for the
-    upper-layer descent, which cuts hop count roughly in half.
-
-    ``expand`` chains that many edge-joins per iteration (frontier →
-    neighbors → neighbors-of-neighbors → ...) before scoring, trading a
-    wider candidate batch (cheap: one gemm) for fewer sequential Spark
-    jobs — the scheduling latency of the iteration loop, not the scoring
-    work, is what dominates wall-clock. Recall can only improve: the
-    1-hop candidate set is a subset of the expanded one.
-    """
+    id_col: str,
+    vec_col: str,
+):
+    """Shared scorer for the graph-walk operators: broadcast the query
+    matrix once, return (qids, score_fn) where score_fn maps a
+    (query_id, vec_id) DataFrame to (query_id, vec_id, dist) via one
+    exact (a-b)^2 gemm-free kernel per Arrow batch."""
     spark = points.sparkSession
     qpdf = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
@@ -600,14 +606,11 @@ def greedy_search(
     qids = qpdf["query_id"].to_numpy(dtype=np.int64)
     Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((qids, Q))
-
     base = points.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("bv")
     )
-    edges0 = graph.edges.filter(F.col("layer") == 0).select("src", "dst")
 
     def score(cands: DataFrame) -> DataFrame:
-        """(query_id, vec_id) -> + dist, via broadcast query matrix."""
         withv = cands.join(base, "vec_id")
 
         def fn(batches):
@@ -631,6 +634,150 @@ def greedy_search(
 
         return withv.mapInPandas(fn, "query_id long, vec_id long, dist double")
 
+    return qids, score
+
+
+def descend_entry_points(
+    graph: HNSWGraph,
+    points: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-layer greedy descent (reference KNNSearch layers L..1 with
+    ef=1, py/hnsw.py:408-409): start every query at the global entry
+    point; at each layer from the top down, walk to the layer-local
+    distance minimum (ef=1 SearchLayer semantics — hop to the closest
+    neighbor while it improves), then drop a layer. Returns
+    (query_id, vec_id) — per-query layer-0 entry seeds.
+
+    Executed on the upper-layer ARTIFACT collected to the driver: the
+    upper layers hold ~N/m of the nodes (sum_l N·p^l, p=1/m), i.e. the
+    routing skeleton, the same order as a coarse-quantizer model — two
+    bounded collects (edges, member vectors) and a vectorized numpy
+    walk, zero per-hop Spark jobs. For N where even N/m is no longer a
+    model-sized artifact, per-segment sharded HNSW
+    (operators/hnsw_sharded.py) is the serving shape — this demonstrator
+    mirrors the reference's single-index layout.
+    """
+    spark = points.sparkSession
+    if graph.max_level < 1:
+        qpdf = queries.select(F.col(id_col).alias("query_id")).toPandas()
+        return spark.createDataFrame(
+            [(int(q), graph.entry_point) for q in qpdf["query_id"]],
+            "query_id long, vec_id long",
+        )
+    up = (
+        graph.edges.filter(F.col("layer") >= 1)
+        .select("layer", "src", "dst")
+        .toPandas()
+    )
+    node_ids = np.unique(np.concatenate([up["src"].to_numpy(), up["dst"].to_numpy()])) if len(up) else np.array([graph.entry_point], dtype=np.int64)
+    nodes = points.sparkSession.createDataFrame(
+        [(int(i),) for i in node_ids], "vec_id long"
+    )
+    vec_pdf = (
+        points.select(
+            F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+        )
+        .join(F.broadcast(nodes), "vec_id", "left_semi")
+        .toPandas()
+    )
+    vpos = {int(v): i for i, v in enumerate(vec_pdf["vec_id"])}
+    V = np.vstack(vec_pdf["v"].to_numpy()).astype(np.float64)
+    qpdf = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).toPandas()
+    qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+    Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
+
+    # adjacency per layer
+    adj: dict[int, dict[int, np.ndarray]] = {}
+    for layer, grp in up.groupby("layer"):
+        adj[int(layer)] = {
+            int(s): g["dst"].to_numpy(dtype=np.int64)
+            for s, g in grp.groupby("src")
+        }
+
+    cur = np.full(len(qids), graph.entry_point, dtype=np.int64)
+    ep = graph.entry_point
+    cur_d = (
+        ((Q - V[vpos[ep]][None, :]) ** 2).sum(axis=1)
+        if ep in vpos
+        else np.full(len(qids), np.inf)
+    )
+    for layer in range(graph.max_level, 0, -1):
+        a = adj.get(layer)
+        if not a:
+            continue
+        active = np.ones(len(qids), dtype=bool)
+        while active.any():
+            for qi in np.nonzero(active)[0]:
+                nbrs = a.get(int(cur[qi]))
+                if nbrs is None or not len(nbrs):
+                    active[qi] = False
+                    continue
+                rows = np.fromiter(
+                    (vpos[int(n)] for n in nbrs), dtype=np.int64
+                )
+                d = ((V[rows] - Q[qi][None, :]) ** 2).sum(axis=1)
+                j = int(np.lexsort((nbrs, d))[0])
+                if d[j] < cur_d[qi]:
+                    cur[qi], cur_d[qi] = nbrs[j], d[j]
+                else:
+                    active[qi] = False
+    return spark.createDataFrame(
+        [(int(q), int(c)) for q, c in zip(qids, cur)],
+        "query_id long, vec_id long",
+    )
+
+
+def greedy_search(
+    graph: HNSWGraph,
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = 32,
+    max_hops: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
+    expand: int = 1,
+    early_stop: bool = True,
+) -> DataFrame:
+    """Layer-0 batch greedy search over the edge artifact: every query
+    expands its frontier one hop per iteration until no frontier node
+    improves its current top-ef (or max_hops). Returns
+    (query_id, vec_id, dist, rank<=k).
+
+    Set-oriented form of py/hnsw.py:240-277 — the early-termination
+    heap loop becomes an iteration-level stop test. Entry is the global
+    entry point for every query, optionally widened by ``seeds``
+    (query_id, vec_id) — e.g. per-query anchors from
+    :func:`descend_entry_points` (the real upper-layer descent) or
+    coarse-cell routing.
+
+    ``expand`` chains that many edge-joins per iteration (frontier →
+    neighbors → neighbors-of-neighbors → ...) before scoring, trading a
+    wider candidate batch (cheap: one gemm) for fewer sequential Spark
+    jobs — the scheduling latency of the iteration loop, not the scoring
+    work, is what dominates wall-clock. Recall can only improve: the
+    1-hop candidate set is a subset of the expanded one.
+
+    ``early_stop=True`` (reference semantics, SURVEY §2 #10) probes the
+    frontier after each hop and breaks when no query improved — one
+    extra tiny job per hop. ``early_stop=False`` runs the fixed hop
+    budget with no probe jobs — the deterministic shape the SQL oracle
+    replays (an exhausted frontier contributes no candidates either
+    way, so results are identical for the same hop budget). Each hop is
+    checkpointed in both modes: the merged beam is referenced by three
+    downstream subtrees (results, frontier, visited), and re-deriving
+    it per subtree would square the work per hop.
+    """
+    spark = points.sparkSession
+    qids, score = _broadcast_query_scorer(points, queries, id_col, vec_col)
+    edges0 = graph.edges.filter(F.col("layer") == 0).select("src", "dst")
+
     # seed: entry point for every query (+ any caller-provided anchors)
     seed_df = spark.createDataFrame(
         [(int(q), graph.entry_point) for q in qids], "query_id long, vec_id long"
@@ -645,7 +792,6 @@ def greedy_search(
     # on a later hop, but the result set improves monotonically so it
     # can never survive the window — identical output, and the whole
     # hop (score + merge + truncate) collapses into ONE eager job.
-    # visited stays a shallow union of checkpointed selects.
     visited = results.select("query_id", "vec_id")
     frontier = results
 
@@ -682,7 +828,7 @@ def greedy_search(
         )
         results = merged.drop("_new")
         frontier = merged.filter(F.col("_new")).drop("_new")
-        if not frontier.take(1):
+        if early_stop and not frontier.take(1):
             break
         visited = visited.unionByName(
             frontier.select("query_id", "vec_id")

@@ -224,6 +224,12 @@ def score_topk_gemm(
                 D = -(b_Q @ B.T)
             if exclude_self:
                 D[b_qids[:, None] == vids[None, :]] = np.inf
+            # NOTE: the k+pad candidate CUT ranks by the gemm distances
+            # while the reported values use the exact (a-b)^2 recompute;
+            # a near-tie exactly at the cut boundary is resolved by the
+            # approximate values (relative error ~1e-15). The pad hides,
+            # not eliminates, that boundary — only exact-duplicate
+            # vectors can tie closely enough for it to matter.
             m = min(kk, D.shape[1])
             if m < D.shape[1]:
                 cand = np.argpartition(D, m - 1, axis=1)[:, :m]
@@ -300,7 +306,8 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "window",
-    impl: str = "gemm",
+    impl: str = "auto",
+    max_gemm_rows: int = 200_000,
 ) -> DataFrame:
     """Batch kNN graph: top-k neighbors per node, self-edges excluded.
 
@@ -309,9 +316,18 @@ def knn_graph(
     neighbor lists for *all* nodes in one job. Returns
     ``(src, dst, dist, rank)``.
 
-    Scale path: for large N the node set no longer fits a broadcast —
-    feed candidate pairs from IVF cells (operators/ivf.py) instead of
-    the full self-join; same downstream top-k per src.
+    ``impl='auto'`` (default) guards the gemm path's collect-the-query-
+    side step with a broadcastability check: the full node set is only
+    pulled to the driver when it is known to fit (``<= max_gemm_rows``,
+    one cheap count job — 200k x 64 float64 is ~100 MB, the same order
+    as a broadcast-join side). Beyond that it falls back to the
+    distributed expression path: an un-broadcast cross join whose
+    streamed side stays partitioned, the codegen distance fold, and the
+    map-side partial top-k combiner — no driver materialization of any
+    side at any N. Exact kNN-graph is inherently N² compute; the scale
+    *serving* path is the blocked approximate graph
+    (operators/graph.py:knn_graph_blocked over IVF cells), which SURVEY
+    §2 exposes as nng_blocked.
     """
     cols = dict(
         query_id_col=id_col,
@@ -319,14 +335,19 @@ def knn_graph(
         base_id_col=id_col,
         base_vec_col=vec_col,
     )
+    if impl == "auto":
+        n = base.select(id_col).count()
+        impl = "gemm" if n <= max_gemm_rows else "expr"
+        if impl == "expr":
+            mode = "partial"  # map-side top-k: shuffle ~k rows/node
     if impl == "gemm":
         scored = score_topk_gemm(
             base, base, k, metric=metric, exclude_self=True, **cols
         )
     else:
-        scored = score_pairs(base, base, metric=metric, **cols).filter(
-            F.col("query_id") != F.col("vec_id")
-        )
+        scored = score_pairs(
+            base, base, metric=metric, broadcast_queries=False, **cols
+        ).filter(F.col("query_id") != F.col("vec_id"))
     out = topk_per_query(scored, k, mode=mode)
     return out.select(
         F.col("query_id").alias("src"),

@@ -192,6 +192,11 @@ def winnow_fingerprints(
     Shuffle-free except the final distinct: shingling and the windowed
     min are per-document (partitioned window over id, ordered by shingle
     position). Returns (id, fingerprint).
+
+    Standard winnowing guarantees >=1 fingerprint for any document with
+    >=1 shingle: documents with fewer than ``window`` shingles emit the
+    min over all their shingle hashes (the pos=0 partial window), so
+    short documents stay visible to the sketch.
     """
     sh = docs.select(
         F.col(id_col),
@@ -212,7 +217,7 @@ def winnow_fingerprints(
             F.min("h").over(w).alias("fingerprint"),
             F.count(F.lit(1)).over(cnt).alias("_n"),
         )
-        .filter(F.col("pos") <= F.col("_n") - window)
+        .filter(F.col("pos") <= F.greatest(F.col("_n") - window, F.lit(0)))
         .select(id_col, "fingerprint")
         .distinct()
     )

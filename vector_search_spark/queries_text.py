@@ -152,6 +152,11 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 NJ_TAU = 0.05
+# hot-shingle document-frequency cap: shingles in more than this many
+# docs are dropped before the self-join (skew guard; join fan-out per
+# shingle is bounded at df^2). Mirrored in the oracle SQL, so the value
+# hash stays exact whether or not the cap bites at this SF.
+NJ_DF_CAP = 200
 
 
 @register(
@@ -159,10 +164,14 @@ NJ_TAU = 0.05
     f"""
 WITH {_TOKS},
 {_sh_cte(MH_N)},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NJ_DF_CAP}
+),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
-  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  FROM shf sa JOIN shf sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
   GROUP BY sa.doc_id, sb.doc_id
 ),
 jac AS (
@@ -176,9 +185,12 @@ SELECT a, b, (ROUND(j, 6) + 0.0) AS jaccard FROM jac WHERE j >= {NJ_TAU}
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram Jaccard >= tau via shingle-key self-join
-    (output-sensitive: disjoint docs never pair)."""
+    (output-sensitive: disjoint docs never pair; hot-shingle DF cap
+    bounds the skew — the oracle replays the cap)."""
     docs = tables.load(spark, sf_dir, "documents")
-    out = dedup.ngram_jaccard_pairs(docs, shingle_n=MH_N, threshold=NJ_TAU)
+    out = dedup.ngram_jaccard_pairs(
+        docs, shingle_n=MH_N, threshold=NJ_TAU, max_shingle_df=NJ_DF_CAP
+    )
     return out.select("a", "b", rnd("jaccard").alias("jaccard"))
 
 
@@ -416,7 +428,8 @@ w AS (
          count(*) OVER (PARTITION BY doc_id) AS n
   FROM hh
 )
-SELECT DISTINCT doc_id, fingerprint FROM w WHERE pos <= n - {WIN_W}
+SELECT DISTINCT doc_id, fingerprint FROM w
+WHERE pos <= greatest(n - {WIN_W}, 0)
 """,
     "text",
     "analysis",

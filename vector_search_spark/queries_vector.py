@@ -515,9 +515,10 @@ def q_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("hnsw_knn", None, "vector", "graph", "hnsw", "rows-only")
 def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layered-graph build (paper-faithful level draw, diversity-pruned
-    edges) + batch greedy layer-0 search for 20 queries. RNG-dependent
-    (seeded F.rand level draw) -> rows-only; Recall@10 vs brute force
-    is gated in tests/test_graph.py."""
+    edges) + real upper-layer batch descent (reference KNNSearch,
+    py/hnsw.py:408-409) + fixed-budget layer-0 beam search.
+    RNG-dependent (seeded F.rand level draw) -> rows-only; Recall@10
+    vs brute force is gated in tests/test_graph.py."""
     from vector_search_spark.operators import graph as gr
 
     emb = tables.load(spark, sf_dir, "embeddings")
@@ -526,22 +527,12 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = kmeans.train_coarse(emb, k=8, seed=42)
     hg = gr.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
     queries = emb.filter(F.col("vec_id") < 20)
-    # coarse-descent stand-in: seed each query with the anchor node
-    # (nearest-to-centroid member) of its nprobe nearest cells
-    anchors = (
-        kmeans.assign(emb, C)
-        .groupBy("cluster_id")
-        .agg(F.min_by("vec_id", F.struct("dist", "vec_id")).alias("vec_id"))
-        .withColumnRenamed("cluster_id", "cell")
-    )
-    seeds = (
-        gr.route_to_cells(queries, C, nprobe=2)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-        .join(anchors, "cell")
-        .select("query_id", "vec_id")
-    )
+    # descend the upper layers for per-query layer-0 entry seeds (the
+    # routing-skeleton walk), then a short fixed-budget beam search
+    seeds = gr.descend_entry_points(hg, emb, queries)
     out = gr.greedy_search(
-        hg, emb, queries, k=10, ef=48, max_hops=6, seeds=seeds, expand=2
+        hg, emb, queries, k=10, ef=48, max_hops=2, seeds=seeds,
+        expand=4, early_stop=False,
     )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 

@@ -78,9 +78,12 @@ def streaming_topk(
 ) -> DataFrame:
     """Maintain each query's running top-k across micro-batches with
     ``applyInPandasWithState``. Emits, per trigger and per updated query,
-    the query's current top-k plus ``n_seen`` (total vectors scored so
-    far) — consumers take the row set with the highest ``n_seen`` per
-    query as the freshest answer.
+    the query's current top-k plus ``n_seen`` (total scored rows
+    observed so far — with an at-least-once source this counts replays
+    too; it is a freshness watermark, not an exact cardinality) —
+    consumers take the row set with the highest ``n_seen`` per query as
+    the freshest answer. Duplicate ``vec_id`` deliveries are deduped at
+    merge time (keep-min-dist), so replays never occupy two top-k slots.
 
     State schema is two parallel arrays (ids, dists) of length <= k:
     bounded, serializable, merge is a vectorized argsort over
@@ -108,7 +111,14 @@ def streaming_topk(
             dists = np.concatenate(
                 [dists, pdf["dist"].to_numpy(dtype=np.float64)]
             )
-            keep = np.lexsort((ids, dists))[:k]
+            # dedup vec_id keeping its min dist so an at-least-once
+            # source (micro-batch replay) can't occupy two top-k slots
+            # with the same vector: first occurrence in (dist, vec_id)
+            # order == min dist for that id.
+            order = np.lexsort((ids, dists))
+            ids, dists = ids[order], dists[order]
+            _, first = np.unique(ids, return_index=True)
+            keep = np.sort(first)[:k]
             ids, dists = ids[keep], dists[keep]
         state.update((ids.tolist(), dists.tolist(), int(n_seen)))
         yield pd.DataFrame(

@@ -35,9 +35,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores TIMESTAMP(NANOS), which the vectorized
         # parquet reader rejects outright. Read the raw int64 nanos and
         # truncate to micros exactly as DuckDB does (integer div — a
-        # float division would lose precision at 1.7e18).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # float division would lose precision at 1.7e18). The legacy
+        # flag is scoped to this read (schema is resolved eagerly at
+        # spark.read time) and restored so other TIMESTAMP(NANOS) reads
+        # in the session keep their default typing.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
