@@ -159,6 +159,33 @@ def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
     }
 
 
+def test_embedding_near_dup_blocked_vs_exact(spark):
+    """The IVF-blocked near-dup pass must (a) be a subset of the exact
+    all-pairs answer and (b) recover most of it at nprobe=2 — the same
+    recall contract as any IVF-pruned search."""
+    from vector_search_spark import tables
+    from vector_search_spark.operators import kmeans
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.a, r.b): r.cos_sim
+        for r in dedup.embedding_near_dup(emb, threshold=0.4).collect()
+    }
+    assert exact, "fixture should contain near-dup embeddings"
+    C = kmeans.init_first_k(emb, 16)
+    blocked = {
+        (r.a, r.b): r.cos_sim
+        for r in dedup.embedding_near_dup(
+            emb, threshold=0.4, centroids=C, nprobe=2
+        ).collect()
+    }
+    assert set(blocked) <= set(exact)
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.6, f"blocked recall {recall:.2f} too low"
+    for k_, v in blocked.items():
+        assert abs(v - exact[k_]) < 1e-9
+
+
 def test_winnow_short_docs_emit_one_fingerprint(spark):
     """Documents with 0 < n_shingles < window must emit min(h) (the
     winnowing guarantee: every document with >=1 shingle is visible to

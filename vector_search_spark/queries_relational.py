@@ -707,21 +707,44 @@ def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Approximate distinct (HLL sketch) — rows-only (sketches differ across
-# engines by construction); relative-error gate lives in tests/
+# Approximate distinct (HLL sketch): sketch VALUES differ across engines
+# by construction, so the oracle checks the sketch's CONTRACT instead —
+# the exact distinct count plus a boolean asserting the HLL estimate
+# landed within the documented 5% band. A drifting sketch flips the
+# boolean and fails the value hash, so the check is driver-visible.
 # --------------------------------------------------------------------------
 
 
-@register("events_approx_distinct", None, "relational", "agg", "rows-only")
+@register(
+    "events_approx_distinct",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+""",
+    "relational",
+    "agg",
+)
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type: the constant-memory
-    distinct that replaces exact count_distinct at 100 TB. Rows-only
-    (DuckDB's sketch differs); tests gate |approx-exact|/exact <= 5%."""
+    distinct that replaces exact count_distinct at 100 TB. Output pairs
+    the exact count with |approx-exact|/exact <= 5% as a boolean the
+    oracle can verify (the raw sketch value is engine-private)."""
     ev = tables.load(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
         )
-        .orderBy("event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
     )

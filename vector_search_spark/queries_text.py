@@ -274,19 +274,39 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 EMB_TAU = 0.4
+EMB_NC = 16      # coarse cells for the blocked candidate generation
+EMB_NPROBE = 2
 
 _DOT = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+_EL2 = "list_sum(list_transform(range(1, len({a})+1), i -> ({a}[i]-{b}[i])^2))"
 
 
 @register(
     "dedup_embedding",
     f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < {EMB_NC}),
+routed AS (
+  SELECT vec_id, cell, probe_rank FROM (
+    SELECT p.vec_id, c.cell,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_EL2.format(a="p.v", b="c.cv")}, c.cell) - 1
+             AS probe_rank
+    FROM e p CROSS JOIN cents c)
+  WHERE probe_rank < {EMB_NPROBE}
+),
+home AS (SELECT vec_id, cell FROM routed WHERE probe_rank = 0),
+prs AS (
+  SELECT DISTINCT least(r.vec_id, h.vec_id) AS a,
+                  greatest(r.vec_id, h.vec_id) AS b
+  FROM routed r JOIN home h ON h.cell = r.cell
+  WHERE r.vec_id <> h.vec_id
+),
 n AS (SELECT vec_id, v, sqrt({_DOT.format(a="v", b="v")}) AS nrm FROM e),
 p AS (
-  SELECT x.vec_id AS a, y.vec_id AS b,
+  SELECT prs.a, prs.b,
          {_DOT.format(a="x.v", b="y.v")} / (x.nrm * y.nrm) AS c
-  FROM n x JOIN n y ON x.vec_id < y.vec_id
+  FROM prs JOIN n x ON x.vec_id = prs.a JOIN n y ON y.vec_id = prs.b
 )
 SELECT a, b, (ROUND(c, 6) + 0.0) AS cos_sim FROM p WHERE c >= {EMB_TAU}
 """,
@@ -295,9 +315,18 @@ SELECT a, b, (ROUND(c, 6) + 0.0) AS cos_sim FROM p WHERE c >= {EMB_TAU}
     "vector",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (gemm scan + threshold)."""
+    """Embedding-cosine near-dup pairs, IVF-cell BLOCKED (the 100 TB
+    shape: candidates only within shared coarse cells, per-cell gemm —
+    no full-matrix broadcast anywhere). The oracle replays routing +
+    blocking + the cosine threshold, so the pruning semantics are
+    value-checked; blocked-vs-exact recall is gated in tests."""
+    from vector_search_spark.operators import kmeans
+
     emb = tables.load(spark, sf_dir, "embeddings")
-    out = dedup.embedding_near_dup(emb, threshold=EMB_TAU)
+    C = kmeans.init_first_k(emb, EMB_NC)
+    out = dedup.embedding_near_dup(
+        emb, threshold=EMB_TAU, centroids=C, nprobe=EMB_NPROBE
+    )
     return out.select("a", "b", rnd("cos_sim").alias("cos_sim"))
 
 

@@ -261,6 +261,44 @@ def q_pq_sdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pq_decode",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_CB_SQL},
+{_SUB_SQL},
+{_CODES_SQL},
+dec AS (
+  SELECT co.vec_id, co.m, c.cv
+  FROM codes co JOIN cb c ON c.m = co.m AND c.k_id = co.code
+),
+vals AS (
+  SELECT vec_id, m, generate_subscripts(cv, 1) - 1 AS j, unnest(cv) AS val
+  FROM dec
+)
+SELECT vec_id, CAST(m * {PQ_DSUB} + j AS INT) AS pos,
+       (ROUND(val, 6) + 0.0) AS val
+FROM vals
+""",
+    "vector",
+    "pq",
+)
+def q_pq_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ Decode / reconstruction (py/pq.py:276-295): gather the
+    codebook centroid for every code and concatenate the subvectors.
+    Output exploded to (vec_id, pos, val) scalars so the oracle
+    value-checks every reconstructed component, position-exact."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    model = _pq_model(spark, sf_dir)
+    codes = pq.encode(emb, model)
+    rec = pq.decode(codes, model)
+    return rec.select(
+        "vec_id", F.posexplode("vec").alias("pos", "val")
+    ).select(
+        "vec_id", F.col("pos").cast("int"), rnd("val").alias("val")
+    )
+
+
 @register("pq_train", None, "vector", "pq", "rows-only")
 def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PQ training (seeded kmeans++ init + joint Lloyd across all
@@ -336,24 +374,95 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
 
-@register("ivf_adc_knn", None, "vector", "ivf", "pq", "rows-only")
+_IVFADC_SQL = f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM pts WHERE vec_id < {IVF_NC}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT p.vec_id, c.cell, {_L2.format(a="p.v", b="c.cv")} AS d
+    FROM pts p CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+),
+res AS (
+  SELECT p.vec_id, a.cell,
+         list_transform(range(1, len(p.v)+1), i -> p.v[i] - c.cv[i]) AS r
+  FROM pts p JOIN assigned a USING (vec_id) JOIN cents c ON c.cell = a.cell
+),
+mm AS (SELECT CAST(unnest(range(0, {PQ_M})) AS INT) AS m),
+rcb AS (
+  SELECT mm.m, CAST(r0.vec_id - {IVF_NC} AS INT) AS k_id,
+         r0.r[mm.m*{PQ_DSUB}+1 : (mm.m+1)*{PQ_DSUB}] AS cv
+  FROM res r0 CROSS JOIN mm
+  WHERE r0.vec_id >= {IVF_NC} AND r0.vec_id < {IVF_NC + PQ_K}
+),
+rsub AS (
+  SELECT r0.vec_id, r0.cell, mm.m,
+         r0.r[mm.m*{PQ_DSUB}+1 : (mm.m+1)*{PQ_DSUB}] AS sv
+  FROM res r0 CROSS JOIN mm
+),
+rcodes AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT s.vec_id, s.cell, s.m, c.k_id AS code,
+           {_L2.format(a="s.sv", b="c.cv")} AS d
+    FROM rsub s JOIN rcb c ON s.m = c.m)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < {IVF_QUERIES}),
+qroutes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell, {_L2.format(a="q.qv", b="c.cv")} AS d
+    FROM q CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cell) <= {IVF_NPROBE}
+),
+qsub AS (
+  SELECT x.query_id, x.cell, mm.m,
+         x.qr[mm.m*{PQ_DSUB}+1 : (mm.m+1)*{PQ_DSUB}] AS sv
+  FROM (
+    SELECT q.query_id, r.cell,
+           list_transform(range(1, len(q.qv)+1), i -> q.qv[i] - c.cv[i]) AS qr
+    FROM q JOIN qroutes r USING (query_id) JOIN cents c ON c.cell = r.cell
+  ) x CROSS JOIN mm
+),
+lut AS (
+  SELECT s.query_id, s.cell, s.m, c.k_id,
+         {_L2.format(a="s.sv", b="c.cv")} AS d
+  FROM qsub s JOIN rcb c ON c.m = s.m
+),
+adc AS (
+  SELECT l.query_id, co.vec_id, SUM(l.d) AS d
+  FROM rcodes co
+  JOIN lut l ON l.cell = co.cell AND l.m = co.m AND l.k_id = co.code
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM adc
+QUALIFY "rank" <= 10
+"""
+
+
+@register("ivf_adc_knn", _IVFADC_SQL, "vector", "ivf", "pq")
 def q_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC, paper-faithful residual form (Jégou et al. 2011 §III):
-    coarse routing, PQ trained on and encoding RESIDUALS
-    (x - centroid[cell]), asymmetric-distance scoring with a per
-    (query, cell) LUT inside the probed cells — the classic
-    billion-scale layout. Trained models are RNG-dependent ->
-    rows-only; recall vs exact kNN is gated in tests/test_ivf.py."""
+    coarse routing, PQ codes over RESIDUALS (x - centroid[cell]),
+    asymmetric-distance scoring with a per-(query, cell) LUT inside the
+    probed cells — the classic billion-scale layout. Models here are
+    data-derived (first-NC coarse cells, residual codebooks from rows
+    NC..NC+K) so DuckDB replays the ENTIRE pipeline — assignment,
+    residuals, encode, routing, per-cell LUTs, ADC ranking — value-
+    exact. The RNG-trained variant (train_coarse + train_pq) is
+    recall-gated in tests/test_ivf.py."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    # coarse cells from a bounded-sample driver-side trainer (FAISS
-    # practice): the centroids only route rows, so full-data Lloyd jobs
-    # buy nothing here
-    C = kmeans.train_coarse(emb, k=IVF_NC, seed=42)
+    C = kmeans.init_first_k(emb, IVF_NC)
     assigned = ivf.assign_clusters(emb, C)
-    res = ivf.residuals(assigned, C).cache()
-    model, _ = pq.train_pq(
-        res, m=PQ_M, k=PQ_K, seed=42, max_iter=8, vec_col="residual"
-    )
+    # eager: the residual relation feeds three branches (codebook rows,
+    # encode, the cluster_id join) inside one action
+    res = ivf.residuals(assigned, C).localCheckpoint()
+    sel = res.filter(
+        (F.col("vec_id") >= IVF_NC) & (F.col("vec_id") < IVF_NC + PQ_K)
+    ).orderBy("vec_id")
+    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual")
+    model = pq.model_from_vectors(mat, PQ_M, PQ_K)
     codes = pq.encode(res, model, vec_col="residual").join(
         res.select("vec_id", "cluster_id"), "vec_id"
     )
@@ -496,6 +605,115 @@ def q_knn_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("mean_dist").alias("mean_dist"),
         rnd("max_dist").alias("max_dist"),
     )
+
+
+GS_Q = 10   # query set for the greedy-search oracle
+GS_EF = 8   # beam width
+
+
+@register(
+    "graph_greedy_search",
+    f"""
+WITH {_NNG_PIPE},
+edges AS (SELECT src, dst FROM topk),
+q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < {GS_Q}),
+anchors AS (SELECT cell, min(vec_id) AS anchor FROM home GROUP BY cell),
+seeds AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, CAST(0 AS BIGINT) AS vec_id FROM q
+    UNION
+    SELECT h.vec_id AS query_id, a.anchor AS vec_id
+    FROM home h JOIN anchors a ON a.cell = h.cell
+    WHERE h.vec_id < {GS_Q}
+  )
+),
+b0 AS (
+  SELECT s.query_id, s.vec_id, {_L2.format(a="q.qv", b="p.v")} AS d,
+         FALSE AS is_new
+  FROM seeds s JOIN q USING (query_id) JOIN pts p ON p.vec_id = s.vec_id
+),
+c1 AS (
+  SELECT DISTINCT f.query_id, e.dst AS vec_id
+  FROM b0 f JOIN edges e ON e.src = f.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM seeds v
+                    WHERE v.query_id = f.query_id AND v.vec_id = e.dst)
+),
+s1 AS (
+  SELECT c.query_id, c.vec_id, {_L2.format(a="q.qv", b="p.v")} AS d,
+         TRUE AS is_new
+  FROM c1 c JOIN q USING (query_id) JOIN pts p ON p.vec_id = c.vec_id
+),
+m1 AS (
+  SELECT query_id, vec_id, d, is_new FROM (
+    SELECT query_id, vec_id, d, is_new,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rr
+    FROM (SELECT query_id, vec_id, d, is_new FROM b0
+          UNION ALL SELECT query_id, vec_id, d, is_new FROM s1))
+  WHERE rr <= {GS_EF}
+),
+v1 AS (SELECT query_id, vec_id FROM seeds
+       UNION SELECT query_id, vec_id FROM m1 WHERE is_new),
+c2 AS (
+  SELECT DISTINCT f.query_id, e.dst AS vec_id
+  FROM m1 f JOIN edges e ON e.src = f.vec_id
+  WHERE f.is_new
+    AND NOT EXISTS (SELECT 1 FROM v1 v
+                    WHERE v.query_id = f.query_id AND v.vec_id = e.dst)
+),
+s2 AS (
+  SELECT c.query_id, c.vec_id, {_L2.format(a="q.qv", b="p.v")} AS d
+  FROM c2 c JOIN q USING (query_id) JOIN pts p ON p.vec_id = c.vec_id
+),
+m2 AS (
+  SELECT query_id, vec_id, d FROM (
+    SELECT query_id, vec_id, d,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rr
+    FROM (SELECT query_id, vec_id, d FROM m1
+          UNION ALL SELECT query_id, vec_id, d FROM s2))
+  WHERE rr <= {GS_EF}
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM m2
+QUALIFY "rank" <= {NNG_K}
+""",
+    "vector",
+    "graph",
+)
+def q_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The greedy beam search ITSELF under a value oracle (SURVEY §2
+    #8-10, #14, #26: frontier expansion, visited-set anti-join, top-ef
+    admission, fixed-budget termination — reference SearchLayer,
+    py/hnsw.py:240-277). Graph and seeds are deterministic (blocked kNN
+    graph over first-NC cells; seeds = global entry 0 + the query's
+    home-cell anchor), so the oracle replays the whole two-hop walk
+    hop by hop: candidates = frontier ⋈ edges minus visited, beam =
+    top-ef of beam ∪ scored, new frontier = admitted candidates."""
+    from vector_search_spark.operators import graph as gr
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, NNG_NC)
+    g = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=NNG_NPROBE)
+    edges = g.select(
+        F.lit(0).alias("layer"), "src", "dst", "dist"
+    ).localCheckpoint()
+    hg = gr.HNSWGraph(edges=edges, levels=None, entry_point=0, max_level=0)
+    queries = emb.filter(F.col("vec_id") < GS_Q)
+    assigned = kmeans.assign(emb, C)
+    anchors = assigned.groupBy("cluster_id").agg(
+        F.min("vec_id").alias("vec_id")
+    )
+    seeds = (
+        assigned.filter(F.col("vec_id") < GS_Q)
+        .select(F.col("vec_id").alias("query_id"), "cluster_id")
+        .join(anchors, "cluster_id")
+        .select("query_id", "vec_id")
+    )
+    out = gr.greedy_search(
+        hg, emb, queries, k=NNG_K, ef=GS_EF, max_hops=2, seeds=seeds,
+        expand=1, early_stop=False,
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
 
 @register("nn_descent_graph", None, "vector", "graph", "rows-only")
