@@ -327,6 +327,12 @@ def connected_components(
     (lab <- lab(lab), one extra self-join): labels then propagate
     distance ~2^r instead of r, so rounds ~ log2(diameter) — the
     standard trick that keeps iteration count flat as components grow.
+
+    Labels are SEEDED with min(node, min neighbor) — the first message
+    round folded into initialization as one groupBy over the edge list,
+    which removes a full join+window round (and its convergence probe)
+    from the loop; shallow near-dup clusters then converge in one or
+    two probed rounds.
     """
     e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     und = e.unionByName(
@@ -334,9 +340,11 @@ def connected_components(
     ).distinct()
     und = und.localCheckpoint()
     labels = (
-        und.select(F.col("x").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
+        und.groupBy(F.col("x").alias("node"))
+        .agg(F.min("y").alias("_nmin"))
+        .select(
+            "node", F.least(F.col("node"), F.col("_nmin")).alias("lab")
+        )
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("lab")).first()[0]

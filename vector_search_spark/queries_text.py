@@ -275,7 +275,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_TAU = 0.4
 EMB_NC = 16      # coarse cells for the blocked candidate generation
-EMB_NPROBE = 2
+EMB_NPROBE = 3
 
 _DOT = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
 _EL2 = "list_sum(list_transform(range(1, len({a})+1), i -> ({a}[i]-{b}[i])^2))"
