@@ -87,6 +87,22 @@ def test_gemm_equals_expr_on_real_embeddings(spark):
         assert ra == rb, metric
 
 
+def test_knn_graph_auto_guard_falls_back_distributed(spark):
+    """impl='auto' must refuse to collect the node set when it exceeds
+    max_gemm_rows and still produce the identical exact graph through
+    the distributed expr+partial path (no driver materialization)."""
+    from tests.conftest import SF_ORACLE
+    from vector_search_spark import tables
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings").limit(200)
+    gemm = knn.knn_graph(emb, k=5, impl="gemm")
+    # force the fallback: any threshold below the row count
+    auto = knn.knn_graph(emb, k=5, impl="auto", max_gemm_rows=10)
+    rg = sorted((r.src, r.dst, r.rank) for r in gemm.collect())
+    ra = sorted((r.src, r.dst, r.rank) for r in auto.collect())
+    assert ra == rg
+
+
 def test_lsh_self_retrieval_and_bucket_semantics(spark):
     """A query always shares every bucket with itself -> rank 1 is the
     query at distance 0; all candidate pairs share >= 1 bucket."""

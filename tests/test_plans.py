@@ -51,6 +51,24 @@ def test_filter_pushdown_reaches_scan(spark):
     assert any("vec_id" in p for p in pushed), f"no pushdown: {pushed}"
 
 
+def test_blocked_near_dup_plan_is_grouped_not_broadcast(spark):
+    """The IVF-blocked embedding near-dup must execute as a grouped
+    per-cell pass (FlatMapGroupsInPandas after one hash exchange on the
+    cell key) — never as a broadcast of the full matrix (which would
+    show up as a driver collect before the plan even builds; the exact
+    baseline path does that, the blocked path must not)."""
+    from vector_search_spark.operators import dedup, kmeans
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    C = kmeans.init_first_k(emb, 8)
+    out = dedup.embedding_near_dup(emb, threshold=0.4, centroids=C, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # exactly one row shuffle feeds the per-cell pass; the pair-dedup agg
+    # adds its own exchange — but no broadcast exchange anywhere
+    assert "BroadcastExchange" not in plan, plan
+
+
 def test_cobucketed_join_has_no_exchange(spark, tmp_path):
     """Bucketed-by-key tables sort-merge join without any shuffle: the
     write-time bucketing replaces both Exchanges."""

@@ -41,6 +41,20 @@ def test_fvecs_multi_file_ids(spark, tmp_path):
     assert sorted(per_file["b.fvecs"]) == [0, 1, 2, 3, 4]
 
 
+def test_bvecs_round_trip(spark, tmp_path):
+    """bvecs (SIFT1B uint8 layout): byte payloads survive the reader
+    exactly, surfaced as smallint 0..255."""
+    rng = np.random.default_rng(11)
+    want = rng.integers(0, 256, size=(29, 8), dtype=np.uint8)
+    p = tmp_path / "vecs.bvecs"
+    fvecs.write_bvecs_local(want, str(p))
+    got = fvecs.read_bvecs(spark, str(p)).orderBy("row_in_file").collect()
+    assert len(got) == 29
+    arr = np.array([r.embedding for r in got])
+    assert arr.min() >= 0 and arr.max() <= 255
+    assert np.array_equal(arr.astype(np.uint8), want)
+
+
 def test_fvecs_ragged_rejected(spark, tmp_path):
     p = tmp_path / "bad.fvecs"
     with open(p, "wb") as f:

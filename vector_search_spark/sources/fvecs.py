@@ -23,16 +23,25 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_fvecs", "read_ivecs", "write_fvecs_local"]
+__all__ = [
+    "read_fvecs",
+    "read_ivecs",
+    "read_bvecs",
+    "write_fvecs_local",
+    "write_bvecs_local",
+]
 
 
 def _parse(content: bytes, dtype) -> np.ndarray:
+    """fvecs/ivecs: 4-byte LE dim header + dim 4-byte payloads per row;
+    bvecs (dtype uint8): 4-byte header + dim 1-byte payloads."""
     if len(content) < 4:
         return np.empty((0, 0), dtype=dtype)
     dim = struct.unpack("<i", content[:4])[0]
     if dim <= 0:
         raise ValueError(f"bad fvecs dim header: {dim}")
-    rec = 4 + 4 * dim
+    width = np.dtype(dtype).itemsize
+    rec = 4 + width * dim
     if len(content) % rec:
         raise ValueError(
             f"fvecs payload {len(content)}B not a multiple of record {rec}B"
@@ -78,9 +87,28 @@ def read_ivecs(spark: SparkSession, path: str) -> DataFrame:
     return src.mapInPandas(fn, schema)
 
 
+def read_bvecs(spark: SparkSession, path: str) -> DataFrame:
+    """bvecs: uint8 payloads — the SIFT1B billion-scale distribution
+    format (4-byte dim header + dim bytes per row). Emitted as
+    array<smallint> (0..255 doesn't fit a signed byte)."""
+    src = spark.read.format("binaryFile").load(path).select("path", "content")
+    fn, schema = _reader(np.uint8, "smallint")
+    return src.mapInPandas(fn, schema)
+
+
 def write_fvecs_local(vectors: np.ndarray, path: str) -> None:
     """Driver-side fvecs writer (tests / interop export)."""
     v = np.asarray(vectors, dtype=np.float32)
+    n, d = v.shape
+    with open(path, "wb") as f:
+        for i in range(n):
+            f.write(struct.pack("<i", d))
+            f.write(v[i].tobytes())
+
+
+def write_bvecs_local(vectors: np.ndarray, path: str) -> None:
+    """Driver-side bvecs writer (tests / interop export)."""
+    v = np.asarray(vectors, dtype=np.uint8)
     n, d = v.shape
     with open(path, "wb") as f:
         for i in range(n):
