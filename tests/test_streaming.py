@@ -76,6 +76,28 @@ def test_tumbling_stream_equals_batch(spark, events_dir):
     assert want.exceptAll(got).count() == 0
 
 
+def test_stream_static_enrichment_equals_batch(spark, events_dir):
+    """Stream-static broadcast join: every micro-batch enriched with a
+    static dimension (user -> customer market segment), aggregated per
+    (segment, event_type). Must equal the batch twin exactly — the join
+    adds no streaming state, so counts are deterministic."""
+    cust = tables.load(spark, SF_ORACLE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def pipeline(ev):
+        enriched = sev.enrich_with_static(ev, cust, "user_id", "c_custkey")
+        return enriched.groupBy("c_mktsegment", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    stream = sev.read_events_stream(spark, events_dir)
+    got = _run_stream(spark, pipeline(stream), "t_enrich", "complete")
+    want = pipeline(tables.load(spark, SF_ORACLE, "events"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_sliding_stream_equals_batch(spark, events_dir):
     stream = sev.read_events_stream(spark, events_dir)
     got = _run_stream(

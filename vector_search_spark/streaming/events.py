@@ -32,7 +32,14 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source stream over the events parquet (TIMESTAMP(NANOS) read
-    as raw int64 then truncated to micros, same as tables.load)."""
+    as raw int64 then truncated to micros, same as tables.load).
+
+    NOTE: unlike the batch loader (which save/restores the conf around
+    the eager schema resolution), a stream consults the flag at every
+    micro-batch, so it must stay set for the stream's lifetime — this
+    call leaves ``spark.sql.legacy.parquet.nanosAsLong=true`` on the
+    session, changing how other TIMESTAMP(NANOS) parquet reads started
+    afterwards are typed (bigint)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -100,6 +107,23 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def enrich_with_static(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension table. The static side is broadcast — the only
+    join shape that adds NO streaming state and no stream-side shuffle,
+    which is the 100 TB/day answer for dimension lookups (state-store
+    stream-stream joins are for two *moving* sides). Works identically
+    on a batch DataFrame, so the batch twin is oracle-checkable."""
+    d = F.broadcast(dim.withColumnRenamed(dim_key, stream_key))
+    return events.join(d, stream_key, how)
 
 
 def dedup_within_watermark(
