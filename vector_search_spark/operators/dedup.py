@@ -482,6 +482,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     centroids=None,
     nprobe: int = 2,
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, sim ≥ threshold).
 
@@ -547,6 +548,13 @@ def embedding_near_dup(
         # between different per-cell matrix shapes
         return scored.groupBy("a", "b").agg(F.max("cos_sim").alias("cos_sim"))
 
+    n = emb.select(id_col).count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"exact all-pairs path would broadcast {n} rows "
+            f"(> max_broadcast_rows={max_broadcast_rows}); pass "
+            "`centroids=` for the IVF-blocked scale path"
+        )
     pdf = emb.select(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
     ).toPandas()

@@ -46,6 +46,7 @@ __all__ = [
     "knn_graph_blocked",
     "hnsw_levels",
     "select_neighbors_heuristic",
+    "symmetrize_and_cap",
     "hnsw_build",
     "descend_entry_points",
     "greedy_search",
@@ -411,6 +412,60 @@ def select_neighbors_heuristic(
     )
 
 
+def symmetrize_and_cap(edges: DataFrame, m: int) -> DataFrame:
+    """Bidirectional wiring + degree shrink (reference UpdateConnection
+    + neighbor-shrink, py/hnsw.py:369-387): reverse every edge, union,
+    then ONE shuffle does both the (layer?, src, dst) dedup and the
+    per-node cap-at-m — collect each node's candidate list sorted by
+    (dist, dst) and fold it with a keep-first-per-dst, stop-at-m
+    aggregate (pure Catalyst HOFs). Replaces a groupBy-min + a rank
+    window (two shuffle stages). Keep-first on the (dist, dst)-sorted
+    list == min-dist per dst, so the fold equals dedup-then-rank<=m.
+
+    ``edges`` = (src, dst, dist) with an optional leading ``layer``
+    column; returns the same shape.
+    """
+    has_layer = "layer" in edges.columns
+    grp = (["layer"] if has_layer else []) + ["src"]
+    rev = edges.select(
+        *([F.col("layer")] if has_layer else []),
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        "dist",
+    )
+    sym = edges.select(*grp, "dst", "dist").unionByName(rev)
+    empty_acc = F.expr(
+        "CAST(array() AS array<struct<dist:double,dst:bigint>>)"
+    )
+    return (
+        sym.groupBy(*grp)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dist", "dst"))
+            ).alias("cand")
+        )
+        .select(
+            *grp,
+            F.explode(
+                F.aggregate(
+                    "cand",
+                    empty_acc,
+                    lambda acc, x: F.when(
+                        (F.size(acc) >= m)
+                        | F.exists(acc, lambda a: a["dst"] == x["dst"]),
+                        acc,
+                    ).otherwise(F.array_append(acc, x)),
+                )
+            ).alias("e"),
+        )
+        .select(
+            *grp,
+            F.col("e.dst").alias("dst"),
+            F.col("e.dist").alias("dist"),
+        )
+    )
+
+
 @dataclass
 class HNSWGraph:
     edges: DataFrame  # (layer, src, dst, dist)
@@ -537,46 +592,7 @@ def hnsw_build(
         group_cols=("layer", "src"),
         pre_dedup=True, pre_topk=ef_construction,
     )
-    # symmetrize: reverse edges, union, then ONE shuffle does both the
-    # (layer, src, dst) dedup and the per-node cap-at-m: collect each
-    # node's candidate list sorted by (dist, dst) and fold it with a
-    # keep-first-per-dst, stop-at-m aggregate (pure Catalyst HOFs) —
-    # replaces a groupBy-min + a rank window (two shuffle stages).
-    sym = sel.unionByName(
-        sel.select(
-            "layer",
-            F.col("dst").alias("src"),
-            F.col("src").alias("dst"),
-            "dist",
-        )
-    )
-    empty_acc = F.expr(
-        "CAST(array() AS array<struct<dist:double,dst:bigint>>)"
-    )
-    edges = (
-        sym.groupBy("layer", "src")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("dist", "dst"))
-            ).alias("cand")
-        )
-        .select(
-            "layer",
-            "src",
-            F.explode(
-                F.aggregate(
-                    "cand",
-                    empty_acc,
-                    lambda acc, x: F.when(
-                        (F.size(acc) >= m)
-                        | F.exists(acc, lambda a: a["dst"] == x["dst"]),
-                        acc,
-                    ).otherwise(F.array_append(acc, x)),
-                )
-            ).alias("e"),
-        )
-        .select("layer", "src", F.col("e.dst").alias("dst"), F.col("e.dist").alias("dist"))
-    )
+    edges = symmetrize_and_cap(sel, m)
     # eager materialization, not lazy cache: the search walks this
     # artifact from MANY subtrees of one action (descent layers + hop
     # unrolls); a lazy cache races — every subtree recomputes the whole

@@ -228,6 +228,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "sq_encode",
     "sq_knn",
     "graph_greedy_search",
+    "select_neighbors_pruned",
+    "graph_symmetrize",
     "pq_decode",
     "ivf_adc_knn",
     "events_approx_distinct",
@@ -275,9 +277,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "grouping_sets_events",
     "setop_converting_days",
     "asof_purchase_view",
+    # ---- entries below are the tail if the driver cuts at 50 ----
     "sessionize_events",
     "range_join_purchase_follow",
-    # ---- entries below are the tail if the driver cuts at 50 ----
     "events_daily_json",
     "promo_revenue_monthly",
     "cube_events",

@@ -716,6 +716,113 @@ def q_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
 
+@register(
+    "graph_symmetrize",
+    f"""
+WITH {_NNG_PIPE},
+sym AS (
+  SELECT src, dst, d FROM topk
+  UNION ALL
+  SELECT dst AS src, src AS dst, d FROM topk
+),
+ded AS (SELECT src, dst, min(d) AS d FROM sym GROUP BY src, dst)
+SELECT src, dst, (ROUND(d, 6) + 0.0) AS dist
+FROM ded
+QUALIFY row_number() OVER (PARTITION BY src ORDER BY d, dst) <= 4
+""",
+    "vector",
+    "graph",
+)
+def q_graph_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional wiring + degree shrink (reference UpdateConnection
+    + neighbor-shrink, py/hnsw.py:369-387; SURVEY §2 #31/#35) on a
+    deterministic graph: reverse-union the blocked kNN edges, dedup
+    (src,dst) keep-min-dist, cap each node's degree at m=4. The Spark
+    side is the single-shuffle sort+fold (symmetrize_and_cap); the
+    oracle is the equivalent dedup-then-rank formulation, so the fold's
+    keep-first==min-dist equivalence is itself under test."""
+    from vector_search_spark.operators import graph as gr
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, NNG_NC)
+    g = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=NNG_NPROBE)
+    out = gr.symmetrize_and_cap(g.select("src", "dst", "dist"), m=4)
+    return out.select("src", "dst", rnd("dist").alias("dist"))
+
+
+SNP_SRC = 50    # nodes whose neighbor lists get pruned
+SNP_CAND = 16   # candidates per node fed to the heuristic
+SNP_M = 4       # max admitted neighbors
+
+
+@register(
+    "select_neighbors_pruned",
+    f"""
+WITH RECURSIVE pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS src, v AS sv FROM pts WHERE vec_id < {SNP_SRC}),
+scored AS (
+  SELECT q.src, p.vec_id AS dst, {_L2.format(a="q.sv", b="p.v")} AS d
+  FROM q CROSS JOIN pts p WHERE p.vec_id <> q.src
+),
+cand AS (
+  SELECT src, dst, d,
+         row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+  FROM scored QUALIFY r <= {SNP_CAND}
+),
+walk(src, r, adm_ids, adm_vecs) AS (
+  SELECT src, 0, CAST([] AS BIGINT[]), CAST([] AS DOUBLE[][])
+  FROM (SELECT DISTINCT src FROM cand)
+  UNION ALL
+  SELECT w.src, w.r + 1,
+         CASE WHEN len(w.adm_ids) < {SNP_M}
+                   AND len(list_filter(w.adm_vecs, av ->
+                         list_sum(list_transform(range(1, len(av)+1),
+                                  i -> (av[i]-pv.v[i])^2)) < c.d)) = 0
+              THEN list_append(w.adm_ids, c.dst) ELSE w.adm_ids END,
+         CASE WHEN len(w.adm_ids) < {SNP_M}
+                   AND len(list_filter(w.adm_vecs, av ->
+                         list_sum(list_transform(range(1, len(av)+1),
+                                  i -> (av[i]-pv.v[i])^2)) < c.d)) = 0
+              THEN list_append(w.adm_vecs, pv.v) ELSE w.adm_vecs END
+  FROM walk w
+  JOIN cand c ON c.src = w.src AND c.r = w.r + 1
+  JOIN pts pv ON pv.vec_id = c.dst
+),
+last AS (SELECT src, max(r) AS rmax FROM walk GROUP BY src),
+adm AS (
+  SELECT w.src, unnest(w.adm_ids) AS dst
+  FROM walk w JOIN last l ON l.src = w.src AND w.r = l.rmax
+)
+SELECT a.src, a.dst, (ROUND(c.d, 6) + 0.0) AS dist
+FROM adm a JOIN cand c ON c.src = a.src AND c.dst = a.dst
+""",
+    "vector",
+    "graph",
+)
+def q_select_neighbors_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HNSW diversity-pruning heuristic under a value oracle
+    (reference SelectNeighbors heuristic, py/hnsw.py:295-320, paper
+    Algorithm 4; SURVEY §2 #34): exact top-16 candidates per node,
+    admit c iff no already-admitted neighbor is closer to c than the
+    node is, cap at m=4. The oracle replays the sequential scan as a
+    recursive CTE carrying the admitted vectors in its state — the
+    admission ORDER and rule are both value-checked."""
+    from vector_search_spark.operators import graph as gr
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    srcs = emb.filter(F.col("vec_id") < SNP_SRC)
+    from vector_search_spark.operators import knn as _knn
+
+    scored = _knn.score_topk_gemm(srcs, emb, SNP_CAND, exclude_self=True)
+    cand = _knn.topk_per_query(scored, SNP_CAND).select(
+        F.col("query_id").alias("src"),
+        F.col("vec_id").alias("dst"),
+        "dist",
+    )
+    out = gr.select_neighbors_heuristic(cand, emb, m=SNP_M)
+    return out.select("src", "dst", rnd("dist").alias("dist"))
+
+
 @register("nn_descent_graph", None, "vector", "graph", "rows-only")
 def q_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked seed graph + 2 NN-descent refinement rounds over
