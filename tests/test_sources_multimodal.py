@@ -104,6 +104,48 @@ def test_decode_image_strict_raises_without_codec(spark, payload_df):
         multimodal.decode_image(payload_df.limit(1), strict=True).collect()
 
 
+def test_audio_features_pcm_roundtrip(spark):
+    """A known PCM signal must produce the analytically-expected RMS
+    and zero-crossing rate: a full-scale square wave alternating every
+    sample has RMS ~1.0 and ZCR ~1.0; silence has RMS 0 and ZCR 0."""
+    sq = np.empty(512, dtype=np.int16)
+    sq[0::2], sq[1::2] = 32767, -32767
+    silence = np.zeros(512, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(sq.tobytes())), (2, bytearray(silence.tobytes()))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        (r.doc_id, r.win_idx): (r.rms, r.zcr)
+        for r in multimodal.audio_features(df, window=256).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    for w in (0, 1):
+        rms, zcr = rows[(1, w)]
+        assert abs(rms - 1.0) < 1e-3 and zcr > 0.99
+        rms0, zcr0 = rows[(2, w)]
+        assert rms0 == 0.0 and zcr0 == 0.0
+
+
+def test_decoded_pixels_feed_knn(spark, payload_df):
+    """Multimodal -> ANN integration: the decode stage's fixed-width
+    pixel vectors are a valid embedding column for the kNN operators
+    (self is nearest at distance 0)."""
+    from vector_search_spark.operators import knn
+
+    pix = multimodal.decode_image(payload_df, size=4).localCheckpoint()
+    q = pix.limit(5)
+    out = knn.brute_force_knn(
+        q, pix, k=1,
+        query_id_col="doc_id", query_vec_col="pixels",
+        base_id_col="doc_id", base_vec_col="pixels",
+    )
+    top = {r.query_id: (r.vec_id, r.dist) for r in out.collect()}
+    for qid, (vid, dist) in top.items():
+        assert dist == 0.0
+        # ties on identical pixel vectors break by id; self must tie at 0
+
+
 def test_frame_sample_stride_and_bounds(spark, payload_df):
     out = multimodal.frame_sample(
         payload_df, frame_bytes=32, every=4

@@ -28,6 +28,7 @@ __all__ = [
     "payload_metadata",
     "byte_histogram",
     "decode_image",
+    "audio_features",
     "frame_sample",
 ]
 
@@ -146,6 +147,57 @@ def decode_image(
             yield pd.DataFrame({"doc_id": ids, "pixels": pixels})
 
     return src.mapInPandas(fn, f"{id_col} long, pixels array<double>")
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window: int = 256,
+) -> DataFrame:
+    """Audio featurization over raw PCM: interpret the payload as
+    little-endian int16 samples (raw PCM needs NO codec — this is a
+    real decode, not a stub), slide a fixed sample window, emit per-
+    window RMS energy and zero-crossing rate — the classic cheap
+    features for silence trimming / language-activity filtering in a
+    training-data pipeline. Returns (id, win_idx, rms, zcr).
+
+    Same execution contract as the other stages: mapInPandas, numpy
+    over Arrow batches, per-row map, no shuffle.
+    """
+    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
+
+    def fn(batches):
+        for pdf in batches:
+            ids, idxs, rmss, zcrs = [], [], [], []
+            for _id, payload in zip(pdf["_id"], pdf["_p"]):
+                raw = bytes(payload)
+                usable = len(raw) - (len(raw) % 2)
+                if usable == 0:
+                    continue
+                pcm = np.frombuffer(raw[:usable], dtype="<i2").astype(
+                    np.float64
+                ) / 32768.0
+                n_win = max(len(pcm) // window, 1)
+                for wi in range(n_win):
+                    seg = pcm[wi * window : (wi + 1) * window]
+                    if not len(seg):
+                        continue
+                    ids.append(_id)
+                    idxs.append(wi)
+                    rmss.append(float(np.sqrt((seg * seg).mean())))
+                    zcrs.append(
+                        float((np.signbit(seg[1:]) != np.signbit(seg[:-1])).mean())
+                        if len(seg) > 1
+                        else 0.0
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_idx": idxs, "rms": rmss, "zcr": zcrs}
+            )
+
+    return src.mapInPandas(
+        fn, f"{id_col} long, win_idx int, rms double, zcr double"
+    )
 
 
 def frame_sample(
