@@ -230,6 +230,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "graph_greedy_search",
     "select_neighbors_pruned",
     "graph_symmetrize",
+    "nn_descent_graph",
     "pq_decode",
     "ivf_adc_knn",
     "events_approx_distinct",
@@ -274,10 +275,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "window_customer_orders",
     "rollup_lineitem",
-    "grouping_sets_events",
     "setop_converting_days",
     "asof_purchase_view",
     # ---- entries below are the tail if the driver cuts at 50 ----
+    "grouping_sets_events",
     "sessionize_events",
     "range_join_purchase_follow",
     "events_daily_json",
@@ -287,7 +288,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     # rows-only (RNG-dependent; pytest-gated recall/invariants)
     "hnsw_sharded_knn",
     "hnsw_knn",
-    "nn_descent_graph",
     "kmeans_train",
     "pq_train",
 )

@@ -823,15 +823,65 @@ def q_select_neighbors_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src", "dst", rnd("dist").alias("dist"))
 
 
-@register("nn_descent_graph", None, "vector", "graph", "rows-only")
+def _nn_descent_round_sql(g_cte: str, out: str, k: int) -> str:
+    """One NN-descent round as SQL CTEs: undirected neighborhood,
+    neighbors-of-neighbors proposals minus existing edges, score, merge,
+    per-src top-k — the exact recurrence of graph.nn_descent_round."""
+    return f"""
+{out}_und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM {g_cte}
+    UNION ALL SELECT dst AS src, src AS dst FROM {g_cte})
+),
+{out}_nn AS (
+  SELECT DISTINCT a.src, b.dst
+  FROM {out}_und a JOIN {out}_und b ON a.dst = b.src
+  WHERE a.src <> b.dst
+    AND NOT EXISTS (SELECT 1 FROM {g_cte} e
+                    WHERE e.src = a.src AND e.dst = b.dst)
+),
+{out}_new AS (
+  SELECT n.src, n.dst, {_L2.format(a="x.v", b="y.v")} AS d
+  FROM {out}_nn n JOIN pts x ON x.vec_id = n.src
+  JOIN pts y ON y.vec_id = n.dst
+),
+{out} AS (
+  SELECT src, dst, d,
+         row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rnk
+  FROM (
+    SELECT src, dst, min(d) AS d FROM (
+      SELECT src, dst, d FROM {g_cte}
+      UNION ALL SELECT src, dst, d FROM {out}_new)
+    GROUP BY src, dst)
+  QUALIFY rnk <= {k}
+)"""
+
+
+@register(
+    "nn_descent_graph",
+    f"""
+WITH {_NNG_PIPE},
+g0 AS (SELECT src, dst, d FROM topk),
+{_nn_descent_round_sql("g0", "g1", NNG_K)},
+{_nn_descent_round_sql("g1", "g2", NNG_K)}
+SELECT src, dst, (ROUND(d, 6) + 0.0) AS dist, CAST(rnk AS INTEGER) AS "rank"
+FROM g2
+""",
+    "vector",
+    "graph",
+)
 def q_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked seed graph + 2 NN-descent refinement rounds over
-    Lloyd-trained cells (recall gated in tests/test_graph.py)."""
+    """Blocked seed graph + 2 NN-descent refinement rounds (Dong et al.
+    2011), fully deterministic over first-NC cells — the oracle replays
+    both rounds (neighbor-of-neighbor proposals, anti-join against
+    existing edges, min-dist merge, per-src top-k), so the refinement
+    recurrence itself is value-checked. Recall-vs-exact quality is
+    gated in tests/test_graph.py."""
     from vector_search_spark.operators import graph as gr
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    C = kmeans.train_coarse(emb, k=8, seed=42)
-    g = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=3)
+    C = kmeans.init_first_k(emb, NNG_NC)
+    g = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=NNG_NPROBE)
     for _ in range(2):
         g = gr.nn_descent_round(g, emb, k=NNG_K).localCheckpoint()
     return g.select("src", "dst", rnd("dist").alias("dist"), "rank")
