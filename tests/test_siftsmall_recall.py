@@ -69,6 +69,36 @@ def test_hnsw_recall_siftsmall_shape(spark, sift_df, truth):
     assert r >= 0.98
 
 
+def test_hnsw_sharded_recall_siftsmall_shape(spark, sift_df, truth):
+    """The production distributed shape (per-cell insert-built HNSW,
+    routed fan-out, top-k merge). At full fan-out (nprobe = all cells)
+    recall isolates per-shard HNSW quality — must match the reference's
+    high-recall regime. At partial fan-out, recall is capped by how
+    many true neighbors the routed cells contain; UNSTRUCTURED
+    gamma-random 128-d vectors are IVF routing's worst case (cell
+    distances near-uniform), so the partial gate is deliberately loose
+    — the clustered-fixture gate lives in test_graph.py."""
+    from vector_search_spark.operators import hnsw_sharded as hs
+
+    C = kmeans.train_coarse(sift_df, k=8, seed=42)
+    full = hs.hnsw_sharded_topk(
+        sift_df, C, sift_df, k=K_AT, m=16, ef_construction=100, ef=200,
+        nprobe=8,
+    )
+    r_full = knn.recall_at_k(full, truth, k=K_AT)
+    routed = hs.hnsw_sharded_topk(
+        sift_df, C, sift_df, k=K_AT, m=16, ef_construction=100, ef=200,
+        nprobe=4,
+    )
+    r_routed = knn.recall_at_k(routed, truth, k=K_AT)
+    print(
+        f"\nsiftsmall-shape sharded-HNSW Recall@{K_AT}: "
+        f"full-fanout {r_full:.4f}, nprobe=4/8 {r_routed:.4f}"
+    )
+    assert r_full >= 0.97
+    assert 0.7 <= r_routed <= r_full + 1e-9
+
+
 def test_hnsw_pq_adc_recall_siftsmall_shape(spark, sift_df, truth):
     """PQ-compressed search at the reference's codec size (M=32, K=256,
     ADC): recall collapses exactly as the reference observed (0.5069 on
