@@ -21,11 +21,15 @@ Spark replaces that with (SURVEY.md §7 step 7):
    the one justified pandas UDF (applyInPandas per src group).
 4. ``hnsw_build`` — levels + per-layer blocked graph + heuristic
    pruning + symmetrization → a layered edge DataFrame artifact.
-5. ``greedy_search`` — batch frontier-expansion over the edge artifact:
+5. ``descend_entry_points`` — the reference's upper-layer greedy
+   descent (ef=1 walk to each layer's local minimum) over the routing
+   skeleton (levels >= 1, ~N/m nodes) collected once to the driver.
+6. ``greedy_search`` — batch frontier-expansion over the edge artifact:
    all queries advance one hop per iteration (join frontier⋈edges,
-   anti-join visited, score, keep top-ef). The poorest Spark fit
-   (data-dependent iteration), kept as a faithful demonstrator; the
-   production query path is operators/ivf.py.
+   anti-join visited, score, keep top-ef). Descent-seeded, 2-3 hops
+   suffice (recall 1.0 at sf0.1); the value oracle for the walk itself
+   is the ``graph_greedy_search`` catalog query. The production
+   distributed ANN paths remain operators/ivf.py and hnsw_sharded.py.
 """
 
 from __future__ import annotations
