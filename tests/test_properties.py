@@ -102,6 +102,89 @@ def test_dot_and_cosine_match_numpy(session, data):
 
 
 @settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_edges=st.integers(3, 40),
+    m=st.integers(1, 5),
+)
+def test_symmetrize_and_cap_invariants(session, seed, n_edges, m):
+    """Random directed weighted edges: after symmetrize_and_cap,
+    (a) out-degree <= m everywhere, (b) every kept edge's dist is the
+    MIN over the input multiset for that (src,dst) in either direction,
+    (c) kept edges are the rank-<=m smallest per src."""
+    from vector_search_spark.operators.graph import symmetrize_and_cap
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (int(rng.integers(0, 8)), int(rng.integers(0, 8)),
+         float(rng.uniform(0, 10)))
+        for _ in range(n_edges)
+    ]
+    rows = [(s, d, x) for s, d, x in rows if s != d]
+    if not rows:
+        return
+    df = session.createDataFrame(rows, "src long, dst long, dist double")
+    got = symmetrize_and_cap(df, m=m).collect()
+    # expected: undirected min-dist per pair, rank<=m per src
+    best: dict[tuple[int, int], float] = {}
+    for s, d, x in rows:
+        for a, b in ((s, d), (d, s)):
+            best[(a, b)] = min(best.get((a, b), float("inf")), x)
+    per_src: dict[int, list] = {}
+    for (a, b), x in best.items():
+        per_src.setdefault(a, []).append((x, b))
+    want = set()
+    for a, cands in per_src.items():
+        for x, b in sorted(cands)[:m]:
+            want.add((a, b, round(x, 9)))
+    assert {(r.src, r.dst, round(r.dist, 9)) for r in got} == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(4, 24))
+def test_select_neighbors_heuristic_matches_sequential_model(session, seed, n):
+    """The salted-bucket pandas implementation must equal a direct
+    sequential model of the paper's Algorithm 4 on random candidates."""
+    from vector_search_spark.operators.graph import select_neighbors_heuristic
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 3))
+    pts = session.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    src = 0
+    cand_ids = list(range(1, n))
+    d_to_src = {j: float(((X[j] - X[src]) ** 2).sum()) for j in cand_ids}
+    cand = session.createDataFrame(
+        [(src, j, d_to_src[j]) for j in cand_ids],
+        "src long, dst long, dist double",
+    )
+    m = 3
+    got = sorted(
+        r.dst for r in select_neighbors_heuristic(cand, pts, m=m).collect()
+    )
+    admitted: list[int] = []
+    for j in sorted(cand_ids, key=lambda j: (d_to_src[j], j)):
+        if len(admitted) >= m:
+            break
+        if all(
+            float(((X[j] - X[a]) ** 2).sum()) >= d_to_src[j]
+            for a in admitted
+        ):
+            admitted.append(j)
+    assert got == sorted(admitted)
+
+
+@settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
