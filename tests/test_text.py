@@ -208,6 +208,26 @@ def test_winnow_short_docs_emit_one_fingerprint(spark):
     assert per_doc.get(3, 0) >= 1
 
 
+def test_hashing_embed_shape_and_semantics(spark):
+    """Fixed dim, deterministic values, identical texts -> identical
+    vectors, and the vote sum of a repeated token is count x (+-1)."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha"),
+            (2, "alpha alpha alpha"),
+            (3, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.vec for r in textstats.hashing_embed(df, dim=16).collect()}
+    assert all(len(v) == 16 for v in out.values())
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    # doc 1: single token x3 -> exactly one bucket holds +-3, rest 0
+    nz = [v for v in out[1] if v != 0.0]
+    assert nz == [3.0] or nz == [-3.0]
+
+
 def test_language_id_deterministic_schema(spark, docs):
     out = textstats.language_id(docs)
     assert out.count() == docs.count()

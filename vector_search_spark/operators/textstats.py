@@ -24,6 +24,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "token_counts",
+    "hashing_embed",
     "winnow_fingerprints",
 ]
 
@@ -173,6 +174,57 @@ def token_counts(
             F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
         ).alias("bpe_tokens"),
         F.length(F.col(text_col)).cast("bigint").alias("chars"),
+    )
+
+
+def hashing_embed(
+    docs: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "vec",
+) -> DataFrame:
+    """Hashing-trick text embedding (feature hashing / the classic
+    HashingVectorizer with a signed hash): every token votes ±1 into
+    bucket ``h32(token) % dim``, sign from the next hash bit; the
+    per-document vote sums form a fixed-``dim`` dense vector. Pure
+    Catalyst — explode, one groupBy, map assembly — no vocabulary, no
+    model state, so it streams over any corpus size, and md5-derived
+    hashing makes it bit-reproducible in the DuckDB oracle.
+
+    The output (id, vec array<double>) plugs directly into the kNN /
+    dedup operators: text → embedding → ANN with no Python in the path.
+    Documents with zero tokens produce no row (nothing to hash).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("token")
+    )
+    h = T.h32("token")
+    vals = (
+        toks.select(
+            id_col,
+            F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+            F.when(
+                F.floor(h / F.lit(dim)).cast("bigint") % 2 == 0, F.lit(1.0)
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("sign"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").alias("v"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0)),
+    )
+    return (
+        vals.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "v"))
+            ).alias("_m")
+        )
+        .select(F.col(id_col), dense.alias(out_col))
     )
 
 

@@ -259,6 +259,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_fingerprint",
     "docs_split_assign",
     "docs_sample_hash",
+    "text_hash_embed_knn",
     # multimodal
     "multimodal_metadata",
     "multimodal_byte_histogram",
@@ -269,7 +270,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     # relational
     "tpch_q1",
     "tpch_q3",
-    "tpch_q6",
     "tpch_q10",
     "semi_join_late_orders",
     "anti_join_idle_customers",
@@ -278,6 +278,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "setop_converting_days",
     "asof_purchase_view",
     # ---- entries below are the tail if the driver cuts at 50 ----
+    "tpch_q6",
     "grouping_sets_events",
     "sessionize_events",
     "range_join_purchase_follow",

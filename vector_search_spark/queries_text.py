@@ -331,6 +331,80 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hashing-trick text embedding + ANN over it (text -> vector -> search)
+# --------------------------------------------------------------------------
+
+HE_DIM = 32
+HE_Q = 10
+HE_K = 5
+
+
+@register(
+    "text_hash_embed_knn",
+    f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+hh AS (SELECT doc_id, {T.sql_h32("token")} AS h FROM tok),
+vals AS (
+  SELECT doc_id, CAST(h % {HE_DIM} AS INT) AS bucket,
+         SUM(CASE WHEN (h // {HE_DIM}) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM hh GROUP BY doc_id, bucket
+),
+spine AS (
+  SELECT d.doc_id, r.i
+  FROM (SELECT DISTINCT doc_id FROM vals) d
+  CROSS JOIN (SELECT CAST(unnest(range(0, {HE_DIM})) AS INT) AS i) r
+),
+vecs AS (
+  SELECT s.doc_id, list(coalesce(v.v, 0.0) ORDER BY s.i) AS vec
+  FROM spine s LEFT JOIN vals v ON v.doc_id = s.doc_id AND v.bucket = s.i
+  GROUP BY s.doc_id
+),
+q AS (SELECT doc_id AS query_id, vec AS qv FROM vecs WHERE doc_id < {HE_Q}),
+scored AS (
+  SELECT q.query_id, b.doc_id AS vec_id,
+         1.0 - CASE WHEN sqrt({_DOT.format(a="q.qv", b="q.qv")})
+                       * sqrt({_DOT.format(a="b.vec", b="b.vec")}) = 0
+                    THEN 0.0
+                    ELSE {_DOT.format(a="q.qv", b="b.vec")}
+                         / (sqrt({_DOT.format(a="q.qv", b="q.qv")})
+                            * sqrt({_DOT.format(a="b.vec", b="b.vec")}))
+               END AS d
+  FROM vecs b CROSS JOIN q
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= {HE_K}
+""",
+    "text",
+    "vector",
+    "embedding",
+)
+def q_text_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> embedding -> similarity search, end to end on the
+    documents table: hashing-trick embedding (signed feature hashing,
+    pure Catalyst, no vocabulary) then exact cosine top-5 through the
+    gemm scan. The oracle replays tokenization, hashing, vote sums,
+    dense assembly, and the ranked search — the whole text-to-ANN
+    pipeline is value-checked."""
+    docs = tables.load(spark, sf_dir, "documents")
+    vecs = textstats.hashing_embed(docs, dim=HE_DIM)
+    # eager: the gemm path collects the query side from the same lineage
+    # the base scan re-evaluates; one materialization serves both
+    vecs = vecs.localCheckpoint()
+    queries = vecs.filter(F.col("doc_id") < HE_Q)
+    from vector_search_spark.operators import knn as _knn
+
+    out = _knn.brute_force_knn(
+        queries, vecs, k=HE_K, metric="cosine",
+        query_id_col="doc_id", query_vec_col="vec",
+        base_id_col="doc_id", base_vec_col="vec",
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+# --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
 
