@@ -623,6 +623,8 @@ def _broadcast_query_scorer(
     qpdf = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     ).toPandas()
+    if not len(qpdf):
+        raise ValueError("empty query set")
     qids = qpdf["query_id"].to_numpy(dtype=np.int64)
     Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((qids, Q))
@@ -708,6 +710,8 @@ def descend_entry_points(
     qpdf = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     ).toPandas()
+    if not len(qpdf):
+        raise ValueError("empty query set")
     qids = qpdf["query_id"].to_numpy(dtype=np.int64)
     Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
 
