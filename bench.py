@@ -42,10 +42,22 @@ def main() -> None:
     spark = get_spark(app_name="vss-bench")
     catalog = get_catalog()
 
-    # JVM/codegen warm-up on the tiniest SF so per-query timings measure
-    # the plan, not first-call compilation.
-    warm = catalog["knn_exact"].fn(spark, "/root/testdata/sf0.001")
-    _materialize(warm)
+    # JVM/codegen/python-worker warm-up on the tiniest SF so per-query
+    # timings measure the plan, not first-call compilation or daemon
+    # startup: one gemm-path query (mapInPandas + window), one grouped
+    # pandas pass + checkpoint (applyInPandas worker pool + local
+    # checkpoint store), one shuffle agg.
+    from pyspark.sql import functions as F
+
+    _materialize(catalog["knn_exact"].fn(spark, "/root/testdata/sf0.001"))
+    tiny = spark.range(64).withColumn("g", F.col("id") % 8)
+    _materialize(
+        tiny.groupBy("g")
+        .applyInPandas(lambda p: p, "id long, g long")
+        .localCheckpoint()
+        .groupBy("g")
+        .count()
+    )
 
     names = [n for n in HEADLINE if n in catalog]
     names += [n for n in sorted(catalog) if n not in names]
