@@ -51,6 +51,22 @@ def test_filter_pushdown_reaches_scan(spark):
     assert any("vec_id" in p for p in pushed), f"no pushdown: {pushed}"
 
 
+def test_no_row_at_a_time_python_udf_anywhere(spark):
+    """Repo-wide invariant: no catalog query's physical plan contains
+    BatchEvalPython (row-at-a-time Python UDF). Python only ever enters
+    through Arrow-batched exchanges (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas)."""
+    from vector_search_spark.queries import get_catalog
+
+    offenders = []
+    for name, spec in get_catalog().items():
+        df = spec.fn(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_blocked_near_dup_plan_is_grouped_not_broadcast(spark):
     """The IVF-blocked embedding near-dup must execute as a grouped
     per-cell pass (FlatMapGroupsInPandas after one hash exchange on the
