@@ -51,6 +51,33 @@ def test_filter_pushdown_reaches_scan(spark):
     assert any("vec_id" in p for p in pushed), f"no pushdown: {pushed}"
 
 
+def test_sql_surface_equals_dataframe_surface(spark):
+    """The engine is usable from plain spark.sql over registered views:
+    the SQL formulation of TPC-H Q1 must equal the DataFrame catalog
+    query row-for-row (same Catalyst plans underneath)."""
+    from vector_search_spark.queries import get_catalog
+
+    tables.register_views(spark, SF_ORACLE)
+    got = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    want = [
+        (r.l_returnflag, r.l_linestatus, r.sum_qty, r.count_order)
+        for r in get_catalog()["tpch_q1"].fn(spark, SF_ORACLE).collect()
+    ]
+    assert [tuple(r) for r in got] == [
+        (a, b, c, d) for a, b, c, d in want
+    ]
+
+
 def test_no_row_at_a_time_python_udf_anywhere(spark):
     """Repo-wide invariant: no catalog query's physical plan contains
     BatchEvalPython (row-at-a-time Python UDF). Python only ever enters
