@@ -906,8 +906,8 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # routing-skeleton walk), then a short fixed-budget beam search
     seeds = gr.descend_entry_points(hg, emb, queries)
     out = gr.greedy_search(
-        hg, emb, queries, k=10, ef=48, max_hops=2, seeds=seeds,
-        expand=4, early_stop=False,
+        hg, emb, queries, k=10, ef=48, max_hops=1, seeds=seeds,
+        expand=5, early_stop=False,
     )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
