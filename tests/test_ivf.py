@@ -94,6 +94,34 @@ def test_partitioned_layout_prunes(spark, emb, assigned, centroids, queries, tmp
     assert out.count() == NQ * K
 
 
+def test_ivf_adc_over_partitioned_codes(
+    spark, queries, assigned, centroids, exact, emb, tmp_path
+):
+    """The billion-scale serving layout: PQ codes persisted partitioned
+    by cell, ADC search reading the pruned layout back. Results must be
+    identical to ADC over the in-memory codes (same model), and the
+    codes scan must partition-prune."""
+    from vector_search_spark.operators import pq
+
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(assigned, model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    )
+    path = str(tmp_path / "pq_index")
+    ivf.write_index(codes, path)
+    codes_disk = spark.read.parquet(path)
+    plan_src = codes_disk.filter(F.col("cluster_id").isin([0, 1]))
+    plan = plan_src._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    mem = ivf.ivf_adc_topk(queries, codes, centroids, model, k=K, nprobe=NPROBE)
+    disk = ivf.ivf_adc_topk(
+        queries, codes_disk, centroids, model, k=K, nprobe=NPROBE
+    )
+    a = sorted((r.query_id, r.vec_id, r.rank) for r in mem.collect())
+    b = sorted((r.query_id, r.vec_id, r.rank) for r in disk.collect())
+    assert a == b
+
+
 def test_ivf_adc_recall(spark, queries, assigned, centroids, exact, emb):
     from vector_search_spark.operators import pq
 
