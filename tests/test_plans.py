@@ -51,6 +51,20 @@ def test_filter_pushdown_reaches_scan(spark):
     assert any("vec_id" in p for p in pushed), f"no pushdown: {pushed}"
 
 
+def test_stream_static_enrichment_broadcasts_dim(spark):
+    """The enrichment join must broadcast the static dimension — the
+    zero-state stream-static shape (a shuffle or state-store join here
+    would be a scale bug)."""
+    from vector_search_spark.streaming import events as sev
+
+    ev = tables.load(spark, SF_ORACLE, "events")
+    cust = tables.load(spark, SF_ORACLE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = sev.enrich_with_static(ev, cust, "user_id", "c_custkey")
+    assert plans.has_broadcast_join(out)
+
+
 def test_sql_surface_equals_dataframe_surface(spark):
     """The engine is usable from plain spark.sql over registered views:
     the SQL formulation of TPC-H Q1 must equal the DataFrame catalog

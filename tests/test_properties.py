@@ -185,6 +185,47 @@ def test_select_neighbors_heuristic_matches_sequential_model(session, seed, n):
 
 
 @settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(1, 6),
+    dim=st.sampled_from([4, 16, 32]),
+)
+def test_hashing_embed_matches_python_model(session, seed, n_docs, dim):
+    """The Catalyst hashing embedder must equal a direct python model:
+    bucket = md5-h32(token) % dim, sign from the next hash bit, vector =
+    per-bucket vote sums over token occurrences."""
+    import hashlib
+
+    from vector_search_spark.operators import textstats
+
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "Qx", "z9"]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(1, 12))))
+        for i in range(n_docs)
+    ]
+    df = session.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.vec)
+        for r in textstats.hashing_embed(df, dim=dim).collect()
+    }
+
+    def h32(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    for i, text in docs:
+        want = [0.0] * dim
+        for tok in text.lower().split():
+            h = h32(tok)
+            want[h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
+        assert got[i] == want, (i, text)
+
+
+@settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
