@@ -159,6 +159,24 @@ def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
     }
 
 
+def test_keep_canonical_corpus(spark, docs):
+    """End-to-end dedup: cluster near-dups, keep one doc per cluster.
+    Survivor count = total - (clustered - n_clusters); every cluster
+    keeps exactly its canonical member; untouched docs all survive."""
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=3, num_perms=12, rows_per_band=3, threshold=0.9
+    )
+    groups = dedup.connected_components(pairs).localCheckpoint()
+    kept = dedup.keep_canonical(docs, groups)
+    n_docs, n_kept = docs.count(), kept.count()
+    n_clustered = groups.count()
+    n_clusters = groups.select("canonical_id").distinct().count()
+    assert n_kept == n_docs - (n_clustered - n_clusters)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for r in groups.collect():
+        assert (r.node in kept_ids) == (r.node == r.canonical_id)
+
+
 def test_embedding_near_dup_blocked_vs_exact(spark):
     """The IVF-blocked near-dup pass must (a) be a subset of the exact
     all-pairs answer and (b) recover most of it at nprobe=2 — the same

@@ -31,6 +31,7 @@ from vector_search_spark.functions import texts as T
 
 __all__ = [
     "exact_dedup",
+    "keep_canonical",
     "shingle_table",
     "minhash_signatures",
     "minhash_signatures_wide",
@@ -66,6 +67,25 @@ def exact_dedup(
             F.count(F.lit(1)).over(w).alias("group_size"),
         )
     )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup pipeline's endpoint: drop every non-canonical member of
+    a near-dup cluster, keep everything else. ``groups`` is
+    connected_components output (node, canonical_id, group_size); docs
+    absent from it were never in a near-dup pair and survive untouched.
+    One broadcast-sized anti-join at typical dup rates (the losers list
+    is |clustered docs| - |clusters| rows), or a plain shuffled anti-join
+    when dup volume is itself huge — either way no full-corpus shuffle
+    of the payload columns beyond the join."""
+    losers = groups.filter(
+        F.col("node") != F.col("canonical_id")
+    ).select(F.col("node").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")
 
 
 def shingle_table(
