@@ -115,3 +115,23 @@ def test_hnsw_pq_adc_recall_siftsmall_shape(spark, sift_df, truth):
     # the compressed index must still beat chance by a wide margin:
     # random top-10 of 1000 would hit ~1%
     assert r >= 0.3
+
+
+def test_rotated_pq_adc_recall(spark, sift_df, truth):
+    """OPQ-style random rotation in front of PQ: the rotation is an
+    exact isometry (orthonormality checked), so exact neighbors are
+    unchanged, and rotated-space ADC recall stays in the plain-PQ
+    band (variance balancing usually helps on skewed dims)."""
+    R = pq.random_rotation(D, seed=7)
+    assert np.allclose(R @ R.T, np.eye(D), atol=1e-10)
+    rot = pq.rotate(sift_df, R).localCheckpoint()
+    model, _ = pq.train_pq(
+        rot, m=32, k=256, seed=42, max_iter=10, vec_col="rotated"
+    )
+    codes = pq.encode(rot, model, vec_col="rotated")
+    out = pq.adc_topk(
+        rot, codes, model, k=K_AT, query_vec_col="rotated"
+    )
+    r_rot = knn.recall_at_k(out, truth, k=K_AT)
+    print(f"\nsiftsmall-shape rotated-PQ-ADC Recall@{K_AT} = {r_rot:.4f}")
+    assert r_rot >= 0.3

@@ -410,6 +410,55 @@ def sdc_topk(
 # ---- persistence (Get/SetCodebooks, py/pq.py:351-381) ----
 
 
+def random_rotation(dim: int, seed: int = 42) -> np.ndarray:
+    """Seeded random ORTHONORMAL rotation (QR of a gaussian matrix,
+    sign-fixed so the decomposition is unique): the cheap cousin of OPQ
+    (Ge et al. 2013) that FAISS ships as OPQ's "random rotation" mode.
+    Rotating vectors before PQ balances variance across the M subspaces,
+    which is exactly what per-subspace quantizers need when the input
+    dimensions are skewed; the rotation is an isometry, so true
+    neighbors and L2 distances are unchanged."""
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(dim, dim))
+    Q, R = np.linalg.qr(A)
+    Q *= np.sign(np.diag(R))[None, :]
+    return np.ascontiguousarray(Q)
+
+
+def rotate(
+    points: DataFrame,
+    R: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "rotated",
+) -> DataFrame:
+    """x -> R @ x per row: broadcast the (D x D) rotation, one gemm per
+    Arrow batch — the standard pre-processing stage in front of
+    train_pq/encode for rotated (OPQ-style) codes. Returns
+    (id_col, out_col)."""
+    bc = points.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(R, dtype=np.float64)
+    )
+    src = points.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    )
+
+    def fn(batches):
+        RR = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["_id"].to_numpy(dtype=np.int64),
+                    out_col: list(X @ RR.T),
+                }
+            )
+
+    return src.mapInPandas(fn, f"{id_col} long, {out_col} array<double>")
+
+
 def save_model(spark: SparkSession, model: PQModel, path: str) -> None:
     m, k, dsub = model.codebooks.shape
     rows = [
