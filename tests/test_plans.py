@@ -51,6 +51,30 @@ def test_filter_pushdown_reaches_scan(spark):
     assert any("vec_id" in p for p in pushed), f"no pushdown: {pushed}"
 
 
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """Oracle-paired queries must be deterministic across partition
+    layouts (batch boundaries must never leak into results — the
+    assumption the whole DuckDB value-hash scheme rests on). Run a
+    gemm-path, a blocked-graph, and a dedup query under 7 vs the
+    default shuffle partitions and compare full row sets."""
+    from vector_search_spark.queries import get_catalog
+
+    cat = get_catalog()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in (prev, "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in ("knn_exact", "nng_blocked", "dedup_minhash_lsh"):
+                df = cat[name].fn(spark, SF_ORACLE)
+                rows = sorted(tuple(r) for r in df.collect())
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} differs across partition counts"
+
+
 def test_stream_static_enrichment_broadcasts_dim(spark):
     """The enrichment join must broadcast the static dimension — the
     zero-state stream-static shape (a shuffle or state-store join here
