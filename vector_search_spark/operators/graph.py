@@ -689,30 +689,51 @@ def descend_entry_points(
             [(int(q), graph.entry_point) for q in qpdf["query_id"]],
             "query_id long, vec_id long",
         )
-    up = (
-        graph.edges.filter(F.col("layer") >= 1)
-        .select("layer", "src", "dst")
-        .toPandas()
+    # ONE collect job for the whole routing skeleton: upper-layer edges
+    # joined with both endpoint vectors via a self-semi of points on the
+    # edge endpoints (a broadcast of the small edge relation).
+    up_edges = graph.edges.filter(F.col("layer") >= 1).select(
+        "layer", "src", "dst"
     )
-    node_ids = np.unique(np.concatenate([up["src"].to_numpy(), up["dst"].to_numpy()])) if len(up) else np.array([graph.entry_point], dtype=np.int64)
-    nodes = points.sparkSession.createDataFrame(
-        [(int(i),) for i in node_ids], "vec_id long"
+    endpoint_ids = (
+        up_edges.select(F.col("src").alias("vec_id"))
+        .unionByName(up_edges.select(F.col("dst").alias("vec_id")))
+        .distinct()
     )
-    vec_pdf = (
-        points.select(
-            F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    vecs = points.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).join(F.broadcast(endpoint_ids), "vec_id", "left_semi")
+    bundle = (
+        up_edges.withColumn("_kind", F.lit(0))
+        .withColumn("v", F.lit(None).cast("array<double>"))
+        .unionByName(
+            vecs.select(
+                F.lit(-1).alias("layer"),
+                F.col("vec_id").alias("src"),
+                F.lit(-1).alias("dst"),
+                F.lit(1).alias("_kind"),
+                "v",
+            )
         )
-        .join(F.broadcast(nodes), "vec_id", "left_semi")
         .toPandas()
     )
-    vpos = {int(v): i for i, v in enumerate(vec_pdf["vec_id"])}
-    V = np.vstack(vec_pdf["v"].to_numpy()).astype(np.float64)
+    up = bundle[bundle["_kind"] == 0]
+    vec_pdf = bundle[bundle["_kind"] == 1].rename(
+        columns={"src": "vec_id"}
+    )[["vec_id", "v"]].reset_index(drop=True)
     qpdf = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     ).toPandas()
     if not len(qpdf):
         raise ValueError("empty query set")
     qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+    if not len(vec_pdf):  # upper layers exist but carry no edges
+        return spark.createDataFrame(
+            [(int(q), graph.entry_point) for q in qids],
+            "query_id long, vec_id long",
+        )
+    vpos = {int(v): i for i, v in enumerate(vec_pdf["vec_id"])}
+    V = np.vstack(vec_pdf["v"].to_numpy()).astype(np.float64)
     Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
 
     # adjacency per layer
