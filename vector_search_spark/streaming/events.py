@@ -27,26 +27,70 @@ EVENTS_SCHEMA = (
     "event_type string, value double, props string"
 )
 
+EVENTS_SCHEMA_NTZ = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _events_ts_layout(path: str) -> str:
+    """Inspect the parquet footer for the physical ``ts`` layout:
+    ``'nanos'`` (TIMESTAMP(NANOS) — needs the legacy int64 read) or
+    ``'ntz'`` (timestamp[us] without timezone — Spark's TIMESTAMP_NTZ).
+    A file source needs its schema fixed up front, so the two layouts
+    the testdata has shipped with must be told apart before the stream
+    starts."""
+    import pyarrow.parquet as papq
+
+    p = path
+    if os.path.isdir(p):
+        parts = sorted(
+            f
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        p = os.path.join(path, parts[0])
+    t = papq.read_schema(p).field("ts").type
+    # plain int64 (fixture-written raw nanos) and TIMESTAMP(NANOS) both
+    # take the legacy int64 read path; only timestamp[us]-NTZ differs.
+    if str(t) == "int64" or getattr(t, "unit", None) == "ns":
+        return "nanos"
+    return "ntz"
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over the events parquet (TIMESTAMP(NANOS) read
-    as raw int64 then truncated to micros, same as tables.load).
+    """File-source stream over the events parquet, normalizing ``ts`` to
+    session-tz TimestampType for either physical layout (same contract
+    as tables.load): TIMESTAMP(NANOS) is read as raw int64 then
+    truncated to micros; timestamp[us]-NTZ is cast (UTC session tz =>
+    micros identical to a naive read).
 
-    NOTE: unlike the batch loader (which save/restores the conf around
-    the eager schema resolution), a stream consults the flag at every
-    micro-batch, so it must stay set for the stream's lifetime — this
-    call leaves ``spark.sql.legacy.parquet.nanosAsLong=true`` on the
-    session, changing how other TIMESTAMP(NANOS) parquet reads started
-    afterwards are typed (bigint)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    NOTE (nanos layout only): unlike the batch loader (which
+    save/restores the conf around the eager schema resolution), a stream
+    consults the flag at every micro-batch, so it must stay set for the
+    stream's lifetime — this call leaves
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session,
+    changing how other TIMESTAMP(NANOS) parquet reads started afterwards
+    are typed (bigint)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    if _events_ts_layout(path) == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NTZ)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .parquet(path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

@@ -32,13 +32,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
-        # parquet reader rejects outright. Read the raw int64 nanos and
-        # truncate to micros exactly as DuckDB does (integer div — a
-        # float division would lose precision at 1.7e18). The legacy
-        # flag is scoped to this read (schema is resolved eagerly at
-        # spark.read time) and restored so other TIMESTAMP(NANOS) reads
-        # in the session keep their default typing.
+        # events.parquet has shipped with two physical layouts for ``ts``;
+        # both are normalized here to session-tz TimestampType so every
+        # consumer (windows, unix_micros, watermarks, the DuckDB oracle —
+        # session tz is UTC) sees exactly one type:
+        #  - TIMESTAMP(NANOS): the vectorized reader rejects it outright.
+        #    Read the raw int64 nanos via the legacy flag and truncate to
+        #    micros exactly as DuckDB does (integer div — float division
+        #    would lose precision at 1.7e18). The flag is scoped to this
+        #    read (schema resolves eagerly at spark.read time) and
+        #    restored afterwards.
+        #  - timestamp[us] with no timezone: Spark reads TIMESTAMP_NTZ;
+        #    cast to TimestampType (under the UTC session tz the micros
+        #    are bit-identical to DuckDB's naive read).
         key = "spark.sql.legacy.parquet.nanosAsLong"
         try:
             prev = spark.conf.get(key)
@@ -54,8 +60,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.set(key, prev)
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
