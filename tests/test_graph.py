@@ -112,6 +112,33 @@ def test_greedy_search_recall(spark, emb):
     assert res.filter((F.col("rank") < 1) | (F.col("rank") > 10)).count() == 0
 
 
+def test_hnsw_knn_catalog_recall(spark, emb):
+    """End-to-end gate for the exact catalog hnsw_knn path: batched
+    layers>=2 driver walk + distributed layer-1 frontier descent
+    (descend_entry_points) + single expanded layer-0 beam hop. This is
+    the recall gate the rows-only catalog entry leans on."""
+    C = kmeans.train_coarse(emb, k=8, seed=42)
+    hg = graph.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    seeds = graph.descend_entry_points(hg, emb, queries)
+    # seeds: exactly one layer-0 entry per query
+    srows = seeds.collect()
+    assert len(srows) == queries.count()
+    assert len({r.query_id for r in srows}) == len(srows)
+    res = graph.greedy_search(
+        hg, emb, queries, k=10, ef=48, max_hops=1, seeds=seeds,
+        expand=5, early_stop=False,
+    )
+    truth = knn.brute_force_knn(queries, emb, k=10)
+    inter = (
+        res.select("query_id", "vec_id")
+        .intersect(truth.select("query_id", "vec_id"))
+        .count()
+    )
+    recall = inter / truth.count()
+    assert recall >= 0.9, f"hnsw_knn catalog Recall@10 {recall:.3f} < 0.9"
+
+
 def test_greedy_search_expand2_matches_or_beats(spark, emb):
     """2-hop-per-job expansion is a superset search: recall must hold at
     half the sequential job count."""

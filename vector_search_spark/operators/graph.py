@@ -665,115 +665,173 @@ def descend_entry_points(
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    layer1_hops: int = 2,
 ) -> DataFrame:
     """Upper-layer greedy descent (reference KNNSearch layers L..1 with
     ef=1, py/hnsw.py:408-409): start every query at the global entry
-    point; at each layer from the top down, walk to the layer-local
+    point; at each layer from the top down, walk toward the layer-local
     distance minimum (ef=1 SearchLayer semantics — hop to the closest
     neighbor while it improves), then drop a layer. Returns
     (query_id, vec_id) — per-query layer-0 entry seeds.
 
-    Executed on the upper-layer ARTIFACT collected to the driver: the
-    upper layers hold ~N/m of the nodes (sum_l N·p^l, p=1/m), i.e. the
-    routing skeleton, the same order as a coarse-quantizer model — two
-    bounded collects (edges, member vectors) and a vectorized numpy
-    walk, zero per-hop Spark jobs. For N where even N/m is no longer a
-    model-sized artifact, per-segment sharded HNSW
-    (operators/hnsw_sharded.py) is the serving shape — this demonstrator
-    mirrors the reference's single-index layout.
+    Split by data size, so no driver collect scales as N/m:
+
+    - Layers >= 2 (~N/m^2 of the nodes, a genuinely model-sized routing
+      skeleton — 1.6% at m=8) are collected once and walked with
+      BATCHED numpy: one padded-adjacency gather + one einsum per hop
+      scores every active query's whole neighbor row simultaneously —
+      no per-query Python loop.
+    - Layer 1 (~N/m — too big to collect at scale) stays a DataFrame:
+      its descent runs as ONE distributed frontier expansion —
+      ``layer1_hops`` chained edge-joins from the per-query layer-2
+      anchor, a single broadcast-scorer pass, per-query argmin. The
+      h-hop minimum is a superset-candidate approximation of the
+      sequential ef=1 walk (which rarely needs >2 improving hops from a
+      layer-2 anchor); downstream layer-0 beam search re-expands from
+      the seed, so recall is gated end-to-end
+      (tests/test_graph.py::test_hnsw_knn_catalog_recall).
+
+    Queries are a request batch (model-sized) — collected/broadcast by
+    design, as in every serving path here.
     """
     spark = points.sparkSession
-    if graph.max_level < 1:
-        qpdf = queries.select(F.col(id_col).alias("query_id")).toPandas()
-        return spark.createDataFrame(
-            [(int(q), graph.entry_point) for q in qpdf["query_id"]],
-            "query_id long, vec_id long",
-        )
-    # ONE collect job for the whole routing skeleton: upper-layer edges
-    # joined with both endpoint vectors via a self-semi of points on the
-    # edge endpoints (a broadcast of the small edge relation).
-    up_edges = graph.edges.filter(F.col("layer") >= 1).select(
-        "layer", "src", "dst"
-    )
-    endpoint_ids = (
-        up_edges.select(F.col("src").alias("vec_id"))
-        .unionByName(up_edges.select(F.col("dst").alias("vec_id")))
-        .distinct()
-    )
-    vecs = points.select(
-        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
-    ).join(F.broadcast(endpoint_ids), "vec_id", "left_semi")
-    bundle = (
-        up_edges.withColumn("_kind", F.lit(0))
-        .withColumn("v", F.lit(None).cast("array<double>"))
-        .unionByName(
-            vecs.select(
-                F.lit(-1).alias("layer"),
-                F.col("vec_id").alias("src"),
-                F.lit(-1).alias("dst"),
-                F.lit(1).alias("_kind"),
-                "v",
-            )
-        )
-        .toPandas()
-    )
-    up = bundle[bundle["_kind"] == 0]
-    vec_pdf = bundle[bundle["_kind"] == 1].rename(
-        columns={"src": "vec_id"}
-    )[["vec_id", "v"]].reset_index(drop=True)
     qpdf = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     ).toPandas()
     if not len(qpdf):
         raise ValueError("empty query set")
     qids = qpdf["query_id"].to_numpy(dtype=np.int64)
-    if not len(vec_pdf):  # upper layers exist but carry no edges
+    if graph.max_level < 1:
         return spark.createDataFrame(
             [(int(q), graph.entry_point) for q in qids],
             "query_id long, vec_id long",
         )
-    vpos = {int(v): i for i, v in enumerate(vec_pdf["vec_id"])}
-    V = np.vstack(vec_pdf["v"].to_numpy()).astype(np.float64)
     Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
 
-    # adjacency per layer
-    adj: dict[int, dict[int, np.ndarray]] = {}
-    for layer, grp in up.groupby("layer"):
-        adj[int(layer)] = {
-            int(s): g["dst"].to_numpy(dtype=np.int64)
-            for s, g in grp.groupby("src")
-        }
-
+    # per-query current anchor, carried down the layers
     cur = np.full(len(qids), graph.entry_point, dtype=np.int64)
-    ep = graph.entry_point
-    cur_d = (
-        ((Q - V[vpos[ep]][None, :]) ** 2).sum(axis=1)
-        if ep in vpos
-        else np.full(len(qids), np.inf)
-    )
-    for layer in range(graph.max_level, 0, -1):
-        a = adj.get(layer)
-        if not a:
-            continue
-        active = np.ones(len(qids), dtype=bool)
-        while active.any():
-            for qi in np.nonzero(active)[0]:
-                nbrs = a.get(int(cur[qi]))
-                if nbrs is None or not len(nbrs):
-                    active[qi] = False
-                    continue
-                rows = np.fromiter(
-                    (vpos[int(n)] for n in nbrs), dtype=np.int64
+
+    if graph.max_level >= 2:
+        # ONE collect job for the layers>=2 routing skeleton: edges +
+        # endpoint vectors in a single unioned job (edge relation is
+        # broadcast into the semi-join that prunes the vector scan).
+        up_edges = graph.edges.filter(F.col("layer") >= 2).select(
+            "layer", "src", "dst"
+        )
+        endpoint_ids = (
+            up_edges.select(F.col("src").alias("vec_id"))
+            .unionByName(up_edges.select(F.col("dst").alias("vec_id")))
+            .distinct()
+        )
+        vecs = points.select(
+            F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+        ).join(F.broadcast(endpoint_ids), "vec_id", "left_semi")
+        bundle = (
+            up_edges.withColumn("_kind", F.lit(0))
+            .withColumn("v", F.lit(None).cast("array<double>"))
+            .unionByName(
+                vecs.select(
+                    F.lit(-1).alias("layer"),
+                    F.col("vec_id").alias("src"),
+                    F.lit(-1).alias("dst"),
+                    F.lit(1).alias("_kind"),
+                    "v",
                 )
-                d = ((V[rows] - Q[qi][None, :]) ** 2).sum(axis=1)
-                j = int(np.lexsort((nbrs, d))[0])
-                if d[j] < cur_d[qi]:
-                    cur[qi], cur_d[qi] = nbrs[j], d[j]
-                else:
-                    active[qi] = False
-    return spark.createDataFrame(
+            )
+            .toPandas()
+        )
+        up = bundle[bundle["_kind"] == 0]
+        vec_pdf = bundle[bundle["_kind"] == 1].rename(
+            columns={"src": "vec_id"}
+        )[["vec_id", "v"]].reset_index(drop=True)
+        if len(vec_pdf):
+            vids = vec_pdf["vec_id"].to_numpy(dtype=np.int64)
+            pos = {int(v): i for i, v in enumerate(vids)}
+            V = np.vstack(vec_pdf["v"].to_numpy()).astype(np.float64)
+            vnorm = (V * V).sum(axis=1)
+            qnorm = (Q * Q).sum(axis=1)
+            n_skel = len(vids)
+            ep = graph.entry_point
+            cur_local = np.full(
+                len(qids), pos.get(int(ep), -1), dtype=np.int64
+            )
+            cur_d = (
+                ((Q - V[pos[int(ep)]][None, :]) ** 2).sum(axis=1)
+                if int(ep) in pos
+                else np.full(len(qids), np.inf)
+            )
+            # per-layer padded adjacency over LOCAL indices (degree
+            # capped at m by construction, so padding is tight)
+            for layer in range(graph.max_level, 1, -1):
+                grp = up[up["layer"] == layer]
+                if not len(grp) or not (cur_local >= 0).any():
+                    continue
+                s = grp["src"].map(pos).to_numpy(dtype=np.int64)
+                d_ = grp["dst"].map(pos).to_numpy(dtype=np.int64)
+                o = np.lexsort((d_, s))
+                s, d_ = s[o], d_[o]
+                _, starts, counts = np.unique(
+                    s, return_index=True, return_counts=True
+                )
+                m_l = int(counts.max())
+                nbr = np.full((n_skel, m_l), -1, dtype=np.int64)
+                nbr[s, np.arange(len(s)) - np.repeat(starts, counts)] = d_
+                active = cur_local >= 0
+                while active.any():
+                    idx = np.nonzero(active)[0]
+                    nb = nbr[cur_local[idx]]  # (A, m_l) local, -1 pad
+                    valid = nb >= 0
+                    nbc = np.where(valid, nb, 0)
+                    # one einsum scores all active queries' neighbor rows
+                    dots = np.einsum("amd,ad->am", V[nbc], Q[idx])
+                    dc = vnorm[nbc] - 2.0 * dots + qnorm[idx][:, None]
+                    dc[~valid] = np.inf
+                    dmin = dc.min(axis=1)
+                    # tie-break min dist -> min global id (matches the
+                    # sequential lexsort((nbrs, d)) semantics)
+                    tie = np.where(
+                        dc == dmin[:, None],
+                        vids[nbc],
+                        np.iinfo(np.int64).max,
+                    )
+                    j = tie.argmin(axis=1)
+                    best = nbc[np.arange(len(idx)), j]
+                    improved = dmin < cur_d[idx]
+                    upd = idx[improved]
+                    cur_local[upd] = best[improved]
+                    cur_d[upd] = dmin[improved]
+                    active[idx[~improved]] = False
+            hit = cur_local >= 0
+            cur[hit] = vids[cur_local[hit]]
+
+    # ---- layer 1: distributed frontier expansion (edges never leave
+    # the cluster). Candidates = anchor + everything within
+    # `layer1_hops` layer-1 edge-joins; per-query argmin seeds layer 0.
+    seed_df = spark.createDataFrame(
         [(int(q), int(c)) for q, c in zip(qids, cur)],
         "query_id long, vec_id long",
+    )
+    e1 = graph.edges.filter(F.col("layer") == 1).select("src", "dst")
+    hops = [seed_df]
+    cur_f = seed_df
+    for _ in range(max(0, layer1_hops)):
+        cur_f = (
+            cur_f.select("query_id", F.col("vec_id").alias("src"))
+            .join(e1, "src")
+            .select("query_id", F.col("dst").alias("vec_id"))
+        )
+        hops.append(cur_f)
+    cand = hops[0]
+    for h in hops[1:]:
+        cand = cand.unionByName(h)
+    cand = cand.distinct()
+    _, score = _broadcast_query_scorer(points, queries, id_col, vec_col)
+    w1 = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        score(cand)
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") == 1)
+        .select("query_id", "vec_id")
     )
 
 
