@@ -4,7 +4,11 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Each query is materialized with a full-result noop write (no driver
-collect — measures the distributed plan, not result serialization).
+collect — measures the distributed plan, not result serialization), and
+timed REPS times (default 2, $SPARK_GRAFT_BENCH_REPS) reporting the
+per-query MIN: round 3 ran the controlled experiment — identical code,
+single-shot per-query swings up to 2.8x — so one sample per query is
+noise, not a measurement.
 """
 
 from __future__ import annotations
@@ -64,24 +68,31 @@ def main() -> None:
 
     import gc
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            _materialize(catalog[name].fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-        except Exception as e:  # a failing query must not kill the bench
-            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            dt = float("nan")
-        timings[name] = round(dt, 3)
-        if dt == dt:
-            total += dt
-        # Queries are independent: drop caches/checkpoint RDDs between
-        # them (outside the timer) so earlier queries' pinned blocks
-        # don't tax later ones' GC.
-        spark.catalog.clearCache()
-        gc.collect()
+        best = float("nan")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                _materialize(catalog[name].fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+            except Exception as e:  # a failing query must not kill the bench
+                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+                dt = float("nan")
+            if dt == dt and not (best == best and best <= dt):
+                best = dt
+            # Queries (and reps) are independent: drop caches/checkpoint
+            # RDDs between runs (outside the timer) so earlier runs'
+            # pinned blocks don't tax later ones' GC.
+            spark.catalog.clearCache()
+            gc.collect()
+            if dt != dt:
+                break  # a failed query stays failed; don't re-run it
+        timings[name] = round(best, 3) if best == best else float("nan")
+        if best == best:
+            total += best
 
     print(
         json.dumps(
@@ -91,6 +102,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "agg": "min",
             }
         )
     )
