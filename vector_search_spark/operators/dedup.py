@@ -337,22 +337,25 @@ def connected_components(
     every node that appears in a pair.
 
     This is the canonicalization step of a dedup pipeline ("keep one
-    doc per near-dup cluster"). Per round: one join + one groupBy —
-    O(E) shuffle, rounds bounded by component diameter (near-dup
-    clusters are shallow; the 30-round cap is generous). Convergence
-    is probed with the label sum, which strictly decreases until the
-    fixpoint — one tiny agg job per round, no row-level compare.
+    doc per near-dup cluster"). Per message round: one join + one
+    groupBy — O(E) shuffle, rounds bounded by component diameter
+    (near-dup clusters are shallow; the 30-round cap is generous).
 
-    Each round also short-circuits label chains pointer-doubling style
-    (lab <- lab(lab), one extra self-join): labels then propagate
-    distance ~2^r instead of r, so rounds ~ log2(diameter) — the
-    standard trick that keeps iteration count flat as components grow.
+    Scheduling shape (the wall-clock cost at tiny data is sequential
+    jobs, not rows): TWO message rounds plus ONE pointer-doubling
+    short-circuit (lab <- lab(lab)) are fused into a single lazy block
+    that is materialized (localCheckpoint) and convergence-probed
+    (label sum — strictly decreasing until fixpoint, one tiny agg, no
+    row-level compare) ONCE. Labels propagate distance ~4x per block,
+    so blocks ~ log4(diameter) with half the actions of a
+    probe-every-round loop; the min-label fixpoint is schedule-
+    independent, so results are identical, at worst one extra lazy
+    block past convergence.
 
     Labels are SEEDED with min(node, min neighbor) — the first message
     round folded into initialization as one groupBy over the edge list,
-    which removes a full join+window round (and its convergence probe)
-    from the loop; shallow near-dup clusters then converge in one or
-    two probed rounds.
+    which removes a full join+probe block from the loop; shallow
+    near-dup clusters then converge in a single probed block.
     """
     e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     und = e.unionByName(
@@ -368,18 +371,24 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("lab")).first()[0]
-    for _ in range(max_iter):
-        msgs = (
-            und.join(labels, und["y"] == labels["node"])
-            .groupBy(F.col("x").alias("node"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        upd = labels.join(msgs, "node", "left").select(
-            "node",
-            F.least(
-                F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
-            ).alias("lab"),
-        )
+    rounds = 0
+    while rounds < max_iter:
+        block = min(2, max_iter - rounds)
+        upd = labels
+        for _ in range(block):  # message rounds, fused lazily
+            msgs = (
+                und.join(upd, und["y"] == upd["node"])
+                .groupBy(F.col("x").alias("node"))
+                .agg(F.min("lab").alias("nlab"))
+            )
+            upd = upd.join(msgs, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+            )
+            rounds += 1
+        # one pointer-doubling short-circuit per block
         lmap = upd.select(
             F.col("node").alias("_n"), F.col("lab").alias("_l")
         )

@@ -872,10 +872,14 @@ def greedy_search(
     extra tiny job per hop. ``early_stop=False`` runs the fixed hop
     budget with no probe jobs — the deterministic shape the SQL oracle
     replays (an exhausted frontier contributes no candidates either
-    way, so results are identical for the same hop budget). Each hop is
-    checkpointed in both modes: the merged beam is referenced by three
-    downstream subtrees (results, frontier, visited), and re-deriving
-    it per subtree would square the work per hop.
+    way, so results are identical for the same hop budget). A hop that
+    feeds another hop is checkpointed: the merged beam is referenced by
+    three downstream subtrees (results, frontier, visited), and
+    re-deriving it per subtree would square the work per hop. The LAST
+    fixed-budget hop (early_stop=False) skips the checkpoint — its
+    frontier/visited subtrees are dead, so the final top-k window fuses
+    into the same job; with max_hops=1 the whole search runs as one
+    job after the seed scoring.
     """
     spark = points.sparkSession
     qids, score = _broadcast_query_scorer(points, queries, id_col, vec_col)
@@ -899,7 +903,7 @@ def greedy_search(
     frontier = results
 
     wef = Window.partitionBy("query_id").orderBy("dist", "vec_id")
-    for _ in range(max_hops):
+    for hop in range(max_hops):
         # expand frontier `expand` hops; dedup ONCE at the end (each
         # intermediate distinct would cost a full shuffle stage, and the
         # fanout between dedups is bounded by m^expand per frontier row)
@@ -927,9 +931,13 @@ def greedy_search(
             .withColumn("r", F.row_number().over(wef))
             .filter(F.col("r") <= ef)
             .drop("r")
-            .localCheckpoint()
         )
+        feeds_next_hop = early_stop or hop < max_hops - 1
+        if feeds_next_hop:
+            merged = merged.localCheckpoint()
         results = merged.drop("_new")
+        if not feeds_next_hop:
+            break  # frontier/visited are dead on the last budgeted hop
         frontier = merged.filter(F.col("_new")).drop("_new")
         if early_stop and not frontier.take(1):
             break
