@@ -43,7 +43,13 @@ def test_train_rejects_bad_dims(spark, emb):
 
 
 def test_codes_in_range(spark, emb, model):
-    codes = pq.encode(emb, model)
+    raw = pq.encode(emb, model)
+    # K<=256 stores BinaryType: exactly M bytes per row at rest
+    assert dict(raw.dtypes)["code"] == "binary"
+    assert raw.select(
+        F.max(F.length("code")).alias("n")
+    ).first()["n"] == model.m
+    codes = pq.codes_as_int_array(raw)
     stats = codes.select(
         F.min(F.array_min("code")).alias("lo"),
         F.max(F.array_max("code")).alias("hi"),

@@ -57,8 +57,9 @@ class VectorCompression(Protocol):
 
 
 class PQCodec:
-    """Product-Quantization codec. ``code`` column = array<smallint> of
-    M sub-indices; SDC (code-to-code) additionally via pq.sdc_topk."""
+    """Product-Quantization codec. ``code`` column = M packed bytes
+    (BinaryType) at K<=256, else array<smallint>; SDC (code-to-code)
+    additionally via pq.sdc_topk."""
 
     def __init__(self, m: int = 8, k: int = 16, seed: int = 42,
                  max_iter: int = 8):

@@ -359,7 +359,7 @@ def ivf_adc_topk(
                     continue
                 qidx, lut_c = hit
                 vids = grp["_id"].to_numpy(dtype=np.int64)
-                cm = np.vstack(grp["_c"].to_numpy()).astype(np.int64)
+                cm = _pq._code_matrix(grp["_c"])
                 D = np.zeros((len(qidx), len(vids)))
                 for mi in range(m):
                     D += lut_c[:, mi, :][

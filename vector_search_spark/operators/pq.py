@@ -203,6 +203,35 @@ def _pq_partial_sums(spark, src: DataFrame, C: np.ndarray):
     return cnt, sums
 
 
+def _code_matrix(col) -> np.ndarray:
+    """(n, M) int64 code matrix from either physical layout: BinaryType
+    (M bytes per row, K<=256) or array<smallint> (K>256)."""
+    vals = col.to_numpy()
+    if len(vals) and isinstance(vals[0], (bytes, bytearray)):
+        return (
+            np.frombuffer(b"".join(vals), dtype=np.uint8)
+            .reshape(len(vals), -1)
+            .astype(np.int64)
+        )
+    return np.vstack(vals).astype(np.int64)
+
+
+def codes_as_int_array(
+    df: DataFrame, code_col: str = "code", out_col: str | None = None
+) -> DataFrame:
+    """Surface a code column as ``array<int>`` regardless of physical
+    layout — pure Catalyst (hex + conv per byte for BinaryType), used by
+    catalog queries / oracles that explode codes to scalars."""
+    out_col = out_col or code_col
+    if dict(df.dtypes).get(code_col) == "binary":
+        expr = (
+            f"transform(sequence(1, length({code_col})), "
+            f"i -> int(conv(substr(hex({code_col}), 2*i-1, 2), 16, 10)))"
+        )
+        return df.withColumn(out_col, F.expr(expr))
+    return df.withColumn(out_col, F.col(code_col).cast("array<int>"))
+
+
 def encode(
     points: DataFrame,
     model: PQModel,
@@ -211,15 +240,19 @@ def encode(
 ) -> DataFrame:
     """Per-subspace argmin -> M small codes (py/pq.py:242-274).
 
-    Returns ``(id_col, code array<smallint>)``; codes in [0, K).
-    Exact ties take the lowest code (strict-< first-wins,
-    py/pq.py:267-271). One streaming pass, no shuffle.
+    Returns ``(id_col, code)``; codes in [0, K). For K<=256 ``code`` is
+    ``BinaryType`` — exactly M bytes per vector, the at-rest layout
+    SURVEY §1 specifies (code table size is the whole point of PQ at
+    100 TB; array<smallint> was ~8x the bytes) — else
+    ``array<smallint>``. Exact ties take the lowest code (strict-<
+    first-wins, py/pq.py:267-271). One streaming pass, no shuffle.
     """
     m, k, dsub = model.codebooks.shape
     bc = points.sparkSession.sparkContext.broadcast(model.codebooks)
     src = points.select(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
     )
+    as_bytes = k <= 256
 
     def fn(batches):
         CC = bc.value
@@ -241,14 +274,20 @@ def encode(
                     - 2.0 * (Xm @ Cm.T)
                 )
                 codes[:, mi] = D.argmin(axis=1)
+            out = (
+                [r.tobytes() for r in codes.astype(np.uint8)]
+                if as_bytes
+                else list(codes)
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf["_id"].to_numpy(dtype=np.int64),
-                    "code": list(codes),
+                    "code": out,
                 }
             )
 
-    return src.mapInPandas(fn, f"{id_col} long, code array<smallint>")
+    ctype = "binary" if as_bytes else "array<smallint>"
+    return src.mapInPandas(fn, f"{id_col} long, code {ctype}")
 
 
 def decode(
@@ -264,7 +303,7 @@ def decode(
         for pdf in batches:
             if not len(pdf):
                 continue
-            cm = np.vstack(pdf["_c"].to_numpy()).astype(np.int64)
+            cm = _code_matrix(pdf["_c"])
             vecs = np.concatenate(
                 [CC[mi][cm[:, mi]] for mi in range(m)], axis=1
             )
@@ -349,7 +388,7 @@ def adc_topk(
             if not len(pdf):
                 continue
             vids = pdf["_id"].to_numpy(dtype=np.int64)
-            cm = np.vstack(pdf["_c"].to_numpy()).astype(np.int64)
+            cm = _code_matrix(pdf["_c"])
             D = np.zeros((len(b_qids), len(vids)))
             for mi in range(m):
                 D += b_lut[:, mi, cm[:, mi]]
@@ -387,7 +426,7 @@ def sdc_topk(
         F.col(id_col).alias("qid"), F.col(code_col).alias("qc")
     ).toPandas()
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
-    qcm = np.vstack(qpdf["qc"].to_numpy()).astype(np.int64)
+    qcm = _code_matrix(qpdf["qc"])
     bc = codes.sparkSession.sparkContext.broadcast((qids, qcm, sdc_table(model)))
     src = codes.select(F.col(id_col).alias("_id"), F.col(code_col).alias("_c"))
 
@@ -397,7 +436,7 @@ def sdc_topk(
             if not len(pdf):
                 continue
             vids = pdf["_id"].to_numpy(dtype=np.int64)
-            cm = np.vstack(pdf["_c"].to_numpy()).astype(np.int64)
+            cm = _code_matrix(pdf["_c"])
             D = np.zeros((len(b_qids), len(vids)))
             for mi in range(m):
                 D += T[mi][b_qcm[:, mi][:, None], cm[:, mi][None, :]]

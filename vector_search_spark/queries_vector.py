@@ -172,11 +172,13 @@ SELECT vec_id, m, code FROM codes
     "pq",
 )
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ Encode (py/pq.py:242-274) with data-derived codebooks; output
-    exploded to (vec_id, m, code) scalars for the value-hash compare."""
+    """PQ Encode (py/pq.py:242-274) with data-derived codebooks; codes
+    are stored as BinaryType (M bytes, SURVEY §1) and surfaced via the
+    Catalyst byte-expansion helper, exploded to (vec_id, m, code)
+    scalars for the value-hash compare."""
     emb = tables.load(spark, sf_dir, "embeddings")
     model = _pq_model(spark, sf_dir)
-    codes = pq.encode(emb, model)
+    codes = pq.codes_as_int_array(pq.encode(emb, model))
     return codes.select(
         "vec_id", F.posexplode("code").alias("m", "code")
     ).select("vec_id", F.col("m").cast("int"), F.col("code").cast("int"))
