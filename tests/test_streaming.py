@@ -61,6 +61,31 @@ def _run_stream(spark, df, name: str, mode: str):
     return spark.table(name)
 
 
+def test_stream_over_ntz_testdata_equals_batch(spark, tmp_path):
+    """read_events_stream on the REAL testdata layout (timestamp[us]
+    without timezone -> TIMESTAMP_NTZ): the layout detector must pick
+    the NTZ schema and the normalized stream must reproduce the batch
+    tumbling counts. The parquet BYTES are the shipped ones — only
+    copied under a directory, since the file source monitors
+    directories. Single file -> one micro-batch, so no watermark
+    ordering concerns."""
+    import shutil
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    shutil.copy(f"{SF_ORACLE}/events.parquet", d / "part-00000.parquet")
+    stream = sev.read_events_stream(spark, str(tmp_path))
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    got = _run_stream(
+        spark, sev.tumbling_counts(stream), "t_ntz_tumble", "complete"
+    )
+    want = sev.tumbling_counts(tables.load(spark, SF_ORACLE, "events"))
+    r = lambda df: df.withColumn("sum_value", F.round("sum_value", 2))
+    got, want = r(got), r(want)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_tumbling_stream_equals_batch(spark, events_dir):
     stream = sev.read_events_stream(spark, events_dir)
     got = _run_stream(
