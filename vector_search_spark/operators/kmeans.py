@@ -294,9 +294,11 @@ def _partial_assign_sums(spark, src: DataFrame, C: np.ndarray):
     ).toPandas()
     cnt = np.zeros(k, dtype=np.int64)
     sums = np.zeros_like(C)
-    for _, row in partials.iterrows():
-        cnt[row["cluster_id"]] += row["cnt"]
-        sums[row["cluster_id"]] += np.asarray(row["vsum"])
+    if len(partials):
+        cid = partials["cluster_id"].to_numpy(dtype=np.int64)
+        np.add.at(cnt, cid, partials["cnt"].to_numpy(dtype=np.int64))
+        # same row order as a python loop -> bit-identical float sums
+        np.add.at(sums, cid, np.vstack(partials["vsum"].to_numpy()))
     return cnt, sums
 
 

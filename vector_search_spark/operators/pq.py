@@ -197,9 +197,12 @@ def _pq_partial_sums(spark, src: DataFrame, C: np.ndarray):
     partials = src.mapInPandas(fn, "m int, k int, cnt long, vsum array<double>").toPandas()
     cnt = np.zeros((m, k), dtype=np.int64)
     sums = np.zeros_like(C)
-    for _, row in partials.iterrows():
-        cnt[row["m"], row["k"]] += row["cnt"]
-        sums[row["m"], row["k"]] += np.asarray(row["vsum"])
+    if len(partials):
+        mi = partials["m"].to_numpy(dtype=np.int64)
+        ki = partials["k"].to_numpy(dtype=np.int64)
+        np.add.at(cnt, (mi, ki), partials["cnt"].to_numpy(dtype=np.int64))
+        # same row order as a python loop -> bit-identical float sums
+        np.add.at(sums, (mi, ki), np.vstack(partials["vsum"].to_numpy()))
     return cnt, sums
 
 
