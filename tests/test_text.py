@@ -270,6 +270,24 @@ def test_connected_components_known_graph(spark):
     }
 
 
+def test_connected_components_deep_chain(spark):
+    """A 64-node path with the min id at the FAR end (labels must
+    travel the whole diameter) plus a cycle: exercises multiple fused
+    blocks + pointer doubling, not just the shallow near-dup shape."""
+    from vector_search_spark.operators import dedup
+
+    # path 64 <- 63 <- ... <- 1, min id 1 sits at one end
+    chain = [(i, i + 1) for i in range(1, 64)]
+    cycle = [(100, 101), (101, 102), (102, 103), (103, 100)]
+    pairs = spark.createDataFrame(chain + cycle, "a long, b long")
+    out = {
+        r.node: (r.canonical_id, r.group_size)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert all(out[n] == (1, 64) for n in range(1, 65))
+    assert all(out[n] == (100, 4) for n in (100, 101, 102, 103))
+
+
 def test_approx_distinct_tolerance(spark):
     """HLL++ distinct users within 5% of exact, per event type."""
     from pyspark.sql import functions as F
