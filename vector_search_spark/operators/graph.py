@@ -893,6 +893,12 @@ def greedy_search(
         seed_df = seed_df.unionByName(
             seeds.select("query_id", "vec_id")
         ).distinct()
+    # The seed checkpoint is about LINEAGE, not scoring cost: caller
+    # seeds can carry arbitrary upstream plans (cell assignment, the
+    # upper-layer descent), and hop 0 references the seed relation from
+    # three subtrees — materializing the scored seeds once keeps that
+    # upstream from recomputing per subtree (measured: lazy seeds
+    # doubled the fixture's wall-clock).
     results = score(seed_df).localCheckpoint()
     # visited tracks EXPANDED nodes (seeds + every past frontier), not
     # every scored node: a scored-but-evicted candidate may be rescored
