@@ -253,6 +253,75 @@ def test_language_id_deterministic_schema(spark, docs):
     assert langs <= set(textstats.STOPWORDS)
 
 
+def test_repetition_stats_known_values(spark):
+    """Hand-checked Gopher-style metrics: 'a a b' has 5 chars, 3 tokens
+    (2 duplicates), 2-grams {'a a', 'a b'} each once -> top is 'a a'
+    (tie -> lexicographic min)."""
+    from vector_search_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "x y"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(docs, ngram=2).collect()}
+    r0 = out[0]
+    assert r0.n_tokens == 3
+    assert abs(r0.dup_token_frac - 2 / 3) < 1e-12
+    assert r0.top_ngram == "a a"
+    assert abs(r0.top_ngram_frac - 0.5) < 1e-12
+    assert abs(r0.top_ngram_char_frac - 3 / 5) < 1e-12
+    r1 = out[1]  # no repeated tokens, single 2-gram covers all
+    assert r1.dup_token_frac == 0.0 and r1.top_ngram == "x y"
+    assert r1.top_ngram_frac == 1.0
+    r2 = out[2]  # empty doc still gets a row with zeroed metrics
+    assert (r2.n_tokens, r2.top_ngram, r2.top_ngram_frac) == (0, "", 0.0)
+
+
+def test_chunk_tokens_order_and_sizes(spark):
+    """Chunks partition the token sequence in order; last chunk ragged;
+    empty docs emit nothing."""
+    from vector_search_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "t0 t1 t2 t3 t4"), (1, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        textstats.chunk_tokens(docs, chunk_size=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    assert [(r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text) for r in rows] == [
+        (0, 0, 2, "t0 t1"),
+        (0, 1, 2, "t2 t3"),
+        (0, 2, 1, "t4"),
+    ]
+    # reassembly invariant on real data: concatenating a doc's chunks
+    # in chunk_id order reproduces its full token stream
+    from tests.conftest import SF_ORACLE
+    from vector_search_spark import tables
+    from vector_search_spark.functions import texts as T
+
+    real = tables.load(spark, SF_ORACLE, "documents")
+    rebuilt = (
+        textstats.chunk_tokens(real, chunk_size=16)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("joined")
+        )
+    )
+    orig = real.select(
+        "doc_id", F.array_join(T.tokens("text"), " ").alias("joined")
+    ).filter(F.length("joined") > 0)
+    assert rebuilt.exceptAll(orig).count() == 0
+    assert orig.exceptAll(rebuilt).count() == 0
+
+
 def test_connected_components_known_graph(spark):
     """Two components + a chain: labels converge to component min-id."""
     from vector_search_spark.operators import dedup

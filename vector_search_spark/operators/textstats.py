@@ -26,6 +26,8 @@ __all__ = [
     "token_counts",
     "hashing_embed",
     "winnow_fingerprints",
+    "repetition_stats",
+    "chunk_tokens",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio
@@ -225,6 +227,130 @@ def hashing_embed(
             ).alias("_m")
         )
         .select(F.col(id_col), dense.alias(out_col))
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    ngram: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1 — the
+    public MassiveText quality rules), token-n-gram family: documents
+    dominated by repeated content are low-quality training data.
+
+    Per document:
+    - ``n_tokens``
+    - ``dup_token_frac``   — fraction of token occurrences whose token
+      appears more than once
+    - ``top_ngram``        — most frequent word ``ngram``-gram (ties:
+      lexicographically smallest — deterministic)
+    - ``top_ngram_frac``   — its occurrences / total n-gram occurrences
+    - ``top_ngram_char_frac`` — chars covered by its occurrences /
+      document chars (the Gopher "fraction of characters in the most
+      common n-gram" rule)
+
+    Two explode+groupBy passes (tokens, n-grams) joined back to the doc
+    spine — all codegen, map-side-combinable shuffles keyed by doc.
+    Line/paragraph-based variants degenerate on single-line documents;
+    the n-gram family is well-defined for any text.
+    """
+    spine = docs.select(
+        F.col(id_col), F.length(F.col(text_col)).alias("_nchar")
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode_outer(T.tokens(text_col)).alias("_t")
+    )
+    td = (
+        tok.groupBy(id_col, "_t")
+        .agg(F.count("_t").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("_n"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)),
+                F.lit(0),
+            ).alias("_dup"),
+        )
+    )
+    gr_ = docs.select(
+        F.col(id_col),
+        F.explode(T.shingles(T.tokens(text_col), ngram)).alias("_g"),
+    )
+    gg = gr_.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("c"))
+    wtop = Window.partitionBy(id_col).orderBy(F.desc("c"), "_g")
+    gtot = gg.groupBy(id_col).agg(F.sum("c").alias("_gn"))
+    top = (
+        gg.withColumn("_r", F.row_number().over(wtop))
+        .filter(F.col("_r") == 1)
+        .join(gtot, id_col)
+        .select(
+            F.col(id_col),
+            F.col("_g").alias("top_ngram"),
+            F.col("c").alias("_topc"),
+            "_gn",
+        )
+    )
+    nn = F.greatest(F.col("_n"), F.lit(1))
+    return (
+        spine.join(td, id_col, "left")
+        .join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            (F.col("_dup") / nn).alias("dup_token_frac"),
+            F.coalesce(F.col("top_ngram"), F.lit("")).alias("top_ngram"),
+            F.coalesce(
+                F.col("_topc") / F.greatest(F.col("_gn"), F.lit(1)),
+                F.lit(0.0),
+            ).alias("top_ngram_frac"),
+            F.coalesce(
+                F.col("_topc")
+                * F.length(F.col("top_ngram"))
+                / F.greatest(F.col("_nchar"), F.lit(1)),
+                F.lit(0.0),
+            ).alias("top_ngram_char_frac"),
+        )
+    )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window document chunking — the splitting stage of a
+    training / RAG pipeline: whitespace tokens partitioned into
+    consecutive windows of ``chunk_size``, each reassembled into a text
+    chunk. Returns (id, chunk_id, n_tokens, chunk_text); documents with
+    no tokens produce no chunks.
+
+    One explode + one grouped pass keyed by (doc, chunk): the shuffle
+    carries each token once, and chunk reassembly sorts WITHIN a group
+    (bounded at chunk_size) — no per-document global sort, so skewed
+    giant documents cost their own groups only.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(text_col)).alias("pos", "_t"),
+    )
+    return (
+        toks.withColumn(
+            "chunk_id", F.floor(F.col("pos") / chunk_size).cast("int")
+        )
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_t"))),
+                    lambda s: s["_t"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
     )
 
 

@@ -250,9 +250,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "range_join_purchase_follow",
     "events_daily_json",
     "promo_revenue_monthly",
-    # dedup / text
+    # dedup / text (text_repetition / text_chunks are NEW in round 4 —
+    # never adjudicated, so they sit in-window)
+    "text_repetition",
+    "text_chunks",
     "dedup_exact",
-    "dedup_minhash_signatures",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -261,7 +263,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_language_id",
     "text_quality",
     "text_token_count",
-    "text_fingerprint",
     "docs_split_assign",
     "docs_sample_hash",
     "text_hash_embed_knn",
@@ -292,6 +293,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ivf_knn",
     "ann_lsh",
     "text_simhash",
+    "dedup_minhash_signatures",
+    "text_fingerprint",
     # rows-only (RNG-dependent; pytest-gated recall/invariants)
     "hnsw_sharded_knn",
     "hnsw_knn",

@@ -547,6 +547,95 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_N = 2  # repetition-stats n-gram order
+
+
+@register(
+    "text_repetition",
+    f"""
+WITH {_TOKS},
+spine AS (SELECT doc_id, length(text) AS nchar FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+td AS (
+  SELECT doc_id, sum(c) AS n,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM tc GROUP BY 1
+),
+gr AS (SELECT doc_id, unnest({T.sql_shingles("t", REP_N)}) AS g FROM toks),
+gg AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY 1, 2),
+gt AS (SELECT doc_id, sum(c) AS gn FROM gg GROUP BY 1),
+top AS (
+  SELECT doc_id, g, c, gn FROM (
+    SELECT gg.doc_id, g, c, gt.gn,
+           row_number() OVER (PARTITION BY gg.doc_id
+                              ORDER BY c DESC, g) AS r
+    FROM gg JOIN gt ON gt.doc_id = gg.doc_id)
+  WHERE r = 1
+)
+SELECT s.doc_id,
+  CAST(COALESCE(td.n, 0) AS BIGINT) AS n_tokens,
+  (ROUND(COALESCE(td.dup, 0) / greatest(COALESCE(td.n, 0), 1), 6) + 0.0)
+    AS dup_token_frac,
+  COALESCE(top.g, '') AS top_ngram,
+  (ROUND(COALESCE(top.c / greatest(top.gn, 1), 0.0), 6) + 0.0)
+    AS top_ngram_frac,
+  (ROUND(COALESCE(top.c * length(top.g) / greatest(s.nchar, 1), 0.0), 6)
+    + 0.0) AS top_ngram_char_frac
+FROM spine s
+LEFT JOIN td ON td.doc_id = s.doc_id
+LEFT JOIN top ON top.doc_id = s.doc_id
+""",
+    "text",
+    "analysis",
+    "quality",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1):
+    duplicate-token fraction + most-frequent-2-gram coverage. The oracle
+    replays both grouped passes including the (count desc, gram asc)
+    tie-break."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = textstats.repetition_stats(docs, ngram=REP_N)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        rnd("dup_token_frac").alias("dup_token_frac"),
+        "top_ngram",
+        rnd("top_ngram_frac").alias("top_ngram_frac"),
+        rnd("top_ngram_char_frac").alias("top_ngram_char_frac"),
+    )
+
+
+CHUNK_SIZE = 16
+
+
+@register(
+    "text_chunks",
+    f"""
+WITH {_TOKS},
+tok AS (
+  SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+)
+SELECT doc_id,
+  CAST(pos // {CHUNK_SIZE} AS INT) AS chunk_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  string_agg(tk, ' ' ORDER BY pos) AS chunk_text
+FROM tok GROUP BY 1, 2
+""",
+    "text",
+    "analysis",
+    "pipeline",
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (the training/RAG splitting stage): the
+    oracle rebuilds every chunk's exact text, so token order inside the
+    grouped reassembly is value-checked."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return textstats.chunk_tokens(docs, chunk_size=CHUNK_SIZE)
+
+
 # --------------------------------------------------------------------------
 # Dedup canonicalization: connected components over near-dup pairs
 # --------------------------------------------------------------------------
