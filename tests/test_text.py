@@ -322,6 +322,36 @@ def test_chunk_tokens_order_and_sizes(spark):
     assert orig.exceptAll(rebuilt).count() == 0
 
 
+def test_stratified_sample_properties(spark):
+    """Rate-1.0 strata keep everything; rate-0 strata keep nothing;
+    raising a rate NESTS the previous sample (draw depends on id only);
+    the survivor set is partition-invariant (hash, not RNG)."""
+    from tests.conftest import SF_ORACLE
+    from vector_search_spark import tables
+    from vector_search_spark.operators import sampling
+
+    docs = tables.load(spark, SF_ORACLE, "documents")
+    full = sampling.stratified_sample_hash(docs, {"en": 1.0}, "lang")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert full.filter(F.col("lang") == "en").count() == n_en
+    assert full.filter(F.col("lang") != "en").count() == 0
+
+    lo = sampling.stratified_sample_hash(docs, {"en": 0.2}, "lang")
+    hi = sampling.stratified_sample_hash(docs, {"en": 0.6}, "lang")
+    lo_ids = {r.doc_id for r in lo.select("doc_id").collect()}
+    hi_ids = {r.doc_id for r in hi.select("doc_id").collect()}
+    assert lo_ids <= hi_ids, "samples must nest as the rate grows"
+    assert 0 < len(lo_ids) < len(hi_ids) < n_en
+
+    re_ids = {
+        r.doc_id
+        for r in sampling.stratified_sample_hash(
+            docs.repartition(7, "lang"), {"en": 0.2}, "lang"
+        ).select("doc_id").collect()
+    }
+    assert re_ids == lo_ids, "survivors must not depend on partitioning"
+
+
 def test_connected_components_known_graph(spark):
     """Two components + a chain: labels converge to component min-id."""
     from vector_search_spark.operators import dedup

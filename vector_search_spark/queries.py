@@ -264,7 +264,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_quality",
     "text_token_count",
     "docs_split_assign",
-    "docs_sample_hash",
+    "docs_stratified_sample",
     "text_hash_embed_knn",
     # multimodal
     "multimodal_metadata",
@@ -295,6 +295,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_simhash",
     "dedup_minhash_signatures",
     "text_fingerprint",
+    "docs_sample_hash",
     # rows-only (RNG-dependent; pytest-gated recall/invariants)
     "hnsw_sharded_knn",
     "hnsw_knn",

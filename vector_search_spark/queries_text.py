@@ -636,6 +636,42 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.chunk_tokens(docs, chunk_size=CHUNK_SIZE)
 
 
+STRAT_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
+STRAT_DEFAULT = 0.05  # zh and anything unlisted
+
+
+@register(
+    "docs_stratified_sample",
+    f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000
+      < CASE lang
+          WHEN 'de' THEN {int(0.5 * 1_000_000)}
+          WHEN 'en' THEN {int(1.0 * 1_000_000)}
+          WHEN 'es' THEN {int(0.1 * 1_000_000)}
+          WHEN 'fr' THEN {int(0.25 * 1_000_000)}
+          ELSE {int(0.05 * 1_000_000)}
+        END
+""",
+    "text",
+    "pipeline",
+)
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus rebalancing by
+    language): keep-rate per lang, hash draw depends only on the id so
+    per-stratum samples are nested under rate changes. Map-side filter,
+    no shuffle; oracle replays the exact integer-threshold arithmetic."""
+    from vector_search_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = sampling.stratified_sample_hash(
+        docs, STRAT_RATES, "lang", seed="strat", default_rate=STRAT_DEFAULT
+    )
+    return out.select("doc_id", "lang")
+
+
 # --------------------------------------------------------------------------
 # Dedup canonicalization: connected components over near-dup pairs
 # --------------------------------------------------------------------------
