@@ -884,8 +884,10 @@ def q_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, sf_dir, "embeddings")
     C = kmeans.init_first_k(emb, NNG_NC)
     g = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=NNG_NPROBE)
-    for _ in range(2):
-        g = gr.nn_descent_round(g, emb, k=NNG_K).localCheckpoint()
+    # round 1's output feeds round 2 from several subtrees -> checkpoint;
+    # round 2's output feeds only the final select -> stays lazy
+    g = gr.nn_descent_round(g, emb, k=NNG_K).localCheckpoint()
+    g = gr.nn_descent_round(g, emb, k=NNG_K)
     return g.select("src", "dst", rnd("dist").alias("dist"), "rank")
 
 
