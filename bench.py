@@ -9,6 +9,13 @@ timed REPS times (default 2, $SPARK_GRAFT_BENCH_REPS) reporting the
 per-query MIN: round 3 ran the controlled experiment — identical code,
 single-shot per-query swings up to 2.8x — so one sample per query is
 noise, not a measurement.
+
+METHODOLOGY NOTE for cross-round comparison: BENCH_r01..r03 were
+single-shot (reps=1); r04+ report min-of-reps (the "reps"/"agg" fields
+record which). Totals across that boundary are not comparable — part of
+any apparent r03->r04 speedup is the aggregation change. Queries where
+any rep failed are listed in "failed_reps" (a surviving rep's timing is
+still reported, but the query must be treated as flaky, not healthy).
 """
 
 from __future__ import annotations
@@ -70,9 +77,11 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    failed_reps: dict[str, int] = {}
     total = 0.0
     for name in names:
         best = float("nan")
+        n_failed = 0
         for _ in range(reps):
             t0 = time.perf_counter()
             try:
@@ -81,6 +90,7 @@ def main() -> None:
             except Exception as e:  # a failing query must not kill the bench
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
                 dt = float("nan")
+                n_failed += 1
             if dt == dt and not (best == best and best <= dt):
                 best = dt
             # Queries (and reps) are independent: drop caches/checkpoint
@@ -91,6 +101,11 @@ def main() -> None:
             if dt != dt:
                 break  # a failed query stays failed; don't re-run it
         timings[name] = round(best, 3) if best == best else float("nan")
+        if n_failed:
+            # A query that failed ANY rep is flaky even when a surviving
+            # rep produced a timing — flag it in the JSON, not just on
+            # stderr, so round-over-round comparisons can exclude it.
+            failed_reps[name] = n_failed
         if best == best:
             total += best
 
@@ -104,6 +119,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "agg": "min",
+                "failed_reps": failed_reps,
             }
         )
     )

@@ -136,7 +136,7 @@ def test_hnsw_knn_catalog_recall(spark, emb):
         .count()
     )
     recall = inter / truth.count()
-    assert recall >= 0.9, f"hnsw_knn catalog Recall@10 {recall:.3f} < 0.9"
+    assert recall >= 0.95, f"hnsw_knn catalog Recall@10 {recall:.3f} < 0.95"
 
 
 def test_greedy_search_expand2_matches_or_beats(spark, emb):

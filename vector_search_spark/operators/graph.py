@@ -665,7 +665,7 @@ def descend_entry_points(
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    layer1_hops: int = 2,
+    layer1_hops: int = 3,
 ) -> DataFrame:
     """Upper-layer greedy descent (reference KNNSearch layers L..1 with
     ef=1, py/hnsw.py:408-409): start every query at the global entry
@@ -684,12 +684,20 @@ def descend_entry_points(
     - Layer 1 (~N/m — too big to collect at scale) stays a DataFrame:
       its descent runs as ONE distributed frontier expansion —
       ``layer1_hops`` chained edge-joins from the per-query layer-2
-      anchor, a single broadcast-scorer pass, per-query argmin. The
-      h-hop minimum is a superset-candidate approximation of the
-      sequential ef=1 walk (which rarely needs >2 improving hops from a
-      layer-2 anchor); downstream layer-0 beam search re-expands from
-      the seed, so recall is gated end-to-end
-      (tests/test_graph.py::test_hnsw_knn_catalog_recall).
+      anchor, a single broadcast-scorer pass, per-query argmin.
+
+      DEVIATION from reference semantics (SURVEY §8 #32 note): the
+      reference's layer-1 ef=1 walk (py/hnsw.py:408-409) hops an
+      UNBOUNDED number of times while improving; this argmin over a
+      fixed ``layer1_hops``-hop neighborhood can hand a different
+      layer-0 seed to a query that would need more improving hops from
+      its layer-2 anchor. The hops are chained joins inside ONE job
+      (candidates union then a single scorer pass), so extra hops cost
+      plan width, not scheduling latency — the default covers
+      1+m+m^2+m^3 candidates per query. Downstream layer-0 beam search
+      re-expands from the seed; end-to-end recall is gated at >= 0.95
+      (tests/test_graph.py::test_hnsw_knn_catalog_recall; measured
+      1.000 at the fixture scale for hops in {2,3,4}).
 
     Queries are a request batch (model-sized) — collected/broadcast by
     design, as in every serving path here.
@@ -748,8 +756,6 @@ def descend_entry_points(
             vids = vec_pdf["vec_id"].to_numpy(dtype=np.int64)
             pos = {int(v): i for i, v in enumerate(vids)}
             V = np.vstack(vec_pdf["v"].to_numpy()).astype(np.float64)
-            vnorm = (V * V).sum(axis=1)
-            qnorm = (Q * Q).sum(axis=1)
             n_skel = len(vids)
             ep = graph.entry_point
             cur_local = np.full(
@@ -782,9 +788,14 @@ def descend_entry_points(
                     nb = nbr[cur_local[idx]]  # (A, m_l) local, -1 pad
                     valid = nb >= 0
                     nbc = np.where(valid, nb, 0)
-                    # one einsum scores all active queries' neighbor rows
-                    dots = np.einsum("amd,ad->am", V[nbc], Q[idx])
-                    dc = vnorm[nbc] - 2.0 * dots + qnorm[idx][:, None]
+                    # one einsum scores all active queries' neighbor
+                    # rows — computed as sum((V-Q)^2) DIRECTLY (not the
+                    # vnorm-2ab+qnorm expansion) so improvement/tie
+                    # decisions near equality are bit-identical to the
+                    # sequential walk's ((a-b)^2).sum and to cur_d's
+                    # seed form below.
+                    diff = V[nbc] - Q[idx][:, None, :]
+                    dc = np.einsum("amd,amd->am", diff, diff)
                     dc[~valid] = np.inf
                     dmin = dc.min(axis=1)
                     # tie-break min dist -> min global id (matches the

@@ -34,30 +34,46 @@ EVENTS_SCHEMA_NTZ = (
 
 
 def _events_ts_layout(path: str) -> str:
-    """Inspect the parquet footer for the physical ``ts`` layout:
-    ``'nanos'`` (TIMESTAMP(NANOS) — needs the legacy int64 read) or
-    ``'ntz'`` (timestamp[us] without timezone — Spark's TIMESTAMP_NTZ).
-    A file source needs its schema fixed up front, so the two layouts
-    the testdata has shipped with must be told apart before the stream
-    starts."""
+    """Inspect parquet footers for the physical ``ts`` layout:
+    ``'nanos'`` (TIMESTAMP(NANOS) or raw int64 — needs the legacy int64
+    read) or ``'ntz'`` (timestamp[us] without timezone — Spark's
+    TIMESTAMP_NTZ). A file source needs its schema fixed up front, so
+    the two layouts the testdata has shipped with must be told apart
+    before the stream starts.
+
+    EVERY part file's footer is checked (footers are tiny — this is a
+    metadata read, not a data scan): a directory mixing the two layouts
+    (plausible after a testdata refresh that appends files) cannot be
+    served by one fixed stream schema, so it raises instead of
+    misreading later files mid-stream."""
     import pyarrow.parquet as papq
 
-    p = path
-    if os.path.isdir(p):
-        parts = sorted(
-            f
-            for f in os.listdir(p)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
+    def classify(f: str) -> str:
+        t = papq.read_schema(f).field("ts").type
+        # plain int64 (fixture-written raw nanos) and TIMESTAMP(NANOS)
+        # both take the legacy int64 read path; only ts[us]-NTZ differs.
+        if str(t) == "int64" or getattr(t, "unit", None) == "ns":
+            return "nanos"
+        return "ntz"
+
+    if not os.path.isdir(path):
+        return classify(path)
+    parts = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if not parts:
+        raise FileNotFoundError(f"no parquet part files under {path}")
+    layouts = {p: classify(p) for p in parts}
+    distinct = set(layouts.values())
+    if len(distinct) > 1:
+        raise ValueError(
+            f"mixed ts layouts under {path}: {sorted(distinct)} — "
+            "a file-source stream needs one fixed schema; rewrite the "
+            f"directory to a single layout (per-file: {layouts})"
         )
-        if not parts:
-            raise FileNotFoundError(f"no parquet part files under {path}")
-        p = os.path.join(path, parts[0])
-    t = papq.read_schema(p).field("ts").type
-    # plain int64 (fixture-written raw nanos) and TIMESTAMP(NANOS) both
-    # take the legacy int64 read path; only timestamp[us]-NTZ differs.
-    if str(t) == "int64" or getattr(t, "unit", None) == "ns":
-        return "nanos"
-    return "ntz"
+    return distinct.pop()
 
 
 def read_events_stream(
