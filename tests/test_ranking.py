@@ -1,0 +1,111 @@
+"""BM25 + RRF hybrid retrieval (operators/ranking.py).
+
+Value-level checks against hand-computed BM25 math plus fusion
+invariants; the full-pipeline DuckDB oracles are exercised by
+tests/test_oracle_gate.py via the text_bm25_search / hybrid_rrf_search
+catalog entries.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_spark.operators import ranking
+
+DOCS = [
+    (0, "apple banana apple"),
+    (1, "apple cherry"),
+    (2, "durian durian durian"),
+    (3, "banana cherry apple apple"),
+]
+
+
+def _bm25_ref(tf, df, dl, n_docs, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl))))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_hand_computed_scores(spark, docs):
+    qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+    out = ranking.bm25_topk(docs, qt, k=10).collect()
+    # d2 has no 'apple' -> absent
+    assert {r.doc_id for r in out} == {0, 1, 3}
+    n, avgdl = 4, (3 + 2 + 3 + 4) / 4.0
+    expected = {
+        0: _bm25_ref(tf=2, df=3, dl=3, n_docs=n, avgdl=avgdl),
+        1: _bm25_ref(tf=1, df=3, dl=2, n_docs=n, avgdl=avgdl),
+        3: _bm25_ref(tf=2, df=3, dl=4, n_docs=n, avgdl=avgdl),
+    }
+    got = {r.doc_id: r.score for r in out}
+    for d, s in expected.items():
+        assert got[d] == pytest.approx(s, abs=1e-12), d
+    # ranks follow score desc with doc_id tie-break
+    ranks = {r.doc_id: r.rank for r in out}
+    order = sorted(expected, key=lambda d: (-expected[d], d))
+    assert [d for d, _ in sorted(ranks.items(), key=lambda x: x[1])] == order
+
+
+def test_bm25_multi_term_fold_and_rare_term_wins(spark, docs):
+    # 'durian' appears in 1 doc (rare -> high idf); 'apple' in 3.
+    qt = spark.createDataFrame(
+        [(7, "apple"), (7, "durian")], "query_id long, term string"
+    )
+    out = {r.doc_id: r for r in ranking.bm25_topk(docs, qt, k=10).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # the durian-only doc must outrank every apple doc
+    assert out[2].rank == 1
+    n, avgdl = 4, 3.0
+    exp2 = _bm25_ref(tf=3, df=1, dl=3, n_docs=n, avgdl=avgdl)
+    assert out[2].score == pytest.approx(exp2, abs=1e-12)
+
+
+def test_bm25_query_tf_ignored_and_k_cap(spark, docs):
+    # duplicate query terms collapse (distinct); k caps the output
+    qt = spark.createDataFrame(
+        [(1, "apple"), (1, "apple")], "query_id long, term string"
+    )
+    out = ranking.bm25_topk(docs, qt, k=2).collect()
+    assert len(out) == 2
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_rrf_fuse_exact_scores(spark):
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, doc_id long, rank int"
+    )
+    out = {r.doc_id: r for r in ranking.rrf_fuse(a, b, k=10).collect()}
+    assert out[11].rrf_score == pytest.approx(1 / 61 + 1 / 62, abs=0)
+    assert out[10].rrf_score == pytest.approx(1 / 61, abs=0)
+    assert out[12].rrf_score == pytest.approx(1 / 62, abs=0)
+    # both-lists item wins; tie between single-list items broken by rank
+    assert out[11].rank == 1 and out[10].rank == 2 and out[12].rank == 3
+
+
+def test_rrf_fuse_per_query_isolation(spark):
+    a = spark.createDataFrame(
+        [(0, 1, 1), (5, 2, 1)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame([], "query_id long, doc_id long, rank int")
+    out = ranking.rrf_fuse(a, b, k=10)
+    rows = out.collect()
+    assert {(r.query_id, r.doc_id, r.rank) for r in rows} == {
+        (0, 1, 1),
+        (5, 2, 1),
+    }
+
+
+def test_bm25_plan_broadcasts_query_terms(spark, docs):
+    qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
+    plan = ranking.bm25_topk(docs, qt, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # postings probe never shuffles tf

@@ -1,0 +1,170 @@
+"""Keyword (BM25) and hybrid (reciprocal-rank-fusion) retrieval.
+
+The reference engine searches only by vector similarity
+(py/bruteforce.py:11-19, py/hnsw.py:394-410). A production corpus
+pipeline pairs that dense path with a sparse keyword path and fuses the
+two rankings — the standard hybrid-retrieval shape (BM25 ⊕ ANN with
+reciprocal rank fusion, as in Elasticsearch/Vespa/Lucene). Both sides
+here are pure Catalyst:
+
+- :func:`bm25_topk` — Okapi BM25 over a tokenized corpus. The plan is
+  the relational form of an inverted-index probe: term-frequency table
+  (one explode + groupBy), document-frequency table (groupBy on term),
+  broadcast the (small) query-term list into the postings join, fold
+  per-(query, doc) contributions, window top-k. At 100 TB: the tf/df
+  aggregations are ordinary partial-agg shuffles on (doc_id, term) /
+  (term); the probe is a broadcast join so postings never shuffle; no
+  global index structure is materialized (or needed — recomputing tf/df
+  per query batch is one scan, and both tables can be written out once
+  and reused as a real inverted index).
+
+- :func:`rrf_fuse` — reciprocal rank fusion of any two rankings:
+  score = Σ 1/(k0 + rank). Rank-only fusion (Cormack et al., SIGIR'09)
+  sidesteps score-scale mismatch between BM25 and cosine distances.
+  One full-outer join on (query_id, item) — broadcastable when the
+  inputs are top-k lists (k · |queries| rows).
+
+Determinism note (oracle parity): per-(query, doc) BM25 scores fold the
+per-term contributions in ascending term order via ``F.aggregate`` over
+a ``sort_array``-ed list — the same left-to-right double summation the
+DuckDB oracle's ``list_sum(list(... ORDER BY term))`` performs — so
+value hashes match bit-for-bit; ranks are computed on the exact folded
+double, never on a rounded copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions import texts as T
+
+
+def bm25_tables(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Corpus-side BM25 state: (tf, df, dl, stats).
+
+    tf(doc_id, term, tf) and df(term, df) are the inverted-index
+    relations; dl(doc_id, dl) the document lengths; stats a single row
+    (n_docs, avgdl). All four are plain DataFrames — persist them as
+    parquet to reuse across query batches (that IS the index).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("t")
+    )
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf, df, dl, stats
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k: (query_id, doc_id, score, rank).
+
+    ``query_terms`` is a small (query_id, term) relation — distinct
+    terms per query (query-side tf is ignored, standard for short
+    queries). idf is the Robertson/Lucene form ln(1 + (N-df+.5)/(df+.5)),
+    non-negative for any df. Docs sharing no term with a query simply
+    don't appear (score floor, as in any inverted-index engine).
+    """
+    tf, df, dl, stats = bm25_tables(docs, text_col, id_col)
+    qt = query_terms.select("query_id", "term").distinct()
+    # df/dl/stats are needed only for matched terms; the probe joins are
+    # broadcasts (query terms and the semi-joined df slice are tiny).
+    matched = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    # Expression shape mirrors the oracle SQL token-for-token so the
+    # IEEE evaluation order (and thus every last ulp) is identical.
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+    )
+    scored = (
+        matched.withColumn("contrib", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    item_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, item, rank) rankings:
+    rrf = Σ_sides 1/(k0 + rank), missing side contributes 0. Returns
+    (query_id, item, rrf_score, rank<=k). k0=60 is the standard
+    Cormack et al. constant. Deterministic: integer ranks → the two
+    addends are exact dyadic doubles summed in a fixed order.
+    """
+    ra = a.select(
+        "query_id", F.col(item_col), F.col("rank").alias("_ra")
+    )
+    rb = b.select(
+        "query_id", F.col(item_col), F.col("rank").alias("_rb")
+    )
+    fused = ra.join(rb, ["query_id", item_col], "full_outer").select(
+        "query_id",
+        item_col,
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("_ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("_rb")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(item_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", item_col, "rrf_score", "rank")
+    )

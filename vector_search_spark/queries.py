@@ -246,11 +246,13 @@ CATALOG_ORDER: tuple[str, ...] = (
     "pq_sdc_pairs",
     "kmeans_lloyd",
     "kmeans_assign",
+    # NEW in round 5 (never adjudicated): BM25 keyword search + hybrid
+    # RRF fusion (operators/ranking.py)
+    "text_bm25_search",
+    "hybrid_rrf_search",
     # rotated IN (round 4): below-window since r1 despite green oracles
     "tpch_q5",
-    "cube_events",
     "grouping_sets_events",
-    "sessionize_events",
     "range_join_purchase_follow",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
@@ -290,6 +292,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q6",
     "events_daily_json",
     "promo_revenue_monthly",
+    "cube_events",
+    "sessionize_events",
     "knn_cosine",
     "knn_graph",
     "ivf_knn",

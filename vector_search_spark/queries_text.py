@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from vector_search_spark import tables
 from vector_search_spark.functions import texts as T
 from vector_search_spark.operators import dedup, textstats
-from vector_search_spark.queries import register, rnd
+from vector_search_spark.queries import register, rnd, rnd_sql
 
 # Shared oracle CTEs --------------------------------------------------------
 
@@ -785,4 +785,177 @@ def q_docs_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.filter(bucket < 10).select(
         "doc_id", F.length("text").alias("text_len")
+    )
+
+
+# --------------------------------------------------------------------------
+# Keyword (BM25) + hybrid (RRF) retrieval — operators/ranking.py
+# --------------------------------------------------------------------------
+
+BM_Q = 8     # queries = docs with doc_id < BM_Q
+BM_QL = 6    # query terms = distinct first BM_QL tokens of the doc
+BM_K = 10
+BM_K1 = 1.2
+BM_B = 0.75
+RRF_K0 = 60
+
+# Shared CTE block: corpus stats + tf/df + query terms + the ordered
+# per-(query, doc) contribution fold. The contribution expression is
+# written token-for-token like the Spark side (ranking.bm25_topk) so the
+# IEEE evaluation order matches exactly; the per-(query,doc) sum folds
+# in ascending term order on BOTH sides (list_sum(list(... ORDER BY
+# term)) here, F.aggregate over sort_array there).
+_BM25_CTES = f"""
+{_TOKS},
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt AS (SELECT DISTINCT doc_id AS query_id, unnest(t[1:{BM_QL}]) AS term
+       FROM toks WHERE doc_id < {BM_Q}),
+m AS (
+  SELECT q.query_id, tf.doc_id, tf.term,
+         ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * ((tf.tf * {BM_K1 + 1.0}) /
+            (tf.tf + {BM_K1} * (1.0 - {BM_B} + {BM_B} * (dl.dl / st.avgdl))))
+         AS contrib
+  FROM tf JOIN qt q ON q.term = tf.term
+       JOIN dft ON dft.term = tf.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN st
+),
+bmsc AS (SELECT query_id, doc_id,
+                list_sum(list(contrib ORDER BY term)) AS s
+         FROM m GROUP BY query_id, doc_id),
+bm AS (
+  SELECT query_id, doc_id, s,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
+              AS INTEGER) AS r
+  FROM bmsc QUALIFY r <= {BM_K}
+)"""
+
+
+@register(
+    "text_bm25_search",
+    f"""
+WITH {_BM25_CTES}
+SELECT query_id, doc_id, {rnd_sql("s")} AS score, r AS "rank"
+FROM bm
+""",
+    "text",
+    "search",
+)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword search over the documents corpus: the sparse
+    half of hybrid retrieval. Query terms are the distinct first BM_QL
+    tokens of the first BM_Q docs (deterministic in both engines). The
+    oracle replays tokenization, tf/df, the exact idf/tf saturation
+    arithmetic, and the ordered per-(query,doc) contribution fold."""
+    from vector_search_spark.operators import ranking
+
+    docs = tables.load(spark, sf_dir, "documents")
+    qt = (
+        docs.filter(F.col("doc_id") < BM_Q)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(T.tokens("text"), 1, BM_QL)).alias("term"),
+        )
+        .distinct()
+    )
+    out = ranking.bm25_topk(docs, qt, k=BM_K, k1=BM_K1, b=BM_B)
+    return out.select(
+        "query_id", "doc_id", rnd("score").alias("score"), "rank"
+    )
+
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+WITH {_BM25_CTES},
+tokh AS (SELECT doc_id, unnest(t) AS token FROM toks),
+hh AS (SELECT doc_id, {T.sql_h32("token")} AS h FROM tokh),
+vals AS (
+  SELECT doc_id, CAST(h % {HE_DIM} AS INT) AS bucket,
+         SUM(CASE WHEN (h // {HE_DIM}) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM hh GROUP BY doc_id, bucket
+),
+spine AS (
+  SELECT d.doc_id, r.i
+  FROM (SELECT DISTINCT doc_id FROM vals) d
+  CROSS JOIN (SELECT CAST(unnest(range(0, {HE_DIM})) AS INT) AS i) r
+),
+vecs AS (
+  SELECT s.doc_id, list(coalesce(v.v, 0.0) ORDER BY s.i) AS vec
+  FROM spine s LEFT JOIN vals v ON v.doc_id = s.doc_id AND v.bucket = s.i
+  GROUP BY s.doc_id
+),
+q AS (SELECT doc_id AS query_id, vec AS qv FROM vecs WHERE doc_id < {BM_Q}),
+dsc AS (
+  SELECT q.query_id, b.doc_id,
+         1.0 - CASE WHEN sqrt({_DOT.format(a="q.qv", b="q.qv")})
+                       * sqrt({_DOT.format(a="b.vec", b="b.vec")}) = 0
+                    THEN 0.0
+                    ELSE {_DOT.format(a="q.qv", b="b.vec")}
+                         / (sqrt({_DOT.format(a="q.qv", b="q.qv")})
+                            * sqrt({_DOT.format(a="b.vec", b="b.vec")}))
+               END AS d
+  FROM vecs b CROSS JOIN q
+),
+dn AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id)
+              AS INTEGER) AS r
+  FROM dsc QUALIFY r <= {BM_K}
+),
+fused AS (
+  SELECT coalesce(bm.query_id, dn.query_id) AS query_id,
+         coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+         coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K0} + bm.r), 0.0)
+         + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K0} + dn.r), 0.0) AS rrf
+  FROM bm FULL OUTER JOIN dn
+       ON dn.query_id = bm.query_id AND dn.doc_id = bm.doc_id
+)
+SELECT query_id, doc_id, {rnd_sql("rrf")} AS rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id)
+            AS INTEGER) AS "rank"
+FROM fused
+QUALIFY "rank" <= {BM_K}
+""",
+    "text",
+    "search",
+    "vector",
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking fused with dense cosine
+    ranking (hashing-trick embeddings) by reciprocal-rank fusion —
+    score = sum 1/(60 + rank). Rank-only fusion sidesteps the score
+    scale mismatch between BM25 and cosine distance. The oracle replays
+    BOTH pipelines end-to-end plus the fusion join, so this one green
+    row value-checks sparse scoring, dense scoring, and the fusion."""
+    from vector_search_spark.operators import knn as _knn
+    from vector_search_spark.operators import ranking
+
+    docs = tables.load(spark, sf_dir, "documents")
+    qt = (
+        docs.filter(F.col("doc_id") < BM_Q)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(T.tokens("text"), 1, BM_QL)).alias("term"),
+        )
+        .distinct()
+    )
+    bm = ranking.bm25_topk(docs, qt, k=BM_K, k1=BM_K1, b=BM_B)
+
+    vecs = textstats.hashing_embed(docs, dim=HE_DIM).localCheckpoint()
+    queries = vecs.filter(F.col("doc_id") < BM_Q)
+    dn = _knn.brute_force_knn(
+        queries, vecs, k=BM_K, metric="cosine",
+        query_id_col="doc_id", query_vec_col="vec",
+        base_id_col="doc_id", base_vec_col="vec",
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+
+    out = ranking.rrf_fuse(bm, dn, k=BM_K, k0=RRF_K0)
+    return out.select(
+        "query_id", "doc_id", rnd("rrf_score").alias("rrf_score"), "rank"
     )
