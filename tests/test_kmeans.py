@@ -91,3 +91,41 @@ def test_train_coarse_deterministic_and_bounded(spark):
     assert c1.shape == (8, 64)
     with __import__("pytest").raises(ValueError, match="need >="):
         kmeans.train_coarse(emb.limit(3), k=8)
+
+
+def test_kmeans_parallel_init_deterministic_and_competitive(spark):
+    from vector_search_spark import tables
+    from tests.conftest import SF_ORACLE
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    C1 = kmeans.kmeans_parallel_init(emb, k=10, seed=42)
+    C2 = kmeans.kmeans_parallel_init(emb, k=10, seed=42)
+    assert C1.shape == (10, 64)
+    assert np.array_equal(C1, C2)
+    # different seed -> different draw stream
+    C3 = kmeans.kmeans_parallel_init(emb, k=10, seed=43)
+    assert not np.array_equal(C1, C3)
+
+    # after the same Lloyd budget, inertia is on par with k-means++ init
+    r_par = kmeans.lloyd(emb, C1, max_iter=20)
+    r_pp = kmeans.lloyd(
+        emb, kmeans.kmeans_plus_plus(emb, k=10, seed=42), max_iter=20
+    )
+
+    def inertia(C):
+        return (
+            kmeans.assign(emb, C).agg(F.sum("dist")).collect()[0][0]
+        )
+
+    assert inertia(r_par.centroids) <= 1.2 * inertia(r_pp.centroids)
+
+
+def test_kmeans_parallel_init_needs_enough_candidates(spark):
+    import pytest as _pt
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pt.raises(ValueError, match="candidates|empty"):
+        kmeans.kmeans_parallel_init(tiny, k=8, rounds=1, oversample=1.0)

@@ -202,3 +202,30 @@ def test_codec_untrained_raises(spark):
     for codec in (PQCodec(), SQCodec()):
         with _pt.raises(ValueError, match="not trained"):
             codec.encode(None)
+
+
+def test_refine_improves_or_matches_adc_recall(spark, emb, model):
+    """Exact re-ranking of the ADC shortlist must dominate raw ADC on
+    Recall@10 (FAISS IndexRefine contract), and its distances must be
+    exact (match brute force for the returned pairs)."""
+    from vector_search_spark.operators import knn
+
+    codes = pq.encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = knn.brute_force_knn(queries, emb, k=10)
+    tpairs = {(r.query_id, r.vec_id) for r in truth.collect()}
+
+    adc = pq.adc_topk(queries, codes, model, k=10)
+    ref = pq.refine_topk(queries, codes, model, emb, k=10, shortlist=50)
+    apairs = {(r.query_id, r.vec_id) for r in adc.collect()}
+    rrows = ref.collect()
+    rpairs = {(r.query_id, r.vec_id) for r in rrows}
+    assert len(rpairs & tpairs) >= len(apairs & tpairs)
+
+    # returned distances are EXACT squared L2
+    tdist = {(r.query_id, r.vec_id): r.dist for r in truth.collect()}
+    for r in rrows:
+        if (r.query_id, r.vec_id) in tdist:
+            assert r.dist == pytest.approx(
+                tdist[(r.query_id, r.vec_id)], rel=1e-12
+            )

@@ -409,3 +409,41 @@ def test_approx_distinct_tolerance(spark):
     }
     for et, e in exact.items():
         assert abs(approx[et] - e) / e <= 0.05, (et, approx[et], e)
+
+
+def test_cross_corpus_ngram_overlap(spark):
+    from vector_search_spark.operators import dedup as dd
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),        # shares 5-grams 'a b c d e'.. with eval 100
+            (2, "x y z w v"),            # no overlap
+            (3, "c d e f g h"),          # shares 'c d e f g' with eval 100
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.cross_corpus_ngram_overlap(train, ev, shingle_n=5).collect()
+    }
+    # doc 1: 5-grams {a b c d e, b c d e f, c d e f g} all in eval
+    # doc 3: {c d e f g, d e f g h} both in eval; doc 2 absent
+    assert set(out) == {1, 3}
+    assert out[1].n_shared_ngrams == 3 and out[1].n_eval_docs == 1
+    assert out[3].n_shared_ngrams == 2
+    assert out[1].sample_ngram == "a b c d e"
+
+    # df cap drops a boilerplate shingle shared by every train doc
+    train2 = spark.createDataFrame(
+        [(i, "p q r s t unique%d" % i) for i in range(4)],
+        "doc_id long, text string",
+    )
+    ev2 = spark.createDataFrame([(9, "p q r s t")], "doc_id long, text string")
+    full = dd.cross_corpus_ngram_overlap(train2, ev2, shingle_n=5)
+    capped = dd.cross_corpus_ngram_overlap(
+        train2, ev2, shingle_n=5, max_shingle_df=3
+    )
+    assert full.count() == 4 and capped.count() == 0

@@ -327,6 +327,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_corpus_ngram_overlap(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Train/eval decontamination: per TRAIN doc, its token n-gram
+    overlap with any EVAL doc — the GPT-3-style contamination check
+    every training pipeline runs before a model ever sees the corpus
+    (the reference has no text surface; this extends the brief's
+    LLM-pipeline mandate alongside :func:`ngram_jaccard_pairs`).
+
+    Returns (doc_id, n_shared_ngrams, n_eval_docs, sample_ngram):
+    distinct contaminating shingles, distinct eval docs hit, and the
+    lexicographically first shared shingle as evidence. Filtering the
+    corpus is then one left-anti join against this relation.
+
+    Plan shape at 100 TB: both sides explode to distinct (id, shingle)
+    and equi-join on the shingle key — the eval side is the small one
+    (eval sets are thousands of docs, not billions), so the join
+    broadcasts it; nothing is ever N². ``max_shingle_df`` (train-side
+    document-frequency cap, same device as :func:`ngram_jaccard_pairs`)
+    drops boilerplate shingles before the join, bounding per-shingle
+    fan-out; dropped shingles only under-report contamination from
+    boilerplate, which decontamination deliberately ignores anyway
+    (long n defaults make this rare: 5-grams are near-unique).
+    """
+    tr = shingle_table(train_docs, shingle_n, text_col, id_col)
+    if max_shingle_df is not None:
+        rare = (
+            tr.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        tr = tr.join(rare, "shingle", "left_semi")
+    ev = shingle_table(eval_docs, shingle_n, text_col, id_col).select(
+        F.col(id_col).alias("_eval_id"), "shingle"
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+            F.min("shingle").alias("sample_ngram"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 30, a_col: str = "a", b_col: str = "b"
 ) -> DataFrame:

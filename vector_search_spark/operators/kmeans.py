@@ -311,3 +311,211 @@ def centroids_df(spark, C: np.ndarray) -> DataFrame:
 def load_centroids(df: DataFrame) -> np.ndarray:
     pdf = df.orderBy("cluster_id").toPandas()
     return np.vstack(pdf["centroid"].to_numpy()).astype(np.float64)
+
+
+def _splitmix64_uniform(
+    ids: np.ndarray, seed: int, salt: int
+) -> np.ndarray:
+    """Deterministic per-id uniform in [0,1): vectorized splitmix64 of
+    (seed, salt, id). Engine/partitioning-independent, no per-row
+    Python — the draw for k-means||'s Bernoulli oversampling."""
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        x = ids.astype(np.uint64, copy=True)
+        x ^= np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        x ^= np.uint64(((salt + 1) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF)
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & mask
+        z = x
+        z ^= z >> np.uint64(30)
+        z = (z * np.uint64(0xBF58476D1CE4E5B9)) & mask
+        z ^= z >> np.uint64(27)
+        z = (z * np.uint64(0x94D049BB133111EB)) & mask
+        z ^= z >> np.uint64(31)
+    return z.astype(np.float64) / 2.0**64
+
+
+def _np_weighted_kmeans(
+    X: np.ndarray,
+    w: np.ndarray,
+    k: int,
+    seed: int,
+    iters: int = 25,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Driver-local WEIGHTED k-means++ + Lloyd (the final reduction step
+    of k-means||: cluster the small candidate set, each candidate
+    weighted by how many corpus points it attracts)."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    chosen = [int(rng.integers(0, n))]
+    d2 = ((X - X[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        wd = w * d2
+        total = float(wd.sum())
+        if total <= 0.0:
+            chosen.append(int(rng.integers(0, n)))
+            continue
+        r = rng.uniform(0.0, total)
+        idx = min(int(np.searchsorted(np.cumsum(wd), r, side="right")), n - 1)
+        chosen.append(idx)
+        d2 = np.minimum(d2, ((X - X[idx]) ** 2).sum(axis=1))
+    C = X[chosen].copy()
+    for _ in range(iters):
+        D = (
+            (X * X).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2.0 * (X @ C.T)
+        )
+        cid = D.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            mask = cid == j
+            if mask.any():
+                wj = w[mask]
+                newC[j] = (X[mask] * wj[:, None]).sum(axis=0) / wj.sum()
+        shift = float(((C - newC) ** 2).sum(axis=1).max())
+        C = newC
+        if shift <= tol:
+            break
+    return C
+
+
+def kmeans_parallel_init(
+    points: DataFrame,
+    k: int,
+    rounds: int = 5,
+    oversample: float | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """k-means|| initialization (Bahmani et al., VLDB 2012) — the
+    SCALE path for full-data init that SURVEY §2 #40 defers to: where
+    k-means++ needs k strictly sequential full-data passes (its draws
+    are conditionally dependent), k-means|| oversamples ~l=2k candidates
+    per round for O(log phi)~5 rounds, then solves weighted k-means on
+    the tiny candidate set locally. This is how Spark MLlib initializes
+    KMeans, re-derived here on DataFrames.
+
+    Every distributed pass is the same shape as Lloyd's: mapInPandas
+    over the cached corpus, per-batch BLAS distances against the
+    broadcast candidate matrix, O(candidates) rows back. The Bernoulli
+    draws are DETERMINISTIC (md5 of seed/round/id -> uniform), so the
+    init is reproducible across cluster sizes and reruns — no
+    partition-seeded RNG.
+
+    Collected state: the candidate set (~1 + l*rounds rows of D
+    doubles) — model-sized, never O(N).
+    """
+    from vector_search_spark.functions import texts as T
+
+    l = float(oversample if oversample is not None else 2 * k)
+    spark = points.sparkSession
+    src = points.select(
+        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+    ).cache()
+    try:
+        n = src.count()
+        if n == 0:
+            raise ValueError("empty input")
+        # first candidate: deterministic min-hash-of-id draw (uniform
+        # over rows, stable under partitioning)
+        first = src.select(
+            "_id", "_v", T.h64(F.concat(F.lit(f"kmi:{seed}:"), F.col("_id").cast("string"))).alias("_h")
+        ).orderBy("_h", "_id").limit(1).collect()[0]
+        C = np.asarray([first["_v"]], dtype=np.float64)
+
+        for rnd_i in range(rounds):
+            bc = spark.sparkContext.broadcast(C)
+            # pass 1: phi = sum of min-d2 to current C
+            def cost_fn(batches):
+                CC = bc.value
+                cn2 = (CC * CC).sum(axis=1)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+                    D = (
+                        (X * X).sum(axis=1)[:, None]
+                        + cn2[None, :]
+                        - 2.0 * (X @ CC.T)
+                    )
+                    d2 = np.maximum(D.min(axis=1), 0.0)
+                    yield pd.DataFrame({"phi": [float(d2.sum())]})
+
+            phi = float(
+                src.mapInPandas(cost_fn, "phi double")
+                .agg(F.sum("phi"))
+                .collect()[0][0]
+            )
+            if phi <= 0.0:
+                break
+            # pass 2: Bernoulli-sample candidates with p = min(1, l*d2/phi),
+            # uniform u from a VECTORIZED splitmix64 of (seed, round, id)
+            # — deterministic across reruns/partitionings, no per-row
+            # Python (numpy end to end).
+            def sample_fn(batches, _r=rnd_i, _phi=phi):
+                CC = bc.value
+                cn2 = (CC * CC).sum(axis=1)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+                    ids = pdf["_id"].to_numpy(dtype=np.int64)
+                    D = (
+                        (X * X).sum(axis=1)[:, None]
+                        + cn2[None, :]
+                        - 2.0 * (X @ CC.T)
+                    )
+                    d2 = np.maximum(D.min(axis=1), 0.0)
+                    p = np.minimum(1.0, l * d2 / _phi)
+                    u = _splitmix64_uniform(ids, seed, _r)
+                    sel = u < p
+                    if sel.any():
+                        yield pdf.loc[sel, ["_id", "_v"]]
+
+            new = src.mapInPandas(sample_fn, "_id long, _v array<double>").toPandas()
+            if len(new):
+                C = np.vstack(
+                    [C, np.vstack(new["_v"].to_numpy()).astype(np.float64)]
+                )
+        # weight pass: how many points each candidate attracts
+        bc = spark.sparkContext.broadcast(C)
+
+        def weight_fn(batches):
+            CC = bc.value
+            cn2 = (CC * CC).sum(axis=1)
+            nc = len(CC)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+                D = (
+                    (X * X).sum(axis=1)[:, None]
+                    + cn2[None, :]
+                    - 2.0 * (X @ CC.T)
+                )
+                cid = D.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "cand": np.arange(nc, dtype=np.int64),
+                        "w": np.bincount(cid, minlength=nc).astype(np.int64),
+                    }
+                )
+
+        wp = (
+            src.mapInPandas(weight_fn, "cand long, w long")
+            .groupBy("cand")
+            .agg(F.sum("w").alias("w"))
+            .toPandas()
+        )
+        w = np.zeros(len(C), dtype=np.float64)
+        w[wp["cand"].to_numpy(dtype=np.int64)] = wp["w"].to_numpy(dtype=np.float64)
+        if len(C) < k:
+            raise ValueError(
+                f"k-means|| produced {len(C)} < k={k} candidates; "
+                "raise rounds/oversample"
+            )
+        return _np_weighted_kmeans(C, w, k, seed)
+    finally:
+        src.unpersist()

@@ -29,7 +29,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_search_spark.functions.distance import as_double_array
@@ -523,3 +523,63 @@ def load_model(spark: SparkSession, path: str) -> PQModel:
     if len(pdf) != m * k:
         raise ValueError(f"ragged codebooks: {len(pdf)} rows != {m}x{k}")
     return PQModel(cb)
+
+
+def refine_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    model: PQModel,
+    points: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search with exact re-ranking (FAISS ``IndexRefine``
+    shape; the accuracy repair the reference's ADC notebook leaves on
+    the table — py/PRODUCT_QUANTIZATION.md discusses the recall loss,
+    py/hnsw.ipynb cell-6 measures it at 0.5069).
+
+    Stage 1: :func:`adc_topk` scans the compressed codes for a
+    ``shortlist``-sized candidate set per query (cheap: M LUT gathers
+    per candidate). Stage 2 joins ONLY the shortlist back to the raw
+    vectors and re-scores exactly, fixing quantization-induced rank
+    inversions inside the shortlist.
+
+    Scale shape: stage 2 touches nq x shortlist rows regardless of
+    corpus size — the raw-vector join is an equi-join on vec_id against
+    the (possibly huge) points table, which Catalyst executes as a
+    broadcast of the tiny candidate side; exact scoring is the same
+    fold the oracle replays. Returns (query_id, vec_id, dist, rank<=k)
+    with EXACT distances.
+    """
+    from vector_search_spark.functions.distance import l2_sqr
+
+    cand = adc_topk(
+        queries, codes, model, k=shortlist,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        id_col=id_col, code_col=code_col,
+    ).select("query_id", "vec_id")
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("_qv"),
+    )
+    pv = points.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_pv")
+    )
+    scored = (
+        cand.join(pv, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "vec_id", l2_sqr("_qv", "_pv").alias("dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist", "rank")
+    )

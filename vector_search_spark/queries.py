@@ -247,12 +247,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "kmeans_lloyd",
     "kmeans_assign",
     # NEW in round 5 (never adjudicated): BM25 keyword search + hybrid
-    # RRF fusion (operators/ranking.py)
+    # RRF fusion (operators/ranking.py), train/eval decontamination
     "text_bm25_search",
     "hybrid_rrf_search",
+    "docs_decontaminate",
+    "pq_refine_knn",
     # rotated IN (round 4): below-window since r1 despite green oracles
-    "tpch_q5",
-    "grouping_sets_events",
     "range_join_purchase_follow",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
@@ -294,6 +294,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "promo_revenue_monthly",
     "cube_events",
     "sessionize_events",
+    "tpch_q5",
+    "grouping_sets_events",
     "knn_cosine",
     "knn_graph",
     "ivf_knn",
@@ -306,6 +308,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "hnsw_sharded_knn",
     "hnsw_knn",
     "kmeans_train",
+    "kmeans_parallel_train",
     "pq_train",
 )
 

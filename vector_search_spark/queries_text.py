@@ -959,3 +959,44 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", rnd("rrf_score").alias("rrf_score"), "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# Train/eval decontamination (cross-corpus n-gram overlap)
+# --------------------------------------------------------------------------
+
+DC_N = 5      # token n-gram length
+DC_MOD = 29   # eval set = doc_id % DC_MOD == 0
+
+
+@register(
+    "docs_decontaminate",
+    f"""
+WITH {_TOKS},
+trn AS (SELECT DISTINCT doc_id, unnest({T.sql_shingles("t", DC_N)}) AS shingle
+        FROM toks WHERE doc_id % {DC_MOD} <> 0),
+ev AS (SELECT DISTINCT doc_id AS eval_id,
+              unnest({T.sql_shingles("t", DC_N)}) AS shingle
+       FROM toks WHERE doc_id % {DC_MOD} = 0),
+j AS (SELECT trn.doc_id, ev.eval_id, trn.shingle
+      FROM trn JOIN ev ON ev.shingle = trn.shingle)
+SELECT doc_id,
+       count(DISTINCT shingle) AS n_shared_ngrams,
+       count(DISTINCT eval_id) AS n_eval_docs,
+       min(shingle) AS sample_ngram
+FROM j GROUP BY doc_id
+""",
+    "text",
+    "dedup",
+    "pipeline",
+)
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style decontamination: train docs (doc_id % 29 != 0)
+    sharing any token 5-gram with the held-out eval split
+    (doc_id % 29 == 0), with contamination evidence per doc. The oracle
+    replays the split, shingling, overlap join, and both distinct
+    counts."""
+    docs = tables.load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % DC_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % DC_MOD == 0)
+    return dedup.cross_corpus_ngram_overlap(train, ev, shingle_n=DC_N)

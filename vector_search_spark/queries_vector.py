@@ -1023,3 +1023,93 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     out = sq.sq_topk(queries, coded, model, k=10)
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+PQ_REFINE_SHORTLIST = 50
+
+
+@register(
+    "pq_refine_knn",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_CB_SQL},
+{_SUB_SQL},
+{_CODES_SQL},
+q AS (
+  SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < {PQ_ADC_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, c.m, c.k_id, {_L2.format(a="q.sv", b="c.cv")} AS d
+  FROM q JOIN cb c ON q.m = c.m
+),
+adc AS (
+  SELECT l.query_id, co.vec_id, SUM(l.d) AS d
+  FROM codes co JOIN lut l ON l.m = co.m AND l.k_id = co.code
+  GROUP BY l.query_id, co.vec_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS r
+    FROM adc)
+  WHERE r <= {PQ_REFINE_SHORTLIST}
+),
+ex AS (
+  SELECT s.query_id, s.vec_id, {_L2.format(a="qp.v", b="bp.v")} AS d
+  FROM short s
+  JOIN pts qp ON qp.vec_id = s.query_id
+  JOIN pts bp ON bp.vec_id = s.vec_id
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM ex
+QUALIFY "rank" <= 10
+""",
+    "vector",
+    "pq",
+)
+def q_pq_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist (compressed scan) then exact
+    re-rank of the shortlist on raw vectors (FAISS IndexRefine shape —
+    repairs the quantization recall loss the reference measures at
+    0.5069, py/hnsw.ipynb cell-6). The oracle replays encode, the LUT
+    scan, the shortlist cut, and the exact re-scoring."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    model = _pq_model(spark, sf_dir)
+    codes = pq.encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < PQ_ADC_QUERIES)
+    out = pq.refine_topk(
+        queries, codes, model, emb, k=10, shortlist=PQ_REFINE_SHORTLIST
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+@register("kmeans_parallel_train", None, "vector", "kmeans", "rows-only")
+def q_kmeans_parallel_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full training with the k-means|| scalable init (Bahmani et al.,
+    VLDB 2012 — Spark MLlib's default init, re-derived on DataFrames):
+    rounds of distributed Bernoulli oversampling (deterministic
+    splitmix64 draws) then weighted local k-means on the candidate set,
+    then distributed Lloyd. The init needs O(log phi) synchronized
+    passes instead of k sequential ones — THE init for full-data
+    training at 100 TB. Deterministic given the seed, but the draw
+    stream is engine-specific -> rows-only; semantics are pytest-gated
+    (determinism + inertia parity with k-means++ in tests/test_kmeans.py).
+    Returns per-cluster size and inertia like kmeans_train. The Lloyd
+    budget is bounded at 10 iterations: the INIT is what this entry
+    exercises — the full-convergence Lloyd path already has its own
+    entry (kmeans_train), and k-means|| init makes long refinement
+    mostly redundant anyway (Bahmani §4: near-optimal after few
+    iterations)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    init = kmeans.kmeans_parallel_init(emb, k=10, rounds=3, seed=42)
+    res = kmeans.lloyd(emb, init, max_iter=10, tol=1e-6)
+    out = kmeans.assign(emb, res.centroids)
+    return (
+        out.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            rnd(F.sum("dist"), 4).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
