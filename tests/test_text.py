@@ -447,3 +447,56 @@ def test_cross_corpus_ngram_overlap(spark):
         train2, ev2, shingle_n=5, max_shingle_df=3
     )
     assert full.count() == 4 and capped.count() == 0
+
+
+def test_bloom_membership_exact_and_prefilter_sound(spark):
+    from vector_search_spark.operators import dedup as dd
+    import numpy as np
+
+    ref = spark.createDataFrame(
+        [(i, f"shared text {i % 5}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(100 + i, f"shared text {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = dd.bloom_membership(cand, ref, fpp=0.01).collect()
+    # candidates 0..4 mod-5 texts exist in ref (each appearing twice)
+    got = {(r.doc_id, r.n_ref_matches) for r in out}
+    assert got == {(100 + i, 2) for i in range(5)}
+
+    # filter internals: every reference key must probe positive
+    key = ref.select("doc_id", dd.F.md5(dd.T.norm_text("text")).alias("_h"))
+    bits, m_bits, k = dd.build_bloom(key, key.count(), 0.01)
+    h1, h2 = dd._hex_to_h1h2([r._h for r in key.collect()])
+    pos = dd._bloom_positions(h1, h2, k, m_bits)
+    word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+    hit = ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+    assert hit.all(axis=1).all()  # zero false negatives, by construction
+
+
+def test_bloom_fpp_in_range(spark):
+    from vector_search_spark.operators import dedup as dd
+    import numpy as np
+
+    ref = spark.createDataFrame(
+        [(i, f"member {i}") for i in range(500)], "doc_id long, text string"
+    )
+    key = ref.select(dd.F.md5(dd.T.norm_text("text")).alias("_h"))
+    bits, m_bits, k = dd.build_bloom(key, 500, 0.01)
+    # probe 5000 NON-members: observed fp rate must be near nominal
+    probes = [f"absent {i}" for i in range(5000)]
+    import hashlib
+
+    hh = [hashlib.md5(p.encode()).hexdigest() for p in probes]
+    h1, h2 = dd._hex_to_h1h2(hh)
+    pos = dd._bloom_positions(h1, h2, k, m_bits)
+    word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+    fp = (
+        ((word >> (pos & np.uint64(63))) & np.uint64(1))
+        .astype(bool)
+        .all(axis=1)
+        .mean()
+    )
+    assert fp <= 0.05, f"observed fpp {fp:.4f} vs nominal 0.01"

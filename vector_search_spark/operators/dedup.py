@@ -665,3 +665,151 @@ def embedding_near_dup(
             )
 
     return src.mapInPandas(fn, "a long, b long, cos_sim double")
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered membership (reference-corpus containment check)
+# --------------------------------------------------------------------------
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m bits, k hashes for n items at fpp."""
+    import math
+
+    n = max(1, n)
+    m_bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m_bits = (m_bits + 63) // 64 * 64  # whole words
+    k = max(1, round(m_bits / n * math.log(2)))
+    return m_bits, k
+
+
+def _hex_to_h1h2(hh) -> tuple:
+    """Vectorized split of 32-hex-char md5 strings into two uint64s
+    (Kirsch-Mitzenmacher double hashing). One C-level join + frombuffer;
+    no per-row Python."""
+    import numpy as np
+
+    raw = bytes.fromhex("".join(hh))
+    w = np.frombuffer(raw, dtype=">u8").reshape(-1, 2)
+    h1 = w[:, 0].astype(np.uint64)
+    h2 = (w[:, 1] | np.uint64(1)).astype(np.uint64)  # odd -> full-period
+    return h1, h2
+
+
+def _bloom_positions(h1, h2, k: int, m_bits: int):
+    import numpy as np
+
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+
+
+def build_bloom(
+    keys: DataFrame, n_items: int, fpp: float = 0.01, key_col: str = "_h"
+):
+    """Distributed Bloom-filter build over a key column (md5 hex
+    strings): mapInPandas emits one partial bit array per batch, the
+    driver ORs them — the same partial/combine shape as Lloyd's sums
+    (treeAggregate semantics). Returns (bits uint64[], m_bits, k).
+
+    Scale note: the filter is O(n_items) BITS regardless of row width —
+    1e9 keys @1% fpp is ~1.2 GB, the point where production systems
+    shard the filter by key range or raise fpp; same trade Spark's own
+    runtime-filter bloom makes (spark.sql.optimizer.runtime.bloomFilter
+    caps creation-side size). Collected state is bits, never keys.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m_bits, k = _bloom_params(n_items, fpp)
+    n_words = m_bits // 64
+
+    def fn(batches):
+        bits = np.zeros(n_words, dtype=np.uint64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            h1, h2 = _hex_to_h1h2(pdf[key_col])
+            pos = _bloom_positions(h1, h2, k, m_bits).ravel()
+            np.bitwise_or.at(
+                bits, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        if any_rows:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = keys.select(F.col(key_col)).mapInPandas(
+        fn, "bits binary"
+    ).collect()
+    bits = np.zeros(n_words, dtype=np.uint64)
+    for row in parts:
+        bits |= np.frombuffer(row.bits, dtype=np.uint64)
+    return bits, m_bits, k
+
+
+def bloom_membership(
+    candidates: DataFrame,
+    reference: DataFrame,
+    fpp: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_expr=None,
+) -> DataFrame:
+    """Which candidate docs' normalized text appears in a REFERENCE
+    corpus — the membership probe behind incremental dedup ("have we
+    already ingested this?") and blocklist filtering, at
+    bits-per-reference-row cost instead of a full shuffle of both sides.
+
+    Two stages, exact end-to-end:
+
+    1. Bloom prefilter: build the filter over the reference's md5 keys
+       (:func:`build_bloom`, broadcast bits), probe candidates with a
+       vectorized mapInPandas pass — no false negatives, ~fpp false
+       positives, and the big candidate side never shuffles.
+    2. Exact verify: the surviving (tiny) slice semi-joins the reference
+       keys, removing false positives — output EXACTLY equals the plain
+       semi-join, which is what the oracle replays.
+
+    Returns (id, n_ref_matches): matching candidates with the count of
+    distinct reference docs sharing their key. ``key_expr`` overrides
+    the membership key (a Column producing md5 hex — e.g. a token-prefix
+    fingerprint for truncation-tolerant matching); default is
+    md5(normalized full text).
+    """
+    import numpy as np
+
+    if key_expr is None:
+        key_expr = F.md5(T.norm_text(text_col))
+
+    key = lambda df: df.select(  # noqa: E731
+        F.col(id_col), key_expr.alias("_h")
+    )
+    ref_keys = key(reference)
+    n_ref = ref_keys.count()
+    bits, m_bits, k = build_bloom(ref_keys, n_ref, fpp)
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(bits)
+
+    def probe(batches):
+        bb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1, h2 = _hex_to_h1h2(pdf["_h"])
+            pos = _bloom_positions(h1, h2, k, m_bits)
+            word = bb[(pos >> np.uint64(6)).astype(np.int64)]
+            hit = ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(
+                bool
+            ).all(axis=1)
+            if hit.any():
+                yield pdf.loc[hit]
+
+    cand_keys = key(candidates)
+    maybe = cand_keys.mapInPandas(probe, f"{id_col} long, _h string")
+    # exact verify: count distinct reference matches per surviving key
+    ref_cnt = ref_keys.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("n_ref_matches")
+    )
+    return maybe.join(ref_cnt, "_h").select(id_col, "n_ref_matches")

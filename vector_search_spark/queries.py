@@ -252,8 +252,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "hybrid_rrf_search",
     "docs_decontaminate",
     "pq_refine_knn",
-    # rotated IN (round 4): below-window since r1 despite green oracles
-    "range_join_purchase_follow",
+    "dedup_member_bloom",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "text_repetition",
@@ -296,6 +295,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "sessionize_events",
     "tpch_q5",
     "grouping_sets_events",
+    "range_join_purchase_follow",
     "knn_cosine",
     "knn_graph",
     "ivf_knn",

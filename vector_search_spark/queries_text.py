@@ -1000,3 +1000,44 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % DC_MOD != 0)
     ev = docs.filter(F.col("doc_id") % DC_MOD == 0)
     return dedup.cross_corpus_ngram_overlap(train, ev, shingle_n=DC_N)
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered reference-corpus membership
+# --------------------------------------------------------------------------
+
+BLOOM_MOD = 7   # reference corpus = doc_id % BLOOM_MOD == 0
+BLOOM_PRE = 8   # membership key = md5 of the first BLOOM_PRE tokens
+
+
+@register(
+    "dedup_member_bloom",
+    f"""
+WITH {_TOKS},
+keys AS (
+  SELECT doc_id, md5(array_to_string(t[1:{BLOOM_PRE}], ' ')) AS hh FROM toks
+),
+ref AS (SELECT hh, count(*) AS n_ref_matches FROM keys
+        WHERE doc_id % {BLOOM_MOD} = 0 GROUP BY hh),
+cand AS (SELECT doc_id, hh FROM keys WHERE doc_id % {BLOOM_MOD} <> 0)
+SELECT c.doc_id, r.n_ref_matches
+FROM cand c JOIN ref r ON r.hh = c.hh
+""",
+    "text",
+    "dedup",
+    "pipeline",
+)
+def q_dedup_member_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest membership: which new docs (doc_id % 7 != 0)
+    share a prefix fingerprint (md5 of the first 8 tokens — the
+    truncation-tolerant key prefix-dup pipelines use) with the
+    reference corpus (doc_id % 7 == 0)? Runs the Bloom prefilter +
+    exact-verify pipeline (dedup.bloom_membership); the verify join
+    makes the output EXACTLY the semi-join the oracle replays, so the
+    green row proves the filter admits every true member (a false
+    negative would drop a row and break the hash)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % BLOOM_MOD != 0)
+    ref = docs.filter(F.col("doc_id") % BLOOM_MOD == 0)
+    key = F.md5(F.array_join(F.slice(T.tokens("text"), 1, BLOOM_PRE), " "))
+    return dedup.bloom_membership(cand, ref, fpp=0.01, key_expr=key)
