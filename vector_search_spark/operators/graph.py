@@ -382,18 +382,29 @@ def select_neighbors_heuristic(
                     if pre_topk is not None and len(sel_idx) >= pre_topk:
                         break
                 idxs = sel_idx
-            admitted: list[int] = []
-            pruned: list[int] = []
-            for i in idxs:
-                if len(admitted) >= m:
+            # One pairwise distance matrix per group (|g| <= pre_topk,
+            # direct (a-b)^2 form so every entry is bit-identical to the
+            # old per-pair ((c-V[j])**2).sum()), then the sequential
+            # admission scan compares a candidate against ALL admitted
+            # rows in one vectorized op — same strict-< first-wins
+            # semantics, no per-pair python round trips.
+            gidx = np.fromiter(idxs, dtype=np.int64)
+            Vg = V[gidx]
+            diff = Vg[:, None, :] - Vg[None, :, :]
+            GG = (diff**2).sum(axis=-1)
+            adm_loc: list[int] = []
+            pruned_loc: list[int] = []
+            for li in range(len(gidx)):
+                if len(adm_loc) >= m:
                     break
-                c = V[i]
-                ok = True
-                for j in admitted:
-                    if float(((c - V[j]) ** 2).sum()) < dists[i]:
-                        ok = False
-                        break
-                (admitted if ok else pruned).append(i)
+                if adm_loc and bool(
+                    (GG[li, adm_loc] < dists[gidx[li]]).any()
+                ):
+                    pruned_loc.append(li)
+                else:
+                    adm_loc.append(li)
+            admitted = [int(gidx[li]) for li in adm_loc]
+            pruned = [int(gidx[li]) for li in pruned_loc]
             if keep_pruned:
                 for i in pruned:
                     if len(admitted) >= m:
