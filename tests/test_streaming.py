@@ -281,3 +281,24 @@ def test_streaming_topk_state_equals_batch(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Stream-stream interval join (purchases x same-user follow-ups
+    within 1 day): inner join over two watermarked branches of the
+    file-sourced stream must emit exactly the batch pairs. Files are
+    range-partitioned on ts (see events_dir), so both branches advance
+    monotonically and no pair is dropped to late-arrival eviction."""
+    stream = sev.read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark,
+        sev.purchase_follow_pairs(stream),
+        "t_ss_join",
+        "append",
+    )
+    want = sev.purchase_follow_pairs(
+        tables.load(spark, SF_ORACLE, "events")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -272,10 +272,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     # multimodal
     "multimodal_metadata",
     "multimodal_byte_histogram",
-    # streaming windows
+    # streaming windows + the stream-stream join's batch twin (NEW in
+    # round 5, never adjudicated)
     "events_tumbling_hourly",
     "events_sliding_window",
     "events_session_window",
+    "purchase_follow_pairs",
     # relational
     "tpch_q1",
     "tpch_q3",
@@ -285,7 +287,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "window_customer_orders",
     "rollup_lineitem",
     "setop_converting_days",
-    "asof_purchase_view",
     # ---- tail: rotated OUT (green on unchanged code in their last
     # adjudicated round; their operators' coverage stands on those rows) ----
     "tpch_q6",
@@ -296,6 +297,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q5",
     "grouping_sets_events",
     "range_join_purchase_follow",
+    "asof_purchase_view",
     "knn_cosine",
     "knn_graph",
     "ivf_knn",

@@ -97,3 +97,32 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     before last_ts + gap, so a new session starts at diff >= gap."""
     ev = tables.load(spark, sf_dir, "events")
     return sev.session_counts(ev)
+
+
+@register(
+    "purchase_follow_pairs",
+    """
+SELECT p.event_id AS purchase_id, e.event_id AS follow_id,
+       (ROUND(e.value, 6) + 0.0) AS follow_value
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 DAY
+WHERE p.event_type = 'purchase'
+""",
+    "streaming",
+    "join",
+)
+def q_purchase_follow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STREAM interval join
+    (streaming/events.py purchase_follow_pairs): purchase x same-user
+    follow-up pairs within 1 day — the bounded-state streaming join
+    shape (equi-key + event-time range, both sides watermarked).
+    tests/test_streaming.py asserts the real micro-batched stream emits
+    exactly these pairs; this oracle-paired twin value-checks the join
+    predicate itself. Pair-level core of range_join_purchase_follow
+    (which additionally aggregates)."""
+    ev = tables.load(spark, sf_dir, "events")
+    out = sev.purchase_follow_pairs(ev)
+    return out.select(
+        "purchase_id", "follow_id", rnd("follow_value").alias("follow_value")
+    )

@@ -198,3 +198,48 @@ def dedup_within_watermark(
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+def purchase_follow_pairs(
+    events: DataFrame,
+    follow: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: every purchase paired with the same
+    user's strictly-later events inside the ``follow`` horizon. The one
+    streaming join shape Spark executes with bounded state: equi-key
+    (user_id) plus an event-time range predicate, both sides
+    watermarked, so the state store evicts a buffered purchase once the
+    watermark passes p_ts + follow (and a buffered event once no future
+    purchase can reach back to it). Without the time bound the join
+    would have to buffer both streams forever.
+
+    Same body works in batch (watermarks no-op) — the batch twin is the
+    pair-level core of queries_relational.range_join_purchase_follow,
+    and tests assert stream == batch on the file-sourced stream.
+
+    Returns (purchase_id, follow_id, follow_value). Append output mode:
+    inner-join matches emit as soon as both rows have arrived.
+    """
+    p = events.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_type").alias("p_type"),
+    ).filter(F.col("p_type") == "purchase")
+    e = events.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("value").alias("follow_value"),
+    )
+    if events.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        e = e.withWatermark("e_ts", watermark)
+    return p.join(
+        e,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {follow}")),
+        "inner",
+    ).select("purchase_id", "follow_id", "follow_value")
