@@ -268,6 +268,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_token_count",
     "docs_split_assign",
     "docs_stratified_sample",
+    "docs_length_percentile_filter",
     "text_hash_embed_knn",
     # multimodal
     "multimodal_metadata",
@@ -286,7 +287,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "window_customer_orders",
     "rollup_lineitem",
-    "setop_converting_days",
     # ---- tail: rotated OUT (green on unchanged code in their last
     # adjudicated round; their operators' coverage stands on those rows) ----
     "tpch_q6",
@@ -298,6 +298,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "grouping_sets_events",
     "range_join_purchase_follow",
     "asof_purchase_view",
+    "setop_converting_days",
     "knn_cosine",
     "knn_graph",
     "ivf_knn",

@@ -1041,3 +1041,56 @@ def q_dedup_member_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % BLOOM_MOD == 0)
     key = F.md5(F.array_join(F.slice(T.tokens("text"), 1, BLOOM_PRE), " "))
     return dedup.bloom_membership(cand, ref, fpp=0.01, key_expr=key)
+
+
+# --------------------------------------------------------------------------
+# Percentile-trim corpus filter (drop extreme-length docs)
+# --------------------------------------------------------------------------
+
+PCT_LO = 0.05
+PCT_HI = 0.95
+
+
+@register(
+    "docs_length_percentile_filter",
+    f"""
+WITH {_TOKS},
+n AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+c AS (SELECT doc_id, n_tokens,
+             cume_dist() OVER (ORDER BY n_tokens) AS cd
+      FROM n)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       {rnd_sql("cd")} AS length_pctile
+FROM c
+WHERE cd > {PCT_LO} AND cd <= {PCT_HI}
+""",
+    "text",
+    "pipeline",
+)
+def q_docs_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-trim corpus filtering: keep docs whose token count
+    sits strictly inside the (5th, 95th] length percentiles — the
+    standard outlier-trim stage before training (truncated boilerplate
+    at the short end, concatenation junk at the long end). cume_dist
+    has the same definition in both engines (fraction of rows <=
+    current, ties share a value), so the filter is value-checked
+    exactly. Scale note: a single global sort-free window over one
+    integer column; for truly huge corpora swap in approx_percentile
+    bounds computed map-side (documented trade: approximate cutpoints,
+    zero full-ordering)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    from pyspark.sql import Window as W
+
+    cd = F.cume_dist().over(W.orderBy("n_tokens"))
+    return (
+        n.withColumn("cd", cd)
+        .filter((F.col("cd") > PCT_LO) & (F.col("cd") <= PCT_HI))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            rnd("cd").alias("length_pctile"),
+        )
+    )
