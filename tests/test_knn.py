@@ -126,3 +126,43 @@ def test_lsh_self_retrieval_and_bucket_semantics(spark):
         sigs, ["t", "sig", "vec_id"], "left_semi"
     )
     assert shared.select("query_id", "vec_id").distinct().count() == res.count()
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from vector_search_spark.operators import knn as _knn
+    # two tight clusters with labels 0 / 1; one query per cluster
+    rows = []
+    for i in range(6):
+        rows.append((i, [0.0 + i * 0.01, 0.0], 0))
+    for i in range(6):
+        rows.append((10 + i, [5.0 + i * 0.01, 5.0], 1))
+    base = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = base.filter("vec_id in (0, 10)")
+    out = {
+        r.query_id: r
+        for r in _knn.knn_classify(
+            queries, base, base.select("vec_id", "label"), k=5
+        ).collect()
+    }
+    assert out[0].pred_label == 0 and out[0].votes == 5
+    assert out[10].pred_label == 1 and out[10].votes == 5
+
+    # exact 2-2 tie (k=4: 2 from each cluster) -> lowest label wins
+    tie_base = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], 7),
+            (1, [1.0, 0.0], 7),
+            (2, [0.0, 1.0], 3),
+            (3, [1.0, 1.0], 3),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(99, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    got = _knn.knn_classify(
+        q, tie_base, tie_base.select("vec_id", "label"), k=4
+    ).collect()
+    assert got[0].pred_label == 3 and got[0].votes == 2

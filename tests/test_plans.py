@@ -202,3 +202,49 @@ def test_salted_join_equals_plain_join(spark):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Train/eval n-gram overlap: the eval side is model-sized (eval
+    sets are thousands of docs) and must broadcast into the shingle
+    join — the train shingle table never shuffles for the probe."""
+    from vector_search_spark.operators import dedup
+
+    docs = tables.load(spark, SF_ORACLE, "documents")
+    out = dedup.cross_corpus_ngram_overlap(
+        docs.filter(F.col("doc_id") % 29 != 0),
+        docs.filter(F.col("doc_id") % 29 == 0),
+        shingle_n=5,
+    )
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_stream_stream_join_twin_is_not_cartesian(spark):
+    """The interval join's batch twin must compile to an equi-join on
+    user_id with the time bounds as residual predicates — never a
+    cartesian/nested-loop product (which would be O(N^2) at scale)."""
+    from vector_search_spark.streaming import events as sev
+
+    ev = tables.load(spark, SF_ORACLE, "events")
+    plan = _plan(sev.purchase_follow_pairs(ev))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_tf_agg_is_partial(spark):
+    """tf/df aggregations must show map-side partial aggregation
+    (HashAggregate before the exchange) — the property that keeps the
+    shuffle linear in distinct (doc, term), not total tokens."""
+    from vector_search_spark.operators import ranking
+
+    docs = tables.load(spark, SF_ORACLE, "documents")
+    tf, df, dl, stats = ranking.bm25_tables(docs)
+    plan = _plan(tf)
+    assert "HashAggregate" in plan and "Exchange" in plan
+    # partial agg = an aggregate below the first exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange") or \
+        plan.count("HashAggregate") >= 2

@@ -368,3 +368,48 @@ def recall_at_k(result: DataFrame, truth: DataFrame, k: int = 10) -> float:
     hit = r.join(t, ["query_id", "vec_id"], "inner").count()
     total = t.count()
     return hit / total if total else 0.0
+
+
+def knn_classify(
+    queries: DataFrame,
+    base: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    metric: str = "l2_sqr",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    **cols,
+) -> DataFrame:
+    """k-NN majority-vote classification: the classic consumer of a
+    similarity search (the reference stops at returning neighbor lists;
+    this is the one-join step every labeled-retrieval pipeline adds on
+    top — py/bruteforce.py:11-19 composed with a vote).
+
+    For each query, take the exact top-k neighbors, join their labels
+    (broadcast — the label relation is (id, label), but only the
+    nq x k neighbor rows are ever looked up), count votes, and keep the
+    winner (ties -> lowest label, deterministic). Returns
+    (query_id, pred_label, votes).
+    """
+    nn = brute_force_knn(queries, base, k=k, metric=metric, **cols)
+    lab = labels.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("_lbl")
+    )
+    votes = (
+        nn.select("query_id", "vec_id")
+        .join(lab, "vec_id")
+        .groupBy("query_id", "_lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_lbl")
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            F.col("_lbl").alias("pred_label"),
+            F.col("votes").cast("int").alias("votes"),
+        )
+    )

@@ -21,7 +21,7 @@ import numpy as np
 
 from vector_search_spark import tables
 from vector_search_spark.operators import ivf, kmeans, pq
-from vector_search_spark.queries import register, rnd
+from vector_search_spark.queries import KNN_K, KNN_QUERIES, register, rnd
 
 _L2 = "list_sum(list_transform(range(1, len({a})+1), j -> ({a}[j]-{b}[j])^2))"
 
@@ -1112,4 +1112,51 @@ def q_kmeans_parallel_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("dist"), 4).alias("inertia"),
         )
         .orderBy("cluster_id")
+    )
+
+
+@register(
+    "knn_classify_vote",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {KNN_QUERIES}
+), b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings
+), s AS (
+  SELECT q.query_id, b.vec_id, {_L2.format(a="q.qv", b="b.bv")} AS d
+  FROM b CROSS JOIN q
+), nn AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS r
+    FROM s)
+  WHERE r <= {KNN_K}
+), v AS (
+  SELECT nn.query_id, e.label AS pred_label, CAST(count(*) AS INT) AS votes
+  FROM nn JOIN embeddings e ON e.vec_id = nn.vec_id
+  GROUP BY nn.query_id, e.label
+)
+SELECT query_id, pred_label, votes FROM (
+  SELECT query_id, pred_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, pred_label) AS r
+  FROM v)
+WHERE r = 1
+""",
+    "vector",
+    "flagship",
+)
+def q_knn_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the labeled embeddings:
+    exact top-10 neighbors per query (reference BruteForce.RunSearch,
+    py/bruteforce.py:11-19) composed with a label-vote — similarity
+    search powering classification. Ties break to the lowest label;
+    the oracle replays search, vote, and tie-break."""
+    from vector_search_spark.operators import knn as _knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    return _knn.knn_classify(
+        queries, emb, emb.select("vec_id", "label"), k=KNN_K
     )
