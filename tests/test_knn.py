@@ -166,3 +166,65 @@ def test_knn_classify_majority_and_tiebreak(spark):
         q, tie_base, tie_base.select("vec_id", "label"), k=4
     ).collect()
     assert got[0].pred_label == 3 and got[0].votes == 2
+
+
+# --- binary quantization (operators/bq.py) --------------------------------
+
+
+def test_bq_pack_bits_known_values(spark):
+    from vector_search_spark.operators import bq
+
+    # 64-dim vector with bits 0 and 33 set -> word0 = 1, word1 = 2
+    v = [0.0] * 64
+    v[0] = 0.5
+    v[33] = 0.1
+    df = spark.createDataFrame(
+        [(0, v)], "vec_id long, embedding array<float>"
+    )
+    row = bq.encode_bits(df, dim=64).collect()[0]
+    assert row.bits == [1, 2]
+    # negative values never set bits (strict > 0)
+    neg = spark.createDataFrame(
+        [(0, [-1.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    assert bq.encode_bits(neg, dim=64).collect()[0].bits == [0, 0]
+
+
+def test_bq_hamming_self_zero_and_symmetry(spark):
+    from vector_search_spark.operators import bq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bits = bq.encode_bits(emb.limit(20), dim=64).select(
+        F.col("vec_id").alias("query_id"), "bits"
+    )
+    base = bq.encode_bits(emb.limit(20), dim=64)
+    out = bq.hamming_topk(bits, base, n_words=2, k=1)
+    # every vector's own code is at Hamming distance 0 -> rank 1 is self
+    rows = out.collect()
+    assert all(r.hamming == 0 and r.query_id == r.vec_id for r in rows)
+
+
+def test_bq_refine_recall_vs_exact(spark):
+    """The Hamming shortlist + exact re-rank must recover most of the
+    true top-10 (binary codes keep the dominant geometry)."""
+    from vector_search_spark.operators import bq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = knn.brute_force_knn(
+        emb.filter(F.col("vec_id") < 20), emb, k=10
+    )
+    got = bq.bq_refine_topk(q, emb, dim=64, k=10, shortlist=60)
+    t = {(r.query_id, r.vec_id) for r in truth.collect()}
+    g = {(r.query_id, r.vec_id) for r in got.collect()}
+    recall = len(t & g) / len(t)
+    assert recall >= 0.7, recall
+
+
+def test_bq_dim_guard(spark, line_df):
+    from vector_search_spark.operators import bq
+
+    with pytest.raises(ValueError):
+        bq.encode_bits(line_df, dim=48)  # not a multiple of 32

@@ -1,0 +1,169 @@
+"""Binary quantization (1 bit/dimension) + Hamming-distance search.
+
+Third VectorCompression-style codec beside PQ and SQ (reference surface:
+py/vector_compression.py:5-94 — Train/Encode/distance hooks). BQ is the
+degenerate-but-industrially-dominant point of that design space: each
+dimension keeps only its sign bit, so a D-dim float32 vector becomes
+D/8 bytes (32x compression) and distance becomes XOR + popcount.
+
+Spark-first shape:
+- ``encode_bits`` packs sign bits into 32-bit words stored as
+  ``array<bigint>`` via a pure Catalyst fold — no UDF, whole-stage
+  codegen'd, and exact (each word < 2^32, built by integer-valued
+  double arithmetic that is exact below 2^52).
+- ``hamming_topk`` scores query x base with
+  ``sum_j bit_count(qw[j] XOR bw[j])`` — a handful of JVM popcounts
+  per pair, the cheapest possible scan; top-k via the shared window
+  rank. At 100 TB the 32x-smaller scan is the point: a 1000-executor
+  sweep reads bits, not floats, and the shortlist re-rank touches only
+  ``nq * shortlist`` raw vectors (FAISS IndexBinaryFlat + refine shape).
+
+Why 32-bit words and not 64: both Spark and the DuckDB oracle build
+words as SUM(2^i * bit). 2^63 overflows signed 64-bit in that fold;
+31 is the largest safe shift, so we pack 32 bits/word and pay one extra
+XOR+popcount per 64 dims — noise next to the scan savings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions.distance import as_double_array, l2_sqr
+
+__all__ = ["encode_bits", "hamming", "hamming_topk", "bq_refine_topk"]
+
+WORD_BITS = 32
+
+
+def _pack_word(vec: Column, word_idx: int) -> Column:
+    """Word ``word_idx`` of the sign-bit packing: bit i set iff
+    vec[word_idx*32 + i] > 0 (strict, so 0.0 and -0.0 agree)."""
+    base = word_idx * WORD_BITS
+    return (
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(WORD_BITS - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(vec, i + F.lit(base + 1)) > 0.0,
+                F.pow(F.lit(2.0), i.cast("double")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .cast("long")
+    )
+
+
+def encode_bits(
+    points: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "bits",
+) -> DataFrame:
+    """Add ``out_col: array<bigint>`` of ceil(dim/32) packed sign words."""
+    if dim % WORD_BITS != 0:
+        raise ValueError(
+            f"dim must be a multiple of {WORD_BITS}, got {dim}"
+        )
+    v = as_double_array(vec_col)
+    words = [_pack_word(v, j) for j in range(dim // WORD_BITS)]
+    return points.withColumn(out_col, F.array(*words))
+
+
+def hamming(a: Column, b: Column, n_words: int) -> Column:
+    """Hamming distance between two packed-bit arrays (int column)."""
+    total = F.lit(0)
+    for j in range(n_words):
+        total = total + F.bit_count(
+            a.getItem(j).bitwiseXOR(b.getItem(j))
+        )
+    return total.cast("int")
+
+
+def hamming_topk(
+    queries_bits: DataFrame,
+    base_bits: DataFrame,
+    n_words: int,
+    k: int,
+    query_id: str = "query_id",
+    base_id: str = "vec_id",
+    bits_col: str = "bits",
+) -> DataFrame:
+    """Per-query k nearest by Hamming distance, ties by base id.
+
+    Query side is tiny (broadcast); base side streams — one scan of the
+    packed words, no shuffle of base rows before the per-query top-k
+    window (partial top-k combine happens map-side via the window's
+    rank pushdown at realistic k).
+    """
+    from pyspark.sql import Window
+
+    q = queries_bits.select(
+        F.col(query_id), F.col(bits_col).alias("_qb")
+    )
+    b = base_bits.select(F.col(base_id), F.col(bits_col).alias("_bb"))
+    scored = b.crossJoin(F.broadcast(q)).select(
+        query_id,
+        base_id,
+        hamming(F.col("_qb"), F.col("_bb"), n_words).alias("hamming"),
+    )
+    w = Window.partitionBy(query_id).orderBy("hamming", base_id)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bq_refine_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    dim: int,
+    k: int,
+    shortlist: int,
+    query_id: str = "query_id",
+    base_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage search: Hamming shortlist over packed bits, then exact
+    L2 re-rank of the shortlist (FAISS refine shape; same contract as
+    pq.refine_topk). Returns (query_id, vec_id, hamming, dist, rank)
+    with rank <= k by exact distance.
+
+    The exact stage joins ``nq * shortlist`` shortlist rows back to the
+    base vectors — independent of N, so the full-fidelity data is
+    touched only where it matters.
+    """
+    from pyspark.sql import Window
+
+    n_words = dim // WORD_BITS
+    qb = encode_bits(
+        queries.select(
+            F.col(query_id), F.col(vec_col).alias("_qv")
+        ),
+        dim,
+        vec_col="_qv",
+    )
+    bb = encode_bits(base.select(base_id, vec_col), dim, vec_col=vec_col)
+    short = hamming_topk(
+        qb, bb, n_words, shortlist, query_id=query_id, base_id=base_id
+    ).select(query_id, base_id, "hamming")
+    rescored = (
+        short.join(base.select(base_id, vec_col), base_id)
+        .join(
+            F.broadcast(
+                qb.select(query_id, as_double_array("_qv").alias("_qv"))
+            ),
+            query_id,
+        )
+        .select(
+            query_id,
+            base_id,
+            "hamming",
+            l2_sqr(F.col("_qv"), as_double_array(vec_col)).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy("dist", base_id)
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1160,3 +1160,82 @@ def q_knn_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn.knn_classify(
         queries, emb, emb.select("vec_id", "label"), k=KNN_K
     )
+
+
+# --------------------------------------------------------------------------
+# Binary quantization: sign-bit packing + Hamming shortlist + exact re-rank
+# (operators/bq.py; the 1-bit point of the VectorCompression design space,
+# reference py/vector_compression.py:5-94)
+# --------------------------------------------------------------------------
+
+BQ_QUERIES = 20
+BQ_SHORTLIST = 60
+BQ_DIM = 64
+BQ_WORDS = BQ_DIM // 32
+
+_BQ_WORDS_SQL = f"""
+words AS (
+  SELECT vec_id,
+         list_transform(range(0, {BQ_WORDS}), j ->
+           CAST(list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN v[j*32 + i + 1] > 0 THEN 2.0 ^ i ELSE 0.0 END))
+           AS BIGINT)) AS bits
+  FROM pts
+)"""
+
+
+@register(
+    "bq_hamming_knn",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_BQ_WORDS_SQL},
+qw AS (
+  SELECT vec_id AS query_id, bits FROM words WHERE vec_id < {BQ_QUERIES}
+),
+ham AS (
+  SELECT q.query_id, b.vec_id,
+         CAST(list_sum(list_transform(range(1, {BQ_WORDS}+1), j ->
+           bit_count(xor(q.bits[j], b.bits[j])))) AS INTEGER) AS hamming
+  FROM words b CROSS JOIN qw q
+),
+short AS (
+  SELECT query_id, vec_id, hamming FROM (
+    SELECT query_id, vec_id, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, vec_id) AS r
+    FROM ham)
+  WHERE r <= {BQ_SHORTLIST}
+),
+ex AS (
+  SELECT s.query_id, s.vec_id, s.hamming,
+         {_L2.format(a="qp.v", b="bp.v")} AS d
+  FROM short s
+  JOIN pts qp ON qp.vec_id = s.query_id
+  JOIN pts bp ON bp.vec_id = s.vec_id
+)
+SELECT query_id, vec_id, hamming, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM ex
+QUALIFY "rank" <= {KNN_K}
+""",
+    "vector",
+    "bq",
+)
+def q_bq_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized search: pack sign bits (32x compression), scan
+    by XOR+popcount Hamming distance, shortlist, then exact L2 re-rank
+    (FAISS IndexBinaryFlat + refine shape). Everything is deterministic
+    pure Catalyst, so the oracle replays packing, Hamming shortlist,
+    and re-rank bit-for-bit."""
+    from vector_search_spark.operators import bq
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = bq.bq_refine_topk(
+        queries, emb, dim=BQ_DIM, k=KNN_K, shortlist=BQ_SHORTLIST
+    )
+    return out.select(
+        "query_id", "vec_id", "hamming", rnd("dist").alias("dist"), "rank"
+    )
