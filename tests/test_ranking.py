@@ -109,3 +109,68 @@ def test_bm25_plan_broadcasts_query_terms(spark, docs):
     qt = spark.createDataFrame([(0, "apple")], "query_id long, term string")
     plan = ranking.bm25_topk(docs, qt, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # postings probe never shuffles tf
+
+
+# --- MMR diverse re-ranking (operators/ranking.py) ------------------------
+
+
+def _mmr_fixture(spark):
+    # query along +x; items: two near-identical high-rel vectors and one
+    # orthogonal lower-rel vector
+    rows = [
+        (1, [1.0, 0.0]),       # rel 1.0
+        (2, [0.9999, 0.01]),   # near-dup of 1 (cos ~0.99995)
+        (3, [0.0, 1.0]),       # orthogonal
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 0.99), (0, 3, 0.0)],
+        "query_id long, vec_id long, rel double",
+    )
+    return cand, vecs
+
+
+def test_mmr_prefers_diverse_over_near_duplicate(spark):
+    from vector_search_spark.operators import ranking
+
+    cand, vecs = _mmr_fixture(spark)
+    out = (
+        ranking.mmr_rerank(cand, vecs, k=2, lam=0.5)
+        .orderBy("pick")
+        .collect()
+    )
+    assert [r.vec_id for r in out] == [1, 3]
+    # pick 2: item2 = .5*.99-.5*.99995 < 0; item3 = 0-.5*0 = 0 -> item3
+
+
+def test_mmr_lam_one_is_pure_relevance(spark):
+    from vector_search_spark.operators import ranking
+
+    cand, vecs = _mmr_fixture(spark)
+    out = (
+        ranking.mmr_rerank(cand, vecs, k=3, lam=1.0)
+        .orderBy("pick")
+        .collect()
+    )
+    assert [r.vec_id for r in out] == [1, 2, 3]  # rel order untouched
+
+
+def test_mmr_negative_max_sim_raises_score(spark):
+    """Anti-correlated picked set must INCREASE a candidate's score
+    (no zero floor on the diversity term)."""
+    from vector_search_spark.operators import ranking
+
+    rows = [(1, [1.0, 0.0]), (2, [-1.0, 0.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.1)],
+        "query_id long, vec_id long, rel double",
+    )
+    [p1, p2] = (
+        ranking.mmr_rerank(cand, vecs, k=2, lam=0.5)
+        .orderBy("pick")
+        .collect()
+    )
+    assert (p1.vec_id, p2.vec_id) == (1, 2)
+    # mmr2 = .5*.1 - .5*(-1) = 0.55 > lam*rel = 0.05
+    assert abs(p2.mmr - 0.55) < 1e-9

@@ -500,3 +500,94 @@ def test_bloom_fpp_in_range(spark):
         .mean()
     )
     assert fp <= 0.05, f"observed fpp {fp:.4f} vs nominal 0.01"
+
+
+# --- semantic dedup (SemDeDup, operators/dedup.py) ------------------------
+
+
+def test_semantic_dedup_drops_higher_id_paraphrase(spark):
+    import numpy as np
+
+    from vector_search_spark.operators import dedup
+
+    # two clusters at x=0 and x=10; ids 0/1 near-identical, id 2 opposite
+    # direction (cosine < 0), id 3 alone in the far cluster
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.01]),
+        (2, [-1.0, 0.0]),
+        (3, [10.0, 10.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = np.array([[1.0, 0.0], [10.0, 10.0]])
+    out = {
+        r.vec_id: (r.cluster_id, r.kept)
+        for r in dedup.semantic_dedup(emb, cents, threshold=0.9).collect()
+    }
+    assert out[0] == (0, True)     # lowest id always kept
+    assert out[1] == (0, False)    # cosine ~0.9999 to id 0 -> dropped
+    assert out[2][1] is True       # negative cosine, kept
+    assert out[3] == (1, True)     # alone in its cluster
+
+
+def test_semantic_dedup_cluster_isolation(spark):
+    """Identical vectors in DIFFERENT clusters are never compared —
+    the cluster is the blocking unit (paper semantics)."""
+    import numpy as np
+
+    from vector_search_spark.operators import dedup
+
+    rows = [(0, [0.9, 0.9]), (1, [1.1, 1.1])]  # same direction
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = np.array([[0.9, 0.9], [1.1, 1.1]])  # each its own cell
+    out = dedup.semantic_dedup(emb, cents, threshold=0.5).collect()
+    assert all(r.kept for r in out)
+
+
+# --- count-min sketch (operators/sketch.py) -------------------------------
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    from vector_search_spark.operators import sketch as cms
+
+    rows = [(w,) for w, n in [("a", 5), ("b", 3), ("c", 1)] for _ in range(n)]
+    items = spark.createDataFrame(rows, "g string")
+    sk = cms.cms_build(items, "g", depth=4, width=64)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",)], "g string")
+    est = {
+        r.g: r.cms_est
+        for r in cms.cms_estimate(sk, probes, "g", depth=4, width=64).collect()
+    }
+    truth = {"a": 5, "b": 3, "c": 1}
+    for g, t in truth.items():
+        assert est[g] >= t  # the CMS guarantee
+    # 3 keys in 4x64 cells: collisions across all 4 rows are ~impossible
+    assert est == truth
+
+
+def test_cms_merge_equals_union(spark):
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators import sketch as cms
+
+    a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, "g string")
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 3, "g string")
+    merged = (
+        cms.cms_build(a, "g").unionAll(cms.cms_build(b, "g"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms.cms_build(a.unionAll(b), "g")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_absent_key_estimates_zero_when_empty_cells(spark):
+    from vector_search_spark.operators import sketch as cms
+
+    items = spark.createDataFrame([("only",)], "g string")
+    sk = cms.cms_build(items, "g", depth=4, width=1024)
+    probe = spark.createDataFrame([("missing",)], "g string")
+    [r] = cms.cms_estimate(sk, probe, "g", depth=4, width=1024).collect()
+    assert r.cms_est == 0  # all four cells empty -> floor at zero

@@ -45,6 +45,7 @@ __all__ = [
     "simhash_table",
     "simhash_near_dup",
     "embedding_near_dup",
+    "semantic_dedup",
 ]
 
 
@@ -813,3 +814,61 @@ def bloom_membership(
         F.count(F.lit(1)).alias("n_ref_matches")
     )
     return maybe.join(ref_cnt, "_h").select(id_col, "n_ref_matches")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv 2303.09540): cluster the
+    embedding space, then near-dedup WITHIN each cluster by cosine
+    similarity — the semantic complement of the lexical MinHash/SimHash
+    family (those catch copies; this catches paraphrases).
+
+    Deterministic id-canonical variant: an item is dropped iff some
+    LOWER-id item in the same cluster has cosine >= threshold (the
+    paper keeps the member farthest from the centroid; lowest-id keeps
+    the rule engine-reproducible — documented deviation).
+
+    Scale shape (the paper's own): one argmin assignment pass, then one
+    gemm per cluster inside applyInPandas — work is sum over clusters
+    of |cluster|^2, never N^2, and cluster granularity is the knob that
+    bounds it. Nothing is collected or broadcast beyond the K centroids.
+
+    Returns (id_col, cluster_id, kept boolean) for every input row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vector_search_spark.operators import kmeans
+
+    assigned = kmeans.assign(
+        emb, centroids, id_col=id_col, vec_col=vec_col, with_vec=True
+    )
+    with_vec = assigned.select(id_col, "cluster_id", F.col("vec").alias("_v"))
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.vstack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        n = np.linalg.norm(M, axis=1)
+        Mn = np.divide(M, n[:, None], out=np.zeros_like(M), where=n[:, None] != 0)
+        C = Mn @ Mn.T
+        # dropped iff similar to any strictly-lower-id row (upper
+        # triangle, column-wise any)
+        dup = np.triu(C >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cluster_id"].to_numpy()[order],
+                "kept": ~dup,
+            }
+        )
+
+    return with_vec.groupBy("cluster_id").applyInPandas(
+        per_cluster, f"{id_col} long, cluster_id int, kept boolean"
+    )

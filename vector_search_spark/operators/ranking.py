@@ -168,3 +168,88 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", item_col, "rrf_score", "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    query_id: str = "query_id",
+    item_id: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from each query's candidate list, greedily pick the item
+    maximizing ``lam*rel - (1-lam)*max_sim_to_already_picked`` — the
+    diversity pass that keeps a retrieval shortlist from collapsing
+    onto near-duplicates (the consumer side of what SemDeDup fixes at
+    corpus build time).
+
+    ``candidates`` is (query_id, item_id, rel) — a top-n list from any
+    retriever (here: cosine relevance). ``vectors`` supplies item
+    embeddings for the pairwise-similarity term. The greedy scan is
+    inherently sequential per query but bounded by the candidate list
+    (n is tens, never corpus-sized), so each query group is one small
+    numpy loop inside applyInPandas — same justification as the HNSW
+    SelectNeighbors heuristic, and the same 100 TB shape: work scales
+    with queries x n^2, independent of N.
+
+    First pick has no diversity term (empty selected set); afterwards
+    the penalty is the TRUE running max similarity — it may be negative,
+    in which case it raises the score (classic MMR, no zero floor).
+    Ties break to the lower item id. Similarity = cosine of
+    L2-normalized vectors.
+    Returns (query_id, item_id, mmr double, pick int) with pick 1..k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vector_search_spark.functions.distance import as_double_array
+
+    cand = candidates.join(
+        vectors.select(
+            F.col(item_id), as_double_array(vec_col).alias("_v")
+        ),
+        item_id,
+    ).select(query_id, item_id, rel_col, "_v")
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[item_id].to_numpy(dtype=np.int64)
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        M = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(M, axis=1)
+        Mn = np.divide(
+            M, n[:, None], out=np.zeros_like(M), where=n[:, None] != 0
+        )
+        S = Mn @ Mn.T
+        n_pick = min(k, len(ids))
+        max_sim = None  # true max over picked — may be negative, no floor
+        remaining = np.ones(len(ids), dtype=bool)
+        out_ids, out_mmr = [], []
+        for _ in range(n_pick):
+            if max_sim is None:
+                mmr = lam * rel  # empty picked set: no diversity term
+            else:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            # argmax among remaining; ties -> lowest item id
+            order = np.lexsort((ids, -mmr))
+            best = next(i for i in order if remaining[i])
+            remaining[best] = False
+            out_ids.append(ids[best])
+            out_mmr.append(mmr[best])
+            col = S[:, best]
+            max_sim = col.copy() if max_sim is None else np.maximum(max_sim, col)
+        return pd.DataFrame(
+            {
+                query_id: pdf[query_id].iloc[0],
+                item_id: out_ids,
+                "mmr": out_mmr,
+                "pick": np.arange(1, n_pick + 1, dtype=np.int32),
+            }
+        )
+
+    return cand.groupBy(query_id).applyInPandas(
+        per_query, f"{query_id} long, {item_id} long, mmr double, pick int"
+    )

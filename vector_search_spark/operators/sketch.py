@@ -1,0 +1,104 @@
+"""Count-min sketch over a key column (Cormode & Muthukrishnan 2005).
+
+The streaming/mergeable complement to exact `groupBy(key).count()`:
+one pass, fixed `depth x width` memory, partial sketches from any
+number of partitions/corpora/days merge by cell-wise addition, and the
+point estimate ``min_i cnt[i][bucket_i(key)]`` NEVER under-counts
+(one-sided error <= eps*N with prob 1-delta for width=e/eps,
+depth=ln(1/delta)).
+
+Spark-first shape: the sketch IS a DataFrame ``(row, bucket, cnt)`` of
+depth*width cells. Build = explode each key into its `depth`
+(row, bucket) cells and `groupBy(row, bucket).count()` — map-side
+partial aggregation collapses each executor's stream to at most
+depth*width rows before the shuffle, so the shuffle is sketch-sized,
+not data-sized (the same reason the sketch works at 100 TB). Lookup =
+broadcast-join probe keys against the sketch cells + `min` over rows.
+
+Hashing is Kirsch-Mitzenmacher double hashing
+(bucket_i = (h1 + i*h2) mod width) from two independent 32-bit words of
+md5 — engine-portable, so the DuckDB oracle reproduces every cell and
+estimate bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_spark.functions.texts import _col
+
+__all__ = ["cms_h1", "cms_h2", "cms_build", "cms_estimate"]
+
+
+def cms_h1(c: Column | str) -> Column:
+    """First 32-bit md5 word (same as texts.h32)."""
+    return F.conv(F.substring(F.md5(_col(c)), 1, 8), 16, 10).cast("bigint")
+
+
+def cms_h2(c: Column | str) -> Column:
+    """Second 32-bit md5 word — independent of :func:`cms_h1`."""
+    return F.conv(F.substring(F.md5(_col(c)), 9, 8), 16, 10).cast("bigint")
+
+
+def sql_cms_h1(x: str) -> str:
+    return f"CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+def sql_cms_h2(x: str) -> str:
+    return f"CAST('0x' || substr(md5({x}), 9, 8) AS BIGINT)"
+
+
+def _bucket(h1: Column, h2: Column, row: Column, width: int) -> Column:
+    return ((h1 + row * h2) % F.lit(width)).cast("int")
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Sketch a (multi-set) key stream: one row per touched cell,
+    ``(row int, bucket int, cnt long)``. Untouched cells are implicit
+    zeros. Merge two sketches with union + re-agg."""
+    cells = (
+        items.select(
+            cms_h1(key_col).alias("_h1"), cms_h2(key_col).alias("_h2")
+        )
+        .select(
+            "_h1",
+            "_h2",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        )
+        .select(
+            "row",
+            _bucket(F.col("_h1"), F.col("_h2"), F.col("row"), width).alias(
+                "bucket"
+            ),
+        )
+    )
+    return cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query the sketch for each distinct probe key: adds
+    ``cms_est`` (min over the key's depth cells; >= true count always).
+    The sketch side is depth*width rows -> broadcast; probes stream."""
+    h1, h2 = cms_h1(key_col), cms_h2(key_col)
+    probe_cells = probes.select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).withColumn("bucket", _bucket(h1, h2, F.col("row"), width))
+    joined = probe_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    )

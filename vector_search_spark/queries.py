@@ -254,6 +254,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_decontaminate",
     "pq_refine_knn",
     "dedup_member_bloom",
+    "bq_hamming_knn",
+    "dedup_semantic",
+    "events_funnel",
+    "events_retention",
+    "ngram_heavy_hitters",
+    "mmr_rerank",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "text_repetition",
@@ -281,14 +287,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_session_window",
     "purchase_follow_pairs",
     # relational
+    # ---- tail: rotated OUT (green on unchanged code in their last
+    # adjudicated round; their operators' coverage stands on those rows) ----
     "tpch_q1",
     "tpch_q3",
     "tpch_q10",
     "semi_join_late_orders",
     "anti_join_idle_customers",
     "rollup_lineitem",
-    # ---- tail: rotated OUT (green on unchanged code in their last
-    # adjudicated round; their operators' coverage stands on those rows) ----
     "tpch_q6",
     "events_daily_json",
     "promo_revenue_monthly",

@@ -748,3 +748,118 @@ def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product-analytics surface: funnel conversion + cohort retention
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS name, CAST(count(*) AS BIGINT) AS users FROM v
+  UNION ALL
+  SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+)
+""",
+    "relational",
+    "analytics",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view, first click AFTER that
+    view, first purchase AFTER that click — per user, then stage
+    counts. Each stage is one keyed agg + one equi-join on user_id
+    (shuffle-partitioned by the natural key; no window over the full
+    event stream, so skewed users cost one partition, not a sort)."""
+    ev = tables.load(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev.select("user_id", "t"), "user_id").filter(
+                F.col("ts") > F.col("t")
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+
+    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        stage(1, "view", v)
+        .unionAll(stage(2, "view>click", c))
+        .unionAll(stage(3, "view>click>purchase", p))
+    )
+
+
+@register(
+    "events_retention",
+    """
+WITH coh AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS c0 FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, coh.c0,
+         datediff('day', coh.c0, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN coh ON e.user_id = coh.user_id
+)
+SELECT strftime(c0, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS users
+FROM act
+GROUP BY c0, day_offset
+""",
+    "relational",
+    "analytics",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted as
+    retained at each later day offset. Two keyed aggs + one join on
+    user_id; the distinct collapses per-user-per-day activity before
+    the final (cohort, offset) agg, so output is bounded by
+    cohorts x horizon regardless of event volume."""
+    ev = tables.load(spark, sf_dir, "events")
+    coh = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("c0")
+    )
+    act = (
+        ev.join(coh, "user_id")
+        .select(
+            "user_id",
+            "c0",
+            F.datediff(F.date_trunc("day", "ts"), F.col("c0")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return act.groupBy("c0", "day_offset").agg(
+        F.count(F.lit(1)).alias("users")
+    ).select(
+        F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "users",
+    )

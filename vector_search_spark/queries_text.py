@@ -1094,3 +1094,236 @@ def q_docs_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFra
             rnd("cd").alias("length_pctile"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023) — cluster + within-cluster
+# cosine near-dup over the embeddings table (operators/dedup.py)
+# --------------------------------------------------------------------------
+
+SEM_K = 32          # coarse clusters (deterministic first-K init)
+SEM_TAU = 0.35      # cosine threshold (data max within-cluster ~0.49)
+
+_SEM_L2 = "list_sum(list_transform(range(1, len({a})+1), i -> ({a}[i]-{b}[i])^2))"
+_SEM_DOT = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+
+
+@register(
+    "dedup_semantic",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cluster_id, v AS cv FROM pts
+          WHERE vec_id < {SEM_K}),
+asg AS (
+  SELECT vec_id, cluster_id, v FROM (
+    SELECT p.vec_id, c.cluster_id, p.v,
+           {_SEM_L2.format(a="p.v", b="c.cv")} AS d
+    FROM pts p CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1
+),
+dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM asg lo JOIN asg hi
+    ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
+  WHERE {_SEM_DOT.format(a="lo.v", b="hi.v")}
+        / (sqrt({_SEM_DOT.format(a="lo.v", b="lo.v")})
+           * sqrt({_SEM_DOT.format(a="hi.v", b="hi.v")})) >= {SEM_TAU}
+)
+SELECT a.vec_id, a.cluster_id,
+       (d.vec_id IS NULL) AS kept
+FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+""",
+    "text",
+    "dedup",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cells over embeddings, then drop any vector
+    whose cosine to a lower-id vector in the same cell >= tau
+    (paraphrase-level dedup; the lexical families can't see these).
+    Deterministic first-K centroids so the oracle replays assignment,
+    the within-cell pair scan, and the drop rule end-to-end."""
+    from vector_search_spark.operators import kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = kmeans.init_first_k(emb, SEM_K)
+    return dedup.semantic_dedup(emb, cents, threshold=SEM_TAU)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (operators/sketch.py) — boilerplate
+# n-gram detection with a one-pass mergeable sketch
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+CMS_MIN_COUNT = 35
+
+
+@register(
+    "ngram_heavy_hitters",
+    f"""
+WITH {_TOKS},
+grams AS (
+  SELECT unnest({T.sql_shingles('t', 2)}) AS g FROM toks
+),
+gh AS (
+  SELECT g,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(g), 9, 8) AS BIGINT) AS h2
+  FROM grams
+),
+cells AS (
+  SELECT i.i AS row_i,
+         CAST((h1 + i.i * h2) % {CMS_WIDTH} AS INT) AS bucket
+  FROM gh CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS i) i
+),
+sketch AS (
+  SELECT row_i, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row_i, bucket
+),
+exact AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM grams GROUP BY g HAVING count(*) >= {CMS_MIN_COUNT}
+),
+keys AS (SELECT DISTINCT g, h1, h2 FROM gh
+         WHERE g IN (SELECT g FROM exact)),
+est AS (
+  SELECT k.g, min(s.cnt) AS cms_est
+  FROM keys k
+  CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS i) i
+  JOIN sketch s ON s.row_i = i.i
+              AND s.bucket = CAST((k.h1 + i.i * k.h2) % {CMS_WIDTH} AS INT)
+  GROUP BY k.g
+)
+SELECT e.g AS ngram, e.exact_cnt, est.cms_est,
+       (est.cms_est >= e.exact_cnt) AS no_underestimate
+FROM exact e JOIN est ON e.g = est.g
+""",
+    "text",
+    "sketch",
+)
+def q_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word-2-gram heavy hitters, counted both
+    exactly (groupBy) and via a count-min sketch (one pass, depth x
+    width memory, mergeable across corpus shards — the shape that
+    survives a stream you can't re-scan). The oracle replays the
+    sketch cell-for-cell; `no_underestimate` asserts the CMS guarantee
+    on every surfaced n-gram."""
+    from vector_search_spark.operators import sketch as cms
+
+    docs = tables.load(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(T.shingles(T.tokens("text"), 2)).alias("g")
+    )
+    exact = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .filter(F.col("exact_cnt") >= CMS_MIN_COUNT)
+    )
+    sk = cms.cms_build(grams, "g", depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = cms.cms_estimate(
+        sk, exact.select("g"), "g", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    return exact.join(est, "g").select(
+        F.col("g").alias("ngram"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("no_underestimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MMR diverse re-ranking (operators/ranking.py) — retrieval-side diversity
+# --------------------------------------------------------------------------
+
+MMR_QUERIES = 20
+MMR_CAND = 15
+MMR_PICK = 5
+MMR_LAM = 0.7
+
+_MDOT = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+
+
+def _mmr_oracle() -> str:
+    lam, om = MMR_LAM, 1.0 - MMR_LAM
+    sql = f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nrm AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt({_MDOT.format(a='v', b='v')})) AS nv
+  FROM pts
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < {MMR_QUERIES}),
+rel AS (
+  SELECT q.query_id, b.vec_id,
+         {_MDOT.format(a='q.qv', b='b.v')}
+           / (sqrt({_MDOT.format(a='q.qv', b='q.qv')})
+              * sqrt({_MDOT.format(a='b.v', b='b.v')})) AS rel
+  FROM q CROSS JOIN pts b WHERE b.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY q.query_id
+                             ORDER BY rel DESC, b.vec_id) <= {MMR_CAND}
+),
+cand AS (
+  SELECT r.query_id, r.vec_id, r.rel, n.nv
+  FROM rel r JOIN nrm n USING (vec_id)
+),
+sel1 AS (
+  SELECT query_id, vec_id, nv, {lam}*rel AS mmr, 1 AS pick FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY {lam}*rel DESC, vec_id) = 1
+)"""
+    for i in range(2, MMR_PICK + 1):
+        prev = f"sel{i-1}"
+        sql += f""",
+m{i} AS (
+  SELECT c.query_id, c.vec_id, c.nv,
+         {lam}*c.rel - {om}*max({_MDOT.format(a='c.nv', b='s.nv')}) AS mmr
+  FROM cand c JOIN {prev} s ON s.query_id = c.query_id
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                    WHERE p.query_id = c.query_id AND p.vec_id = c.vec_id)
+  GROUP BY c.query_id, c.vec_id, c.rel, c.nv
+),
+s{i} AS (
+  SELECT query_id, vec_id, nv, mmr, {i} AS pick FROM m{i}
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY mmr DESC, vec_id) = 1
+),
+sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{i})"""
+    sql += f"""
+SELECT query_id, vec_id, (ROUND(mmr, 6) + 0.0) AS mmr,
+       CAST(pick AS INT) AS pick
+FROM sel{MMR_PICK}"""
+    return sql
+
+
+@register("mmr_rerank", _mmr_oracle(), "text", "ranking")
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-ranking: cosine top-15 per query, then 5 MMR picks
+    (lam=0.7). The oracle unrolls the greedy argmax step by step —
+    selection ORDER, scores, and tie-breaks are all value-checked."""
+    from pyspark.sql import Window
+
+    from vector_search_spark.functions.distance import cosine_similarity
+    from vector_search_spark.operators import ranking
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine_similarity("_qv", "embedding").alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= MMR_CAND)
+        .drop("_r")
+    )
+    out = ranking.mmr_rerank(cand, emb, k=MMR_PICK, lam=MMR_LAM)
+    return out.select(
+        "query_id", "vec_id", rnd("mmr").alias("mmr"), "pick"
+    )
