@@ -189,3 +189,51 @@ def test_ivf_adc_residual_beats_raw_codes(
     )
     assert r_res >= r_raw - 0.02, f"residual {r_res:.3f} < raw {r_raw:.3f}"
     assert r_res >= 0.30, f"residual IVFADC recall {r_res:.3f}"
+
+
+# --- incremental upsert (ivf.upsert_index) --------------------------------
+
+
+def test_upsert_index_merges_and_touches_minimal_cells(spark, emb, centroids, tmp_path):
+    import os
+
+    path = str(tmp_path / "ivf_index")
+    assigned = ivf.assign_clusters(emb, centroids)
+    ivf.write_index(assigned, path)
+    n_cells = assigned.select("cluster_id").distinct().count()
+
+    # batch: replace vec_id 0 with vec_id 1's vector (may move cells),
+    # plus a brand-new id far outside the current id range
+    v1 = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    batch = spark.createDataFrame(
+        [(0, v1), (10_000, v1)], "vec_id long, embedding array<float>"
+    )
+    touched = ivf.upsert_index(spark, path, batch, centroids)
+    assert touched and len(touched) < n_cells  # strictly partial rewrite
+
+    after = spark.read.parquet(path)
+    # equivalent full rebuild on the merged logical set
+    merged = emb.filter(~F.col("vec_id").isin(0, 10_000)).select(
+        "vec_id", "embedding"
+    ).unionByName(batch)
+    expect = ivf.assign_clusters(merged, centroids)
+
+    def key(df):
+        return sorted(
+            (r.vec_id, r.cluster_id, tuple(round(x, 5) for x in r.embedding))
+            for r in df.select("vec_id", "cluster_id", "embedding").collect()
+        )
+
+    assert key(after) == key(expect)
+    # id 0 was upserted: exactly one copy remains
+    assert after.filter(F.col("vec_id") == 0).count() == 1
+    assert after.filter(F.col("vec_id") == 10_000).count() == 1
+
+
+def test_upsert_index_empty_batch_is_noop(spark, emb, centroids, tmp_path):
+    path = str(tmp_path / "ivf_index2")
+    ivf.write_index(ivf.assign_clusters(emb, centroids), path)
+    before = spark.read.parquet(path).count()
+    batch = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf.upsert_index(spark, path, batch, centroids) == []
+    assert spark.read.parquet(path).count() == before

@@ -228,3 +228,66 @@ def test_bq_dim_guard(spark, line_df):
 
     with pytest.raises(ValueError):
         bq.encode_bits(line_df, dim=48)  # not a multiple of 32
+
+
+# --- filtered ANN + recall evaluation (operators/knn.py) ------------------
+
+
+def test_filtered_prefilter_only_matching_labels(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = knn.filtered_knn(q, emb, F.col("label") == 2, k=5)
+    labels = {
+        r.label
+        for r in out.join(emb.select("vec_id", "label"), "vec_id").collect()
+    }
+    assert labels == {2}
+    # every query gets a full k (enough label-2 rows exist)
+    assert out.groupBy("query_id").count().filter("count != 5").count() == 0
+
+
+def test_filtered_postfilter_may_undersupply(spark):
+    """With a tiny overfetch and a selective predicate, post-filtering
+    returns FEWER than k — the documented trade; and what it does
+    return equals the head of the prefiltered ranking."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    pre = knn.filtered_knn(q, emb, F.col("label") == 2, k=5)
+    post = knn.filtered_knn(
+        q, emb, F.col("label") == 2, k=5, strategy="postfilter", overfetch=2
+    )
+    pre_n = pre.count()
+    post_n = post.count()
+    assert post_n < pre_n  # label 2 is ~1/4 of rows; overfetch 2 starves
+    pre_rows = {
+        (r.query_id, r.vec_id, r.rank) for r in pre.collect()
+    }
+    assert {
+        (r.query_id, r.vec_id, r.rank) for r in post.collect()
+    } <= pre_rows  # survivors agree with the exact filtered ranking
+
+
+def test_filtered_prefilter_predicate_reaches_scan(spark):
+    from vector_search_spark import plans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = knn.filtered_knn(q, emb, F.col("label") == 2, k=5)
+    pushed = plans.pushed_filters(out)
+    assert any("label" in p for p in pushed), f"no pushdown: {pushed}"
+
+
+def test_recall_at_k_hand_case(spark):
+    truth = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 5), (1, 6)],
+        "query_id long, vec_id long",
+    )
+    result = spark.createDataFrame(
+        [(0, 1), (0, 9), (1, 7), (1, 8)],
+        "query_id long, vec_id long",
+    )
+    got = {
+        r.query_id: r.recall
+        for r in knn.recall_at_k(result, truth, k=2).collect()
+    }
+    assert got == {0: 0.5, 1: 0.0}

@@ -302,3 +302,28 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_cms_sketch_equals_batch(spark, events_dir):
+    """The count-min sketch is a pure counting monoid, so cms_build
+    runs unchanged on a stream (complete-mode agg) and its cells equal
+    the batch sketch over the same data — the single-pass property
+    that makes the sketch the answer for an unreplayable stream."""
+    from vector_search_spark.operators import sketch as cms
+
+    stream = sev.read_events_stream(spark, events_dir).select("event_type")
+    got = _run_stream(
+        spark,
+        cms.cms_build(stream, "event_type", depth=4, width=256),
+        "t_cms",
+        "complete",
+    )
+    want = cms.cms_build(
+        tables.load(spark, SF_ORACLE, "events").select("event_type"),
+        "event_type",
+        depth=4,
+        width=256,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

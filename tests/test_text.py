@@ -591,3 +591,25 @@ def test_cms_absent_key_estimates_zero_when_empty_cells(spark):
     probe = spark.createDataFrame([("missing",)], "g string")
     [r] = cms.cms_estimate(sk, probe, "g", depth=4, width=1024).collect()
     assert r.cms_est == 0  # all four cells empty -> floor at zero
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    from vector_search_spark.operators import textstats
+
+    rows = [
+        (0, "the the the the"),       # all common tokens
+        (1, "the the the zyzzyva"),   # one rare token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_toks, r.avg_logprob)
+        for r in textstats.unigram_logprob(docs).collect()
+    }
+    import math
+
+    # p(the)=7/8, p(zyzzyva)=1/8
+    assert out[0][0] == 4 and out[1][0] == 4
+    assert abs(out[0][1] - math.log(7 / 8)) < 1e-9
+    assert out[1][1] < out[0][1]  # rare-token doc is more surprising
+    expect1 = (3 * math.log(7 / 8) + math.log(1 / 8)) / 4
+    assert abs(out[1][1] - expect1) < 1e-9

@@ -391,3 +391,75 @@ def ivf_adc_topk(
 
     scored = src.mapInPandas(fn, "query_id long, vec_id long, dist double")
     return topk_per_query(scored, k)
+
+
+def upsert_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Incremental index maintenance: fold a batch of new/updated
+    vectors into an existing on-disk IVF index, rewriting ONLY the
+    cells the batch touches (dynamic partition overwrite — the batch
+    answer to the reference's per-row ``Insert``, py/hnsw.py:337-392,
+    alongside the streaming micro-batch path in
+    streaming/index_refresh.py).
+
+    Semantics: upsert by ``id_col`` — a vector already present (in a
+    touched OR untouched cell) is replaced by its new row; new ids are
+    appended. Cells the batch doesn't route to are untouched on disk
+    (no read, no rewrite), so the write cost scales with the batch's
+    cell footprint, not the index size. An id MOVING between cells is
+    handled by rewriting its old cell too (membership probe below).
+
+    Returns the sorted list of rewritten cluster_ids.
+    """
+    assigned = assign_clusters(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col
+    )
+    existing = spark.read.parquet(path)
+    # cells to rewrite = cells the new rows land in + cells currently
+    # holding an id that is being upserted (it may be moving out)
+    landing = assigned.select("cluster_id")
+    holding = existing.join(
+        assigned.select(id_col), id_col
+    ).select("cluster_id")
+    touched = [
+        int(r.cluster_id)
+        for r in landing.union(holding).distinct().collect()
+    ]
+    if not touched:
+        return []
+    survivors = (
+        existing.filter(F.col("cluster_id").isin(touched))
+        .join(assigned.select(id_col), id_col, "left_anti")
+        .select(id_col, "cluster_id", vec_col)
+    )
+    merged = survivors.unionByName(
+        assigned.select(id_col, "cluster_id", vec_col)
+    )
+    with _dynamic_overwrite(spark):
+        merged.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            path
+        )
+    return sorted(touched)
+
+
+class _dynamic_overwrite:
+    """Scoped ``partitionOverwriteMode=dynamic`` (only the partitions
+    present in the written DataFrame are replaced)."""
+
+    CONF = "spark.sql.sources.partitionOverwriteMode"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.CONF, "static")
+        self.spark.conf.set(self.CONF, "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.CONF, self.prev)

@@ -413,3 +413,91 @@ def knn_classify(
             F.col("votes").cast("int").alias("votes"),
         )
     )
+
+
+def filtered_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    predicate,
+    k: int = 10,
+    metric: str = "l2_sqr",
+    strategy: str = "prefilter",
+    overfetch: int = 4,
+    **cols,
+) -> DataFrame:
+    """Metadata-filtered vector search (the "filtered ANN" feature of
+    every production vector store): top-k among only the base rows
+    satisfying ``predicate`` (a boolean Column over base's columns).
+
+    Two strategies, the real engineering trade:
+
+    - ``prefilter``: push the predicate INTO the scan, then search the
+      survivors. Exact w.r.t. the filtered set; at 100 TB the predicate
+      reaches the parquet reader (PushedFilters), so a selective filter
+      shrinks the scan itself. Right choice for selective predicates.
+    - ``postfilter``: search top-(k*overfetch) UNFILTERED, then apply
+      the predicate and re-rank. One index pass regardless of
+      predicate; may return FEWER than k rows when the filter eats the
+      overfetched shortlist — callers must handle short results (the
+      documented failure mode of every post-filtering vector store).
+      Right choice when the predicate is weak and the index (IVF/HNSW)
+      only supports unfiltered probes.
+
+    Returns ``(query_id, vec_id, dist, rank)``, rank 1..<=k.
+    """
+    if strategy == "prefilter":
+        return brute_force_knn(
+            queries, base.filter(predicate), k=k, metric=metric, **cols
+        )
+    if strategy != "postfilter":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    from pyspark.sql import Window
+
+    wide = brute_force_knn(
+        queries, base, k=k * overfetch, metric=metric, **cols
+    )
+    base_id = cols.get("base_id", "vec_id")
+    keep = base.filter(predicate).select(base_id)
+    w = Window.partitionBy("query_id").orderBy("dist", base_id)
+    return (
+        wide.drop("rank")
+        .join(keep, base_id)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def recall_at_k(
+    result: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    item_id: str = "vec_id",
+) -> DataFrame:
+    """Recall@k per query: |result∩truth| / |truth| over each query's
+    top-k lists — the evaluation the reference runs in its notebook
+    (py/hnsw.ipynb cell-6) as a first-class relational operator. Both
+    inputs are (query_id, item_id[, rank<=k]) top-k lists; extra rows
+    beyond rank k are ignored when a rank column is present.
+
+    One inner join on (query_id, item_id) + two keyed aggs — evaluation
+    of a billion-query sweep is itself just a join, no driver loops.
+    """
+    def cut(df: DataFrame) -> DataFrame:
+        if "rank" in df.columns:
+            df = df.filter(F.col("rank") <= k)
+        return df.select(query_id, item_id)
+
+    r, t = cut(result), cut(truth)
+    denom = t.groupBy(query_id).agg(F.count(F.lit(1)).alias("_n"))
+    hits = (
+        t.join(r, [query_id, item_id])
+        .groupBy(query_id)
+        .agg(F.count(F.lit(1)).alias("_hit"))
+    )
+    return denom.join(hits, query_id, "left").select(
+        query_id,
+        (
+            F.coalesce(F.col("_hit"), F.lit(0)).cast("double") / F.col("_n")
+        ).alias("recall"),
+    )

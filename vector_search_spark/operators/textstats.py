@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from vector_search_spark.functions import texts as T
 
 __all__ = [
+    "unigram_logprob",
     "STOPWORDS",
     "BPE_TOKEN_RE",
     "language_id",
@@ -398,4 +399,46 @@ def winnow_fingerprints(
         .filter(F.col("pos") <= F.greatest(F.col("_n") - window, F.lit(0)))
         .select(id_col, "fingerprint")
         .distinct()
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-relative unigram log-probability score per document — the
+    cheap stand-in for the CCNet/Gopher LM-perplexity quality filter:
+    documents of rare tokens score low (surprising), documents of
+    corpus-typical tokens score high. Zero model state: the "LM" is the
+    corpus's own unigram distribution, estimated in the same job.
+
+    Two aggregation passes, both plain shuffles:
+    1. token -> count over the corpus (partial-agg'd map-side);
+    2. explode tokens, join token probabilities (a shuffle equi-join on
+       the token key — vocab-sized, not corpus-sized, and AQE turns it
+       into a broadcast when the vocab is small), mean log p per doc.
+
+    Every token is in-corpus by construction, so no smoothing is needed
+    (probabilities are never zero).
+
+    Returns ``(id_col, n_toks int, avg_logprob double)``.
+    """
+    from vector_search_spark.functions import texts as T
+
+    toks = docs.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()
+    probs = vocab.select(
+        "t", (F.col("cnt").cast("double") / F.lit(float(total))).alias("p")
+    )
+    return (
+        toks.join(probs, "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_toks"),
+            F.avg(F.log("p")).alias("avg_logprob"),
+        )
     )

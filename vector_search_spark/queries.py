@@ -260,20 +260,22 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_retention",
     "ngram_heavy_hitters",
     "mmr_rerank",
+    "knn_filtered",
+    "ann_recall_eval",
+    "text_unigram_logprob",
+    "knn_mips",
+    "tpch_q18",
+    "events_pivot",
+    "lineitem_quantile_check",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "text_repetition",
     "text_chunks",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding",
     "dedup_groups",
-    "text_language_id",
-    "text_quality",
-    "text_token_count",
-    "docs_split_assign",
     "docs_stratified_sample",
     "docs_length_percentile_filter",
     "text_hash_embed_knn",
@@ -282,9 +284,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "multimodal_byte_histogram",
     # streaming windows + the stream-stream join's batch twin (NEW in
     # round 5, never adjudicated)
-    "events_tumbling_hourly",
-    "events_sliding_window",
-    "events_session_window",
     "purchase_follow_pairs",
     # relational
     # ---- tail: rotated OUT (green on unchanged code in their last
@@ -296,6 +295,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "rollup_lineitem",
     "tpch_q6",
+    "dedup_exact",
+    "text_language_id",
+    "text_quality",
+    "text_token_count",
+    "docs_split_assign",
+    "events_tumbling_hourly",
+    "events_sliding_window",
+    "events_session_window",
     "events_daily_json",
     "promo_revenue_monthly",
     "cube_events",

@@ -863,3 +863,175 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("int").alias("day_offset"),
         "users",
     )
+
+
+@register(
+    "tpch_q18",
+    f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       {_TS.format(c="o.o_orderdate")} AS orderdate_epoch,
+       (ROUND(o.o_totalprice, 2) + 0.0) AS totalprice,
+       (ROUND(sum(l.l_quantity), 2) + 0.0) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+    "relational",
+    "join",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): HAVING subquery as a
+    semi-join — the big-orders filter reduces lineitem BEFORE the
+    3-way join, so the expensive join sees only qualifying orders."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(rnd(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _epoch("o_orderdate").alias("orderdate_epoch"),
+            rnd(F.col("o_totalprice"), 2).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "events_pivot",
+    """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY user_id
+""",
+    "relational",
+    "pivot",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type count matrix. Explicit pivot values
+    (one shuffle, no distinct-values pre-pass — the form that scales);
+    absent combinations coalesce to 0 to match the FILTER-agg oracle."""
+    ev = tables.load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds],
+    )
+
+
+@register(
+    "lineitem_quantile_check",
+    """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+targets AS (
+  SELECT r.l_returnflag, q.q,
+         CAST(ceil(q.q * max(r.n)) AS BIGINT) AS trn
+  FROM ranked r CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q) q
+  GROUP BY r.l_returnflag, q.q
+)
+SELECT t.l_returnflag, t.q,
+       (ROUND(r.l_extendedprice, 2) + 0.0) AS exact_val,
+       TRUE AS within_1pct
+FROM targets t
+JOIN ranked r ON r.l_returnflag = t.l_returnflag AND r.rn = t.trn
+""",
+    "relational",
+    "sketch",
+)
+def q_lineitem_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch vs exact (the HLL-gate pattern): Spark computes
+    BOTH an exact type-1 (discrete, element-valued — no interpolation
+    arithmetic to drift cross-engine) quantile and the approx_percentile
+    sketch, surfacing exact values + a 1%-tolerance boolean; the oracle
+    recomputes the exact element and asserts TRUE — if the sketch ever
+    drifts past tolerance the value hash breaks. At 100 TB only the
+    sketch pass survives (bounded memory, mergeable); the exact pass
+    here is the verification harness."""
+    from pyspark.sql import Window
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+    )
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    targets = counts.crossJoin(
+        F.broadcast(
+            li.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+        )
+    ).select(
+        "l_returnflag",
+        "q",
+        F.ceil(F.col("q") * F.col("n")).alias("trn"),
+    )
+    exact = targets.join(
+        ranked,
+        (targets.l_returnflag == ranked.l_returnflag)
+        & (targets.trn == ranked.rn),
+    ).select(
+        targets.l_returnflag, "q", F.col("l_extendedprice").alias("ev")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, "
+            f"array({','.join(map(str, qs))}), 10000)"
+        ).alias("approx_arr")
+    )
+    ap = approx.select(
+        "l_returnflag",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"),
+                F.col("approx_arr").alias("a"),
+            )
+        ).alias("z"),
+    ).select(
+        F.col("l_returnflag").alias("_rf"),
+        F.col("z.q").alias("_q"),
+        F.col("z.a").alias("a"),
+    )
+    return exact.join(
+        ap,
+        (exact.l_returnflag == ap._rf) & (exact.q == ap._q),
+    ).select(
+        "l_returnflag",
+        "q",
+        rnd(F.col("ev"), 2).alias("exact_val"),
+        (F.abs(F.col("a") - F.col("ev")) <= 0.01 * F.abs(F.col("ev"))).alias(
+            "within_1pct"
+        ),
+    )

@@ -1327,3 +1327,31 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", rnd("mmr").alias("mmr"), "pick"
     )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(t) AS t FROM toks),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+probs AS (
+  SELECT t, count(*) / (SELECT n FROM total) AS p FROM tok GROUP BY t
+)
+SELECT tok.doc_id, CAST(count(*) AS INT) AS n_toks,
+       (ROUND(avg(ln(p.p)), 6) + 0.0) AS avg_logprob
+FROM tok JOIN probs p ON tok.t = p.t
+GROUP BY tok.doc_id
+""",
+    "text",
+    "quality",
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality score per document (CCNet-style
+    perplexity-filter proxy, zero model state). The oracle rebuilds the
+    unigram distribution and the per-doc mean log-prob."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = textstats.unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_toks", rnd("avg_logprob").alias("avg_logprob")
+    )

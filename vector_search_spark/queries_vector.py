@@ -24,6 +24,7 @@ from vector_search_spark.operators import ivf, kmeans, pq
 from vector_search_spark.queries import KNN_K, KNN_QUERIES, register, rnd
 
 _L2 = "list_sum(list_transform(range(1, len({a})+1), j -> ({a}[j]-{b}[j])^2))"
+_DOT_SQL2 = "list_sum(list_transform(range(1, len({a})+1), j -> {a}[j]*{b}[j]))"
 
 KM_K = 8
 KM_ITERS = 3
@@ -1238,4 +1239,155 @@ def q_bq_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "vec_id", "hamming", rnd("dist").alias("dist"), "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# Filtered ANN + retrieval evaluation (operators/knn.py)
+# --------------------------------------------------------------------------
+
+FILT_QUERIES = 50
+FILT_LABEL = 2
+
+
+@register(
+    "knn_filtered",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {FILT_QUERIES}
+), b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings
+  WHERE label = {FILT_LABEL}
+), s AS (
+  SELECT q.query_id, b.vec_id, {_L2.format(a="q.qv", b="b.bv")} AS d
+  FROM b CROSS JOIN q
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM s
+QUALIFY "rank" <= {KNN_K}
+""",
+    "vector",
+    "filtered",
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search (pre-filter strategy): the predicate is
+    pushed into the base scan before scoring, so Catalyst pushes it to
+    the parquet reader and the search touches only matching rows. The
+    post-filter strategy (+ its may-undersupply semantics) is
+    pytest-gated in tests/test_knn.py."""
+    from vector_search_spark.operators import knn as _knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < FILT_QUERIES)
+    out = _knn.filtered_knn(
+        queries, emb, F.col("label") == FILT_LABEL, k=KNN_K
+    )
+    return out.select(
+        "query_id", "vec_id", rnd("dist").alias("dist"), "rank"
+    )
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_BQ_WORDS_SQL},
+qw AS (
+  SELECT vec_id AS query_id, bits FROM words WHERE vec_id < {BQ_QUERIES}
+),
+ham AS (
+  SELECT q.query_id, b.vec_id,
+         CAST(list_sum(list_transform(range(1, {BQ_WORDS}+1), j ->
+           bit_count(xor(q.bits[j], b.bits[j])))) AS INTEGER) AS hamming
+  FROM words b CROSS JOIN qw q
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, vec_id) AS r
+    FROM ham)
+  WHERE r <= {KNN_K}
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < {BQ_QUERIES}
+),
+s AS (
+  SELECT q.query_id, b.vec_id, {_L2.format(a="q.qv", b="b.v")} AS d
+  FROM pts b CROSS JOIN q
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS r
+    FROM s)
+  WHERE r <= {KNN_K}
+)
+SELECT t.query_id,
+       (CAST(count(a.vec_id) AS DOUBLE) / {KNN_K}) AS recall
+FROM truth t
+LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+GROUP BY t.query_id
+""",
+    "vector",
+    "eval",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the raw binary-quantized (Hamming-ranked, no
+    re-rank) search against exact ground truth, per query — the
+    reference's notebook evaluation (py/hnsw.ipynb cell-6) as a
+    relational operator. Both rankings are deterministic, so the
+    oracle reproduces every per-query recall exactly."""
+    from vector_search_spark.operators import bq
+    from vector_search_spark.operators import knn as _knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BQ_QUERIES)
+    qb = bq.encode_bits(
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        BQ_DIM,
+    )
+    bb = bq.encode_bits(emb.select("vec_id", "embedding"), BQ_DIM)
+    approx = bq.hamming_topk(qb, bb, BQ_WORDS, KNN_K)
+    truth = _knn.brute_force_knn(queries, emb, k=KNN_K)
+    return _knn.recall_at_k(approx, truth, k=KNN_K)
+
+
+@register(
+    "knn_mips",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {FILT_QUERIES}
+), b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings
+), s AS (
+  SELECT q.query_id, b.vec_id, {_DOT_SQL2.format(a="q.qv", b="b.bv")} AS sc
+  FROM b CROSS JOIN q
+)
+SELECT query_id, vec_id, (ROUND(sc, 6) + 0.0) AS score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, vec_id) AS INTEGER) AS "rank"
+FROM s
+QUALIFY "rank" <= {KNN_K}
+""",
+    "vector",
+    "mips",
+)
+def q_knn_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (the retrieval objective of
+    dot-product-trained embedding models): top-10 by inner product via
+    the shared kNN machinery with the negated-dot ordering key
+    (distance.METRICS['dot'] — smaller == closer)."""
+    from vector_search_spark.operators import knn as _knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < FILT_QUERIES)
+    out = _knn.brute_force_knn(queries, emb, k=KNN_K, metric="dot")
+    return out.select(
+        "query_id",
+        "vec_id",
+        rnd(-F.col("dist")).alias("score"),
+        "rank",
     )
