@@ -288,6 +288,6 @@ def test_recall_at_k_hand_case(spark):
     )
     got = {
         r.query_id: r.recall
-        for r in knn.recall_at_k(result, truth, k=2).collect()
+        for r in knn.recall_per_query(result, truth, k=2).collect()
     }
     assert got == {0: 0.5, 1: 0.0}

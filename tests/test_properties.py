@@ -256,3 +256,88 @@ def test_topk_invariants_random_data(session, seed, n, k):
         dists = [r.dist for r in rows]
         assert dists == sorted(dists)
         assert rows[0].vec_id == q and rows[0].dist == 0.0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(2, 24))
+def test_bq_packing_and_hamming_match_numpy_model(session, seed, n):
+    """Packed words and Hamming distances must equal the independent
+    numpy bit model for random vectors (incl. exact zeros, which must
+    NOT set bits: strict > 0)."""
+    import numpy as np
+
+    from vector_search_spark.operators import bq
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, 64))
+    X[rng.random((n, 64)) < 0.1] = 0.0  # sprinkle exact zeros
+    df = session.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: list(r.bits)
+        for r in bq.encode_bits(df, dim=64).collect()
+    }
+    # float32 storage can flip signs of tiny values -> model on float32
+    B = (X.astype(np.float32) > 0).astype(np.uint64)
+    pow2 = 1 << np.arange(32, dtype=np.uint64)
+    words = np.stack(
+        [(B[:, :32] * pow2).sum(axis=1), (B[:, 32:] * pow2).sum(axis=1)],
+        axis=1,
+    )
+    for i in range(n):
+        assert got[i] == [int(words[i, 0]), int(words[i, 1])]
+    # Hamming via the operator == popcount of the numpy model
+    qb = bq.encode_bits(df, dim=64).select(
+        df.vec_id.alias("query_id").cast("long").alias("query_id"), "bits"
+    )
+    ham = {
+        (r.query_id, r.vec_id): r.hamming
+        for r in bq.hamming_topk(
+            qb, bq.encode_bits(df, dim=64), n_words=2, k=n
+        ).collect()
+    }
+    for i in range(n):
+        for j in range(n):
+            expect = int(
+                bin(int(words[i, 0]) ^ int(words[j, 0])).count("1")
+                + bin(int(words[i, 1]) ^ int(words[j, 1])).count("1")
+            )
+            assert ham[(i, j)] == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    keys=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=40),
+)
+def test_cms_guarantee_random_streams(session, keys, seed):
+    """For ANY multiset, every estimate >= its true count (the CMS
+    one-sided guarantee) — with a deliberately tiny width so collisions
+    actually occur and the inequality is non-trivial."""
+    from collections import Counter
+
+    from vector_search_spark.operators import sketch as cms
+
+    items = session.createDataFrame([(k,) for k in keys], "g string")
+    sk = cms.cms_build(items, "g", depth=2, width=4)
+    probes = session.createDataFrame(
+        [(k,) for k in set(keys)], "g string"
+    )
+    est = {
+        r.g: r.cms_est
+        for r in cms.cms_estimate(sk, probes, "g", depth=2, width=4).collect()
+    }
+    truth = Counter(keys)
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)
+        assert est[k] <= len(keys)  # can never exceed the stream size

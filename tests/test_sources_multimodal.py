@@ -235,3 +235,41 @@ def test_ivf_index_round_trip_prunes(spark, emb, tmp_path):
     got = one.count()
     want = assigned.filter(F.col("cluster_id") == 3).count()
     assert got == want
+
+
+# --- JSONL corpus source (sources/jsonl.py) -------------------------------
+
+
+def test_jsonl_corpus_good_bad_and_missing_field(spark, tmp_path):
+    from vector_search_spark.sources import jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "a", "meta": {"k": "v"}}\n'
+        '{"doc_id": 2, "text": "zweite zeile", "lang": "de", "source": "b"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 3, "lang": "en"}\n'  # parses but text missing
+    )
+    good, bad = jsonl.read_jsonl_corpus(spark, str(p))
+    rows = {r.doc_id: r for r in good.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].meta == {"k": "v"} and rows[2].meta is None
+    badlines = [r.raw_line for r in bad.collect()]
+    assert len(badlines) == 2
+    assert any("not json" in b for b in badlines)
+    assert any('"doc_id":3' in b.replace(" ", "") for b in badlines)
+
+
+def test_jsonl_to_parquet_roundtrip_and_quarantine(spark, tmp_path):
+    from vector_search_spark.sources import jsonl
+
+    src = tmp_path / "c.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "a"}\n{"doc_id": 2, "text": "b"}\nBROKEN\n'
+    )
+    dst = str(tmp_path / "c.parquet")
+    n = jsonl.jsonl_to_parquet(spark, str(src), dst)
+    assert n == 2
+    assert spark.read.parquet(dst).count() == 2
+    q = spark.read.parquet(dst + "_quarantine")
+    assert q.count() == 1 and "BROKEN" in q.collect()[0].raw_line

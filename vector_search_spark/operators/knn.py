@@ -467,7 +467,7 @@ def filtered_knn(
     )
 
 
-def recall_at_k(
+def recall_per_query(
     result: DataFrame,
     truth: DataFrame,
     k: int,

@@ -267,6 +267,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q18",
     "events_pivot",
     "lineitem_quantile_check",
+    "corpus_pipeline_funnel",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "text_repetition",
@@ -276,7 +277,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding",
     "dedup_groups",
-    "docs_stratified_sample",
     "docs_length_percentile_filter",
     "text_hash_embed_knn",
     # multimodal
@@ -295,6 +295,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "rollup_lineitem",
     "tpch_q6",
+    "docs_stratified_sample",
     "dedup_exact",
     "text_language_id",
     "text_quality",

@@ -1355,3 +1355,90 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_toks", rnd("avg_logprob").alias("avg_logprob")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus pipeline funnel — one query composing the filter,
+# dedup, and split stages a training-data build actually runs
+# --------------------------------------------------------------------------
+
+PIPE_MIN_CHARS = 60
+PIPE_MAX_CHARS = 450
+
+
+@register(
+    "corpus_pipeline_funnel",
+    f"""
+WITH s1 AS (SELECT doc_id, text, lang, n_chars FROM documents),
+s2 AS (
+  SELECT * FROM s1 WHERE n_chars BETWEEN {PIPE_MIN_CHARS} AND {PIPE_MAX_CHARS}
+),
+s3 AS (SELECT * FROM s2 WHERE lang = 'en'),
+s4 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             PARTITION BY md5({T.sql_norm_text('text')})
+             ORDER BY doc_id) AS r
+    FROM s3)
+  WHERE r = 1
+),
+s5 AS (
+  SELECT doc_id FROM s4
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 < 80
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'ingested' AS name, CAST((SELECT count(*) FROM s1) AS BIGINT) AS docs
+  UNION ALL SELECT 2, 'length_window', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'lang_en', (SELECT count(*) FROM s3)
+  UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM s4)
+  UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM s5)
+)
+""",
+    "text",
+    "pipeline",
+)
+def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data build as ONE declarative plan: ingest ->
+    length window -> language filter -> exact-dedup canonicalization ->
+    train-split, surfacing surviving-document counts per stage (the
+    corpus analog of events_funnel). Composing the stages in a single
+    query is the point: Catalyst sees the full pipeline, so the length
+    and language predicates push into the one parquet scan shared by
+    every stage count, and nothing materializes between stages. The
+    oracle replays all five stages."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    s2 = docs.filter(
+        F.col("n_chars").between(PIPE_MIN_CHARS, PIPE_MAX_CHARS)
+    )
+    s3 = s2.filter(F.col("lang") == "en")
+    s4 = (
+        dedup.exact_dedup(s3.select("doc_id", "text"))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    s5 = s4.filter(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 100
+        < 80
+    )
+
+    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("docs"),
+        )
+
+    return (
+        stage(1, "ingested", docs)
+        .unionAll(stage(2, "length_window", s2))
+        .unionAll(stage(3, "lang_en", s3))
+        .unionAll(stage(4, "exact_dedup", s4))
+        .unionAll(stage(5, "train_split", s5))
+    )

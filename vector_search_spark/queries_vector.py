@@ -1352,7 +1352,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bb = bq.encode_bits(emb.select("vec_id", "embedding"), BQ_DIM)
     approx = bq.hamming_topk(qb, bb, BQ_WORDS, KNN_K)
     truth = _knn.brute_force_knn(queries, emb, k=KNN_K)
-    return _knn.recall_at_k(approx, truth, k=KNN_K)
+    return _knn.recall_per_query(approx, truth, k=KNN_K)
 
 
 @register(
