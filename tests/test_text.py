@@ -613,3 +613,50 @@ def test_unigram_logprob_rare_tokens_score_lower(spark):
     assert out[1][1] < out[0][1]  # rare-token doc is more surprising
     expect1 = (3 * math.log(7 / 8) + math.log(1 / 8)) / 4
     assert abs(out[1][1] - expect1) < 1e-9
+
+
+def test_incremental_lsh_only_cross_pairs_and_matches_full(spark):
+    from vector_search_spark import tables as tb
+    from vector_search_spark.operators import dedup
+
+    docs = tb.load(spark, "/root/testdata/sf0.001", "documents")
+    split = 400
+    new = docs.filter(F.col("doc_id") >= split)
+    old = docs.filter(F.col("doc_id") < split)
+    inc = dedup.incremental_lsh_pairs(
+        new, old, shingle_n=3, num_perms=12, rows_per_band=3, threshold=0.5
+    ).collect()
+    assert inc  # the fixture corpus has cross-split near-dups
+    assert all(r.new_id >= split > r.corpus_id for r in inc)
+    # must equal the full-pipeline pairs restricted to the crossing set
+    full = dedup.minhash_lsh_pairs(
+        docs, shingle_n=3, num_perms=12, rows_per_band=3, threshold=0.5
+    ).collect()
+    want = {
+        (r.b, r.a, round(r.jaccard, 9))
+        for r in full
+        if r.a < split <= r.b
+    }
+    got = {(r.new_id, r.corpus_id, round(r.jaccard, 9)) for r in inc}
+    assert got == want
+
+
+def test_incremental_lsh_shared_equals_two_source(spark):
+    from vector_search_spark import tables as tb
+    from vector_search_spark.operators import dedup
+
+    docs = tb.load(spark, "/root/testdata/sf0.001", "documents")
+    split = 400
+    two = dedup.incremental_lsh_pairs(
+        docs.filter(F.col("doc_id") >= split),
+        docs.filter(F.col("doc_id") < split),
+        shingle_n=3, num_perms=12, rows_per_band=3, threshold=0.5,
+    ).collect()
+    one = dedup.incremental_lsh_pairs_shared(
+        docs, F.col("doc_id") >= split,
+        shingle_n=3, num_perms=12, rows_per_band=3, threshold=0.5,
+    ).collect()
+    key = lambda rows: sorted(
+        (r.new_id, r.corpus_id, round(r.jaccard, 9)) for r in rows
+    )
+    assert key(one) == key(two) and one

@@ -46,6 +46,8 @@ __all__ = [
     "simhash_near_dup",
     "embedding_near_dup",
     "semantic_dedup",
+    "incremental_lsh_pairs",
+    "incremental_lsh_pairs_shared",
 ]
 
 
@@ -871,4 +873,112 @@ def semantic_dedup(
 
     return with_vec.groupBy("cluster_id").applyInPandas(
         per_cluster, f"{id_col} long, cluster_id int, kept boolean"
+    )
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    shingle_n: int,
+    num_perms: int,
+    rows_per_band: int,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest near-dedup: candidate pairs between a NEW
+    batch and the EXISTING corpus only (never corpus x corpus — that
+    work was already paid when the corpus was built; re-doing it every
+    ingest is the classic accidental-quadratic pipeline).
+
+    Same MinHash+LSH machinery as minhash_lsh_pairs, but the band-bucket
+    join is new x old: the new batch's buckets (small) broadcast into
+    the corpus bucket table, so each ingest costs
+    O(|batch| + matching buckets), independent of corpus size. Exact
+    Jaccard verify on the union of both shingle tables.
+
+    Returns (new_id, corpus_id, jaccard) with jaccard >= threshold.
+    """
+    sh_new = shingle_table(new_docs, shingle_n, text_col, id_col)
+    sh_old = shingle_table(corpus, shingle_n, text_col, id_col)
+    b_new = lsh_buckets_wide(
+        minhash_signatures_wide(sh_new, num_perms, id_col),
+        rows_per_band,
+        num_perms,
+        id_col,
+    ).select(F.col(id_col).alias("new_id"), "band", "key")
+    b_old = lsh_buckets_wide(
+        minhash_signatures_wide(sh_old, num_perms, id_col),
+        rows_per_band,
+        num_perms,
+        id_col,
+    ).select(F.col(id_col).alias("corpus_id"), "band", "key")
+    cand = (
+        b_old.join(F.broadcast(b_new), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sh_all = sh_new.unionByName(sh_old)
+    verified = pair_jaccard(
+        cand.select(
+            F.col("new_id").alias("a"), F.col("corpus_id").alias("b")
+        ),
+        sh_all,
+        id_col,
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        F.col("a").alias("new_id"),
+        F.col("b").alias("corpus_id"),
+        "jaccard",
+    )
+
+
+def incremental_lsh_pairs_shared(
+    docs: DataFrame,
+    is_new,
+    shingle_n: int,
+    num_perms: int,
+    rows_per_band: int,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`incremental_lsh_pairs` for the common case where batch and
+    corpus live in ONE table split by a predicate (``is_new``: boolean
+    Column over docs). Shingles and signatures are computed in a single
+    scan+agg whose shuffle exchange both split branches reuse
+    (ReuseExchange) — the two-source form pays that pass twice when the
+    sides share a source. In production the corpus-side buckets are a
+    persisted artifact; this is the one-job cold form.
+    """
+    flagged = docs.withColumn("_new", is_new)
+    sh = shingle_table(flagged, shingle_n, text_col, id_col)
+    buckets = lsh_buckets_wide(
+        minhash_signatures_wide(sh, num_perms, id_col),
+        rows_per_band,
+        num_perms,
+        id_col,
+    ).join(flagged.select(id_col, "_new"), id_col)
+    b_new = buckets.filter(F.col("_new")).select(
+        F.col(id_col).alias("new_id"), "band", "key"
+    )
+    b_old = buckets.filter(~F.col("_new")).select(
+        F.col(id_col).alias("corpus_id"), "band", "key"
+    )
+    cand = (
+        b_old.join(F.broadcast(b_new), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    verified = pair_jaccard(
+        cand.select(
+            F.col("new_id").alias("a"), F.col("corpus_id").alias("b")
+        ),
+        sh,
+        id_col,
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        F.col("a").alias("new_id"),
+        F.col("b").alias("corpus_id"),
+        "jaccard",
     )

@@ -268,14 +268,15 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_pivot",
     "lineitem_quantile_check",
     "corpus_pipeline_funnel",
+    "dedup_incremental",
+    "knn_quota",
+    "events_hourly_zscore",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "text_repetition",
     "text_chunks",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dedup_embedding",
     "dedup_groups",
     "docs_length_percentile_filter",
     "text_hash_embed_knn",
@@ -295,6 +296,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "rollup_lineitem",
     "tpch_q6",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
     "docs_stratified_sample",
     "dedup_exact",
     "text_language_id",

@@ -1035,3 +1035,60 @@ def q_lineitem_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_1pct"
         ),
     )
+
+
+@register(
+    "events_hourly_zscore",
+    f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY date_trunc('hour', ts)
+),
+stats AS (
+  SELECT h, cnt,
+         avg(cnt) OVER w AS mu,
+         stddev_pop(cnt) OVER w AS sd,
+         count(*) OVER w AS nprev
+  FROM hourly
+  WINDOW w AS (ORDER BY h ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT {_TS.format(c="h")} AS hour_epoch, cnt,
+       (ROUND(mu, 4) + 0.0) AS trailing_mean,
+       (ROUND(CASE WHEN sd > 0 THEN (cnt - mu) / sd ELSE 0.0 END, 4) + 0.0)
+         AS zscore
+FROM stats WHERE nprev = 6
+""",
+    "relational",
+    "window",
+)
+def q_events_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly scoring with an explicit frame spec: each hour's event
+    count z-scored against the TRAILING 6 hours (ROWS BETWEEN 6
+    PRECEDING AND 1 PRECEDING — the current row never contaminates its
+    own baseline). Rows without a full 6-hour history are dropped on
+    both engines. One agg + one ordered window; at scale the window
+    partitions by stream/tenant key (here: the single global series)."""
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("h").rowsBetween(-6, -1)
+    stats = hourly.select(
+        "h",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_pop("cnt").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("nprev"),
+    ).filter(F.col("nprev") == 6)
+    return stats.select(
+        _epoch("h").alias("hour_epoch"),
+        "cnt",
+        rnd(F.col("mu"), 4).alias("trailing_mean"),
+        rnd(
+            F.when(F.col("sd") > 0, (F.col("cnt") - F.col("mu")) / F.col("sd"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("zscore"),
+    )

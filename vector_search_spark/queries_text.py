@@ -1442,3 +1442,43 @@ def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(4, "exact_dedup", s4))
         .unionAll(stage(5, "train_split", s5))
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental-ingest near-dedup: new batch vs existing corpus only
+# --------------------------------------------------------------------------
+
+INC_SPLIT = 400  # doc_id >= INC_SPLIT plays the "newly ingested" batch
+
+
+@register(
+    "dedup_incremental",
+    f"""
+WITH {_MH_PIPE}
+SELECT b AS new_id, a AS corpus_id, (ROUND(j, 6) + 0.0) AS jaccard
+FROM jac
+WHERE j >= {MH_TAU} AND a < {INC_SPLIT} AND b >= {INC_SPLIT}
+""",
+    "text",
+    "dedup",
+    "lsh",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: MinHash+LSH candidates restricted to
+    (new batch x existing corpus) — never corpus x corpus, so each
+    ingest costs O(|batch| + matching buckets) regardless of corpus
+    size. Oracle = the full LSH pipeline filtered to cross-split pairs
+    (per-doc signatures are identical either way, so the incremental
+    path must reproduce exactly the crossing subset)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = dedup.incremental_lsh_pairs_shared(
+        docs,
+        F.col("doc_id") >= INC_SPLIT,
+        shingle_n=MH_N,
+        num_perms=MH_PERMS,
+        rows_per_band=MH_ROWS,
+        threshold=MH_TAU,
+    )
+    return out.select(
+        "new_id", "corpus_id", rnd("jaccard").alias("jaccard")
+    )

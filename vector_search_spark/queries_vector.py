@@ -1391,3 +1391,62 @@ def q_knn_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(-F.col("dist")).alias("score"),
         "rank",
     )
+
+
+QUOTA_PER_LABEL = 2
+
+
+@register(
+    "knn_quota",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {BQ_QUERIES}
+), b AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS bv FROM embeddings
+), s AS (
+  SELECT q.query_id, b.vec_id, b.label, {_L2.format(a="q.qv", b="b.bv")} AS d
+  FROM b CROSS JOIN q
+), lab AS (
+  SELECT query_id, vec_id, label, d,
+         row_number() OVER (PARTITION BY query_id, label
+                            ORDER BY d, vec_id) AS lr
+  FROM s QUALIFY lr <= {QUOTA_PER_LABEL}
+)
+SELECT query_id, vec_id, CAST(label AS INT) AS label,
+       (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM lab
+QUALIFY "rank" <= {KNN_K}
+""",
+    "vector",
+    "quota",
+)
+def q_knn_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-diversified retrieval: at most 2 results per label in each
+    query's top-10 (the per-source cap every mixed-corpus serving stack
+    applies). Two stacked windows: rank within (query,label) <= quota,
+    then global rank by distance — no per-row state, no UDF."""
+    from pyspark.sql import Window
+
+    from vector_search_spark.operators import knn as _knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BQ_QUERIES)
+    scored = _knn.score_pairs(queries, emb)
+    scored = scored.join(emb.select("vec_id", "label"), "vec_id")
+    wl = Window.partitionBy("query_id", "label").orderBy("dist", "vec_id")
+    wg = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= QUOTA_PER_LABEL)
+        .withColumn("rank", F.row_number().over(wg))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            rnd("dist").alias("dist"),
+            "rank",
+        )
+    )
