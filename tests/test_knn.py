@@ -267,16 +267,6 @@ def test_filtered_postfilter_may_undersupply(spark):
     } <= pre_rows  # survivors agree with the exact filtered ranking
 
 
-def test_filtered_prefilter_predicate_reaches_scan(spark):
-    from vector_search_spark import plans
-
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") < 5)
-    out = knn.filtered_knn(q, emb, F.col("label") == 2, k=5)
-    pushed = plans.pushed_filters(out)
-    assert any("label" in p for p in pushed), f"no pushdown: {pushed}"
-
-
 def test_recall_at_k_hand_case(spark):
     truth = spark.createDataFrame(
         [(0, 1), (0, 2), (1, 5), (1, 6)],

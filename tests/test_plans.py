@@ -248,3 +248,50 @@ def test_bm25_tf_agg_is_partial(spark):
     # partial agg = an aggregate below the first exchange
     assert plan.index("HashAggregate") < plan.index("Exchange") or \
         plan.count("HashAggregate") >= 2
+
+
+def test_bq_encode_is_pure_catalyst_no_python(spark):
+    """Sign-bit packing must stay JVM-side: no Arrow/Python exchange of
+    any kind in the plan (unlike the gemm paths, which are mapInPandas
+    by design)."""
+    from vector_search_spark.operators import bq
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    plan = plans.formatted_plan(bq.encode_bits(emb, dim=64))
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in plan, marker
+
+
+def test_events_pivot_single_shuffle(spark):
+    """Explicit pivot values -> one hash aggregate exchange, no
+    distinct-values pre-pass job."""
+    from vector_search_spark.queries import get_catalog
+
+    df = get_catalog()["events_pivot"].fn(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert plan.count("Exchange") <= 2  # partial/final agg pair at most
+
+
+def test_cms_build_has_mapside_partial_agg(spark):
+    """The sketch build must partial-aggregate before its shuffle —
+    that's what keeps the shuffle sketch-sized, not data-sized."""
+    from vector_search_spark.operators import sketch as cms
+
+    docs = tables.load(spark, SF_ORACLE, "documents")
+    sk = cms.cms_build(docs.select(F.col("text").alias("g")), "g")
+    plan = plans.formatted_plan(sk)
+    # two HashAggregates (partial + final) around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_filtered_knn_prefilter_predicate_reaches_scan(spark):
+    """filtered_knn(strategy='prefilter') must push the metadata
+    predicate into the parquet scan (the whole point of prefiltering).
+    Lives here for the autouse cache-clear: a cached embeddings table
+    would hide PushedFilters behind InMemoryTableScan."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = knn.filtered_knn(q, emb, F.col("label") == 2, k=5)
+    pushed = plans.pushed_filters(out)
+    assert any("label" in p for p in pushed), f"no pushdown: {pushed}"

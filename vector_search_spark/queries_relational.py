@@ -932,15 +932,19 @@ FROM events GROUP BY user_id
     "pivot",
 )
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT: per-user event-type count matrix. Explicit pivot values
-    (one shuffle, no distinct-values pre-pass — the form that scales);
-    absent combinations coalesce to 0 to match the FILTER-agg oracle."""
+    """PIVOT: per-user event-type count matrix, written as conditional
+    aggregation — the one-shuffle plan. (DataFrame ``.pivot()`` even
+    with explicit values compiles to TWO stacked aggregates/shuffles:
+    groupBy(user,type) then pivotfirst(user); the count-when form is
+    its scale-honest equivalent and is pinned to one Exchange in
+    tests/test_plans.py.)"""
     ev = tables.load(spark, sf_dir, "events")
     kinds = ["click", "error", "purchase", "signup", "view"]
-    out = ev.groupBy("user_id").pivot("event_type", kinds).count()
-    return out.select(
-        "user_id",
-        *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds],
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == k, 1)).alias(k)
+            for k in kinds
+        ]
     )
 
 
