@@ -327,3 +327,52 @@ def test_streaming_cms_sketch_equals_batch(spark, events_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_streaming_upsert_folds_batches_into_index(spark, tmp_path):
+    """Stream two micro-batches of vector upserts into an on-disk IVF
+    index; the final index must equal a batch rebuild on the merged
+    logical set (replaced id rewritten, new ids appended)."""
+    import numpy as np
+
+    from vector_search_spark.operators import ivf
+    from vector_search_spark.streaming import index_refresh as ir
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings").limit(100)
+    cents = np.array([[0.0] * 64, [0.5] * 64])
+    path = str(tmp_path / "live_index")
+    ivf.write_index(ivf.assign_clusters(emb, cents), path)
+
+    # two files -> two micro-batches (file source, availableNow)
+    v = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    src = tmp_path / "updates"
+    spark.createDataFrame(
+        [(0, v)], "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(src))
+    spark.createDataFrame(
+        [(5000, v)], "vec_id long, embedding array<float>"
+    ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = ir.streaming_upsert(
+        stream, cents, path, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    after = spark.read.parquet(path)
+    merged = emb.filter(~F.col("vec_id").isin(0, 5000)).select(
+        "vec_id", "embedding"
+    ).unionByName(
+        spark.createDataFrame(
+            [(0, v), (5000, v)], "vec_id long, embedding array<float>"
+        )
+    )
+    expect = ivf.assign_clusters(merged, cents)
+    key = lambda df: sorted(
+        (r.vec_id, r.cluster_id) for r in df.select("vec_id", "cluster_id").collect()
+    )
+    assert key(after) == key(expect)
+    assert after.filter(F.col("vec_id") == 0).count() == 1

@@ -22,7 +22,7 @@ import numpy as np
 
 from vector_search_spark.operators import ivf, pq
 
-__all__ = ["incremental_pq_refresh", "encode_batch"]
+__all__ = ["incremental_pq_refresh", "encode_batch", "streaming_upsert"]
 
 
 def encode_batch(
@@ -55,6 +55,40 @@ def incremental_pq_refresh(
             .write.partitionBy("cluster_id")
             .mode("append")
             .parquet(out_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_upsert(
+    stream: DataFrame,
+    centroids: np.ndarray,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Live UPSERT maintenance of a raw-vector IVF index: every
+    micro-batch folds into the on-disk index via ivf.upsert_index —
+    replaced ids are rewritten in place (including cell moves), new ids
+    appended, and only the batch's touched cells are rewritten.
+
+    This is the streaming twin of the reference's per-row Insert for
+    the mutable-id case (append-only ingest should prefer
+    :func:`incremental_pq_refresh`: appends never rewrite). Upsert
+    rewrites whole cells, so micro-batch cadence — not per-row — is
+    what makes it affordable; exactly-once comes from the checkpoint
+    plus the idempotence of upserting the same batch again.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ivf.upsert_index(
+            batch_df.sparkSession, index_path, batch_df, centroids
         )
 
     writer = (
