@@ -237,3 +237,39 @@ def test_upsert_index_empty_batch_is_noop(spark, emb, centroids, tmp_path):
     batch = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert ivf.upsert_index(spark, path, batch, centroids) == []
     assert spark.read.parquet(path).count() == before
+
+
+def test_compact_index_merges_fragmented_cells(spark, emb, centroids, tmp_path):
+    import glob
+    import os
+
+    path = str(tmp_path / "frag_index")
+    base = ivf.assign_clusters(emb, centroids)
+    ivf.write_index(base, path)
+    # fragment one cell with 6 tiny appended batches
+    some = base.limit(6).collect()
+    target_cell = some[0].cluster_id
+    for r in some:
+        spark.createDataFrame(
+            [(int(r.vec_id) + 100_000, target_cell, list(r.embedding))],
+            "vec_id long, cluster_id int, embedding array<double>",
+        ).write.mode("append").partitionBy("cluster_id").parquet(path)
+
+    before = spark.read.parquet(path)
+    before_rows = sorted(
+        (r.vec_id, r.cluster_id) for r in before.select("vec_id", "cluster_id").collect()
+    )
+    frag_dir = os.path.join(path, f"cluster_id={target_cell}")
+    assert len(glob.glob(os.path.join(frag_dir, "part-*"))) > 4
+
+    compacted = ivf.compact_index(spark, path, max_files_per_cell=4)
+    assert target_cell in compacted
+
+    after = spark.read.parquet(path)
+    after_rows = sorted(
+        (r.vec_id, r.cluster_id) for r in after.select("vec_id", "cluster_id").collect()
+    )
+    assert after_rows == before_rows  # content untouched
+    assert len(glob.glob(os.path.join(frag_dir, "part-*"))) == 1
+    # second pass is a no-op
+    assert ivf.compact_index(spark, path, max_files_per_cell=4) == []
