@@ -130,3 +130,48 @@ def test_hnsw_with_trained_compression():
     code = pq.Encode([float(x) for x in pts[0]])
     adc = pq.ComputeAsymmetricDistance([float(x) for x in pts[0]], code)
     assert math.isclose(res[0][0], adc, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_graph_api_matches_reference_semantics():
+    from vector_search_spark.compat import Graph
+
+    g = Graph()
+    assert g.GetHeight() == 0 and g.IsLayerEmpty(0)
+    g.InitLevels(2)                      # layers 0..2 now exist
+    assert g.GetHeight() == 3
+    assert g.IsLayerEmpty(1)             # initialized but empty
+    g.AddEdge(1, 5, 7)
+    g.AddEdge(1, 5, 7)                   # set semantics: no dup
+    g.AddEdge(1, 5, 9)
+    assert g.LayerNodeCnt(1) == 1
+    assert g.LayerNodeAdjCnt(1, 5) == 2
+    assert g.GetNeighbors(1, 5) == {7, 9}
+    assert g.GetNeighbors(1, 99) == set()
+    assert set(g.GetLayerNodes(1)) == {5}
+    g.RemoveEdge(1, 5, 7)
+    assert g.GetNeighbors(1, 5) == {9}
+    g.RemoveEdge(1, 5, 123)              # absent edge: silent no-op
+    assert g.LayerNodeCnt(0) == 0
+
+
+def test_graph_bridges_to_edge_dataframe(spark):
+    from vector_search_spark.compat import Graph
+
+    g = Graph()
+    g.InitLevels(1)
+    g.AddEdge(0, 1, 2)
+    g.AddEdge(1, 2, 3)
+    df = g.to_edges_df(spark)
+    assert sorted(map(tuple, df.collect())) == [(0, 1, 2), (1, 2, 3)]
+    g2 = Graph.from_edges_df(df)
+    assert g2.GetNeighbors(0, 1) == {2} and g2.GetNeighbors(1, 2) == {3}
+    assert g2.GetHeight() == 2
+
+
+def test_item_closure_paths():
+    from vector_search_spark.compat import Item
+
+    search = Item(lambda q, node: float(node) + q[0], q=[10.0])
+    assert search.DistToNode(5) == 15.0
+    insert = Item(lambda idx, node: float(idx * node), q=None, idx_q=3)
+    assert insert.DistToNode(4) == 12.0

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["BruteForce", "ProductQuantizer", "HNSWIndex"]
+__all__ = ["BruteForce", "ProductQuantizer", "HNSWIndex", "Graph", "Item"]
 
 
 def _spark():
@@ -279,3 +279,91 @@ class HNSWIndex:
             (float(r.dist), int(r.vec_id))
             for r in out.orderBy("rank").collect()
         ]
+
+
+class Graph:
+    """Reference py/hnsw.py:9-117: the mutable layered-graph API.
+
+    Internally one flat edge set of (layer, src, dst) triples plus an
+    initialized-height counter — the row form of the engine's edge
+    DataFrame (SURVEY §1: "layers are just a column") rather than the
+    reference's layer->node->set nesting. ``to_edges_df`` /
+    ``from_edges_df`` bridge to the distributed artifact: a hand-built
+    Graph can be searched by operators/graph.py, and an ``hnsw_build``
+    artifact can be probed with these methods.
+    """
+
+    def __init__(self):
+        self._edges: set[tuple[int, int, int]] = set()
+        self._height = 0
+
+    def GetHeight(self) -> int:
+        return self._height
+
+    def IsLayerEmpty(self, l_c: int) -> bool:
+        if l_c > self._height - 1:
+            return True
+        return not any(e[0] == l_c for e in self._edges)
+
+    def LayerNodeCnt(self, l_c: int) -> int:
+        return len({e[1] for e in self._edges if e[0] == l_c})
+
+    def LayerNodeAdjCnt(self, l_c: int, node: int) -> int:
+        return len(self.GetNeighbors(l_c, node))
+
+    def GetNeighbors(self, l_c: int, node: int) -> set:
+        return {d for l, s, d in self._edges if l == l_c and s == node}
+
+    def GetLayerNodes(self, l_c: int):
+        return {s for l, s, _ in self._edges if l == l_c}
+
+    def InitLevels(self, l_c: int) -> None:
+        self._height = max(self._height, l_c + 1)
+
+    def AddEdge(self, l_c: int, p: int, q: int) -> None:
+        self._edges.add((l_c, p, q))
+
+    def RemoveEdge(self, l_c: int, node: int, nei: int) -> None:
+        self._edges.discard((l_c, node, nei))
+
+    def PrintLayer(self, l_c: int) -> None:
+        adj: dict[int, set[int]] = {}
+        for l, s, d in self._edges:
+            if l == l_c:
+                adj.setdefault(s, set()).add(d)
+        print(adj)
+
+    # -- bridges to the distributed edge artifact -------------------------
+    def to_edges_df(self, spark=None):
+        """(layer int, src long, dst long) DataFrame of this graph."""
+        spark = spark or _spark()
+        return spark.createDataFrame(
+            sorted(self._edges), "layer int, src long, dst long"
+        )
+
+    @classmethod
+    def from_edges_df(cls, edges) -> "Graph":
+        """Build from an edge DataFrame (e.g. HNSWGraph.edges)."""
+        g = cls()
+        for r in edges.select("layer", "src", "dst").collect():
+            g.InitLevels(int(r.layer))
+            g.AddEdge(int(r.layer), int(r.src), int(r.dst))
+        return g
+
+
+class Item:
+    """Reference py/hnsw.py:120-144: a scored query/insert handle — a
+    closure over a distance function. Search path carries the raw
+    vector (idx_q < 0); insert path carries the already-stored index,
+    enabling the memoized kernel. Kept for API completeness; in the
+    engine a "scored item" is just a distance Column (SURVEY §1)."""
+
+    def __init__(self, dist_fn, q: list, idx_q: int = -1):
+        self.q = q
+        self.idx_q = idx_q
+        self.dist_fn = dist_fn
+
+    def DistToNode(self, node: int) -> float:
+        if self.idx_q < 0:
+            return self.dist_fn(self.q, node)
+        return self.dist_fn(self.idx_q, node)
