@@ -240,7 +240,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "nn_descent_graph",
     "pq_decode",
     "ivf_adc_knn",
-    "events_approx_distinct",
     "pq_encode",
     "pq_adc_knn",
     # rotated IN (round 5): round-4 code-path changes, must re-adjudicate
@@ -271,6 +270,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_incremental",
     "knn_quota",
     "events_hourly_zscore",
+    "events_hll_rollup",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "text_repetition",
@@ -296,6 +296,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "rollup_lineitem",
     "tpch_q6",
+    "events_approx_distinct",
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "docs_stratified_sample",

@@ -1096,3 +1096,63 @@ def q_events_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zscore"),
     )
+
+
+@register(
+    "events_hll_rollup",
+    f"""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY date_trunc('day', ts)
+)
+SELECT 'day' AS grain, {_TS.format(c="d")} AS day_epoch, exact_users,
+       TRUE AS within_5pct
+FROM d
+UNION ALL
+SELECT 'total', CAST(0 AS BIGINT),
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events), TRUE
+""",
+    "relational",
+    "sketch",
+)
+def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (DataSketches HLL): build one
+    sketch COLUMN per day, then union-merge the stored sketches into
+    the corpus total — the pre-aggregated-rollup shape that answers
+    "distinct users any period" from day-sized state without rescanning
+    events (approx_count_distinct can't merge; sketch columns can).
+    Gate pattern as events_approx_distinct: Spark also computes exact
+    distincts and surfaces a 5%-tolerance boolean; the oracle recomputes
+    the exacts and asserts TRUE, so estimator drift breaks the hash."""
+    ev = tables.load(spark, sf_dir, "events")
+    day = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    ok = (
+        F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    )
+    daily = day.select(
+        F.lit("day").alias("grain"),
+        _epoch("d").alias("day_epoch"),
+        "exact_users",
+        ok.alias("within_5pct"),
+    )
+    merged = day.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact_total = ev.agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    total = merged.crossJoin(exact_total).select(
+        F.lit("total").alias("grain"),
+        F.lit(0).cast("bigint").alias("day_epoch"),
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+    return daily.unionAll(total)
