@@ -232,8 +232,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "knn_classify_vote",
     "nng_blocked",
     "knn_graph_degree",
-    "sq_encode",
-    "sq_knn",
     "graph_greedy_search",
     "select_neighbors_pruned",
     "graph_symmetrize",
@@ -271,6 +269,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "knn_quota",
     "events_hourly_zscore",
     "events_hll_rollup",
+    "docs_pack_sequences",
+    "text_token_entropy",
+    "prototype_classify",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "text_repetition",
@@ -281,7 +282,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_length_percentile_filter",
     "text_hash_embed_knn",
     # multimodal
-    "multimodal_metadata",
     "multimodal_byte_histogram",
     # streaming windows + the stream-stream join's batch twin (NEW in
     # round 5, never adjudicated)
@@ -296,6 +296,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "rollup_lineitem",
     "tpch_q6",
+    "sq_encode",
+    "sq_knn",
+    "multimodal_metadata",
     "events_approx_distinct",
     "dedup_ngram_jaccard",
     "dedup_embedding",

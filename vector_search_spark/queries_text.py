@@ -1482,3 +1482,103 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "new_id", "corpus_id", rnd("jaccard").alias("jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing + token entropy (training-data assembly / quality)
+# --------------------------------------------------------------------------
+
+PACK_CTX = 256  # tokens per packed training sequence
+
+
+@register(
+    "docs_pack_sequences",
+    f"""
+WITH {_TOKS},
+n AS (SELECT doc_id, len(t) AS n_toks FROM toks WHERE len(t) > 0),
+ofs AS (
+  SELECT doc_id, n_toks,
+         COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS off
+  FROM n
+)
+SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+       CAST(off AS BIGINT) AS start_offset,
+       CAST(off // {PACK_CTX} AS INT) AS first_pack,
+       CAST((off + n_toks - 1) // {PACK_CTX} AS INT) AS last_pack
+FROM ofs
+""",
+    "text",
+    "pipeline",
+)
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus token stream
+    in doc_id order and cut every PACK_CTX (256) tokens — each doc's global
+    token offset (one running-sum window) determines the packed
+    sequences it lands in (docs straddle pack boundaries, exactly as
+    token-level packing does). The expensive text never moves: packing
+    is metadata (offsets), and the actual assembly can then shuffle by
+    first_pack. At scale the window runs per shard/partition key, not
+    one global order."""
+    docs = tables.load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n = docs.select(
+        "doc_id", F.size(T.tokens("text")).alias("n_toks")
+    ).filter(F.col("n_toks") > 0)
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ofs = n.withColumn(
+        "off", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    )
+    return ofs.select(
+        "doc_id",
+        F.col("n_toks").cast("int").alias("n_toks"),
+        F.col("off").cast("bigint").alias("start_offset"),
+        F.floor(F.col("off") / PACK_CTX).cast("int").alias("first_pack"),
+        F.floor((F.col("off") + F.col("n_toks") - 1) / PACK_CTX)
+        .cast("int")
+        .alias("last_pack"),
+    )
+
+
+@register(
+    "text_token_entropy",
+    f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(t) AS t FROM toks),
+freq AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM freq GROUP BY doc_id)
+SELECT f.doc_id,
+       CAST(count(*) AS INT) AS distinct_tokens,
+       (ROUND(-sum((f.c / n.n) * ln(f.c / n.n)), 6) + 0.0) AS entropy
+FROM freq f JOIN n ON f.doc_id = n.doc_id
+GROUP BY f.doc_id
+""",
+    "text",
+    "quality",
+)
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token entropy (-sum p ln p): the diversity twin
+    of the repetition metrics — boilerplate and keyword-stuffed docs
+    score low, natural text high. One explode + two keyed aggs."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("t")
+    )
+    freq = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    n = freq.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        freq.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("distinct_tokens"),
+            rnd(-F.sum(p * F.log(p))).alias("entropy"),
+        )
+    )

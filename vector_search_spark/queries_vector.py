@@ -1450,3 +1450,76 @@ def q_knn_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "prototype_classify",
+    f"""
+WITH pts AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+proto AS (
+  SELECT label, list(mv ORDER BY pos) AS pv FROM (
+    SELECT label, pos, avg(val) AS mv FROM (
+      SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+      FROM pts
+    ) GROUP BY label, pos
+  ) GROUP BY label
+),
+q AS (SELECT vec_id, label AS true_label, v FROM pts
+      WHERE vec_id < {KNN_QUERIES}),
+asg AS (
+  SELECT vec_id, true_label, pred_label FROM (
+    SELECT q.vec_id, q.true_label, p.label AS pred_label,
+           {_L2.format(a="q.v", b="p.pv")} AS d
+    FROM q CROSS JOIN proto p)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, pred_label) = 1
+)
+SELECT vec_id, CAST(true_label AS INT) AS true_label,
+       CAST(pred_label AS INT) AS pred_label,
+       (true_label = pred_label) AS correct
+FROM asg
+""",
+    "vector",
+    "classify",
+)
+def q_prototype_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-prototype classification (Rocchio / nearest
+    centroid): one mean embedding per label (a map-side dim-wise agg),
+    then each query scores against the 10-prototype broadcast model —
+    O(model) per row instead of kNN's O(N), THE cheap labeling pass
+    over a huge corpus. Tie-break to the lower label, replayed by the
+    oracle."""
+    from vector_search_spark.operators import kmeans as _km
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    # per-label mean via the exploded-dim agg (model-sized result)
+    proto = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("mv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("s"))
+        .select("label", F.transform("s", lambda t: t["mv"]).alias("pv"))
+        .orderBy("label")
+        .collect()
+    )
+    import numpy as np
+
+    labels = [int(r.label) for r in proto]
+    C = np.array([r.pv for r in proto], dtype=np.float64)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERIES)
+    out = _km.assign(queries, C)  # cluster_id = index into sorted labels
+    lab = F.array(*[F.lit(l) for l in labels])
+    return (
+        out.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("true_label"),
+            F.element_at(lab, F.col("cluster_id") + 1)
+            .cast("int")
+            .alias("pred_label"),
+            (
+                F.col("label")
+                == F.element_at(lab, F.col("cluster_id") + 1)
+            ).alias("correct"),
+        )
+    )
