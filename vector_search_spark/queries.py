@@ -329,7 +329,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "text_fingerprint",
     "docs_sample_hash",
-    # rows-only (RNG-dependent; pytest-gated recall/invariants)
+    # rows-only (RNG-dependent or engine-specific float reductions;
+    # pytest-gated recall/invariants)
+    "pca_knn",
     "hnsw_sharded_knn",
     "hnsw_knn",
     "kmeans_train",

@@ -1523,3 +1523,25 @@ def q_prototype_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("correct"),
         )
     )
+
+
+@register("pca_knn", None, "vector", "pca", "rows-only")
+def q_pca_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search in PCA-reduced space (FAISS PCAMatrix preprocessing:
+    D=64 -> d=16 before scoring — 4x less scan compute/memory, recall
+    gated in tests/test_pca.py). Train is one sufficient-statistics
+    pass + driver eigh; eigh float details are engine-specific ->
+    rows-only."""
+    from vector_search_spark.operators import knn as _knn
+    from vector_search_spark.operators import pca as _pca
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    model = _pca.train_pca(emb, d_out=16)
+    proj = _pca.project(emb, model).select(
+        "vec_id", F.col("pca").alias("embedding")
+    )
+    queries = proj.filter(F.col("vec_id") < BQ_QUERIES)
+    out = _knn.brute_force_knn(queries, proj, k=KNN_K)
+    return out.select(
+        "query_id", "vec_id", rnd("dist").alias("dist"), "rank"
+    )
