@@ -945,14 +945,23 @@ def incremental_lsh_pairs_shared(
 ) -> DataFrame:
     """:func:`incremental_lsh_pairs` for the common case where batch and
     corpus live in ONE table split by a predicate (``is_new``: boolean
-    Column over docs). Shingles and signatures are computed in a single
-    scan+agg whose shuffle exchange both split branches reuse
-    (ReuseExchange) — the two-source form pays that pass twice when the
-    sides share a source. In production the corpus-side buckets are a
-    persisted artifact; this is the one-job cold form.
+    Column over docs).
+
+    The shingle table is materialized once (localCheckpoint): it feeds
+    the signature aggregation AND three subtrees of the exact-Jaccard
+    verify, and Spark re-derives a shared lazy subtree under every
+    consumer (exchange reuse does not fire across these boundaries —
+    verified on the physical plan). At bench scale the checkpoint is a
+    small fixed cost (~0.4s at sf0.1, parity with the two-source form);
+    at corpus scale re-shingling 5x is what it removes. The real
+    per-ingest saving in production is persisting the CORPUS-side
+    shingles/buckets as parquet artifacts across batches — then each
+    ingest shingles only the batch.
     """
     flagged = docs.withColumn("_new", is_new)
-    sh = shingle_table(flagged, shingle_n, text_col, id_col)
+    # the shingle table feeds the signature agg AND three subtrees of
+    # the exact-Jaccard verify; materialize it once
+    sh = shingle_table(flagged, shingle_n, text_col, id_col).localCheckpoint()
     buckets = lsh_buckets_wide(
         minhash_signatures_wide(sh, num_perms, id_col),
         rows_per_band,
