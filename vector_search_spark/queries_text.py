@@ -1403,11 +1403,12 @@ def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole training-data build as ONE declarative plan: ingest ->
     length window -> language filter -> exact-dedup canonicalization ->
     train-split, surfacing surviving-document counts per stage (the
-    corpus analog of events_funnel). Composing the stages in a single
-    query is the point: Catalyst sees the full pipeline, so the length
-    and language predicates push into the one parquet scan shared by
-    every stage count, and nothing materializes between stages. The
-    oracle replays all five stages."""
+    corpus analog of events_funnel). Composing the stages in one query
+    means nothing materializes between stages and each stage's count
+    runs its OWN pruned scan: the plan has five parquet scans, four of
+    them with the stage predicates pushed down (n_chars/lang reach the
+    reader), so later stages read progressively less. The oracle
+    replays all five stages."""
     docs = tables.load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )

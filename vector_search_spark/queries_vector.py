@@ -1426,7 +1426,11 @@ def q_knn_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quota-diversified retrieval: at most 2 results per label in each
     query's top-10 (the per-source cap every mixed-corpus serving stack
     applies). Two stacked windows: rank within (query,label) <= quota,
-    then global rank by distance — no per-row state, no UDF."""
+    then global rank by distance — no per-row state, no UDF. Scale
+    note: the scored nq x N pairs pass through both window shuffles
+    here (fine for serving-sized nq); a 100 TB sweep would pre-prune
+    with the gemm partial top-k per (query,label) before the windows,
+    shrinking the shuffle to nq x labels x quota."""
     from pyspark.sql import Window
 
     from vector_search_spark.operators import knn as _knn
