@@ -1156,3 +1156,78 @@ def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_5pct"),
     )
     return daily.unionAll(total)
+
+
+@register(
+    "lineitem_corr",
+    """
+SELECT x, y, (ROUND(c, 6) + 0.0) AS pearson
+FROM (
+  SELECT 'quantity_price' AS x, 'extendedprice' AS y,
+         corr(l_quantity, l_extendedprice) AS c FROM lineitem
+  UNION ALL
+  SELECT 'quantity_discount', 'discount', corr(l_quantity, l_discount) FROM lineitem
+  UNION ALL
+  SELECT 'discount_tax', 'tax', corr(l_discount, l_tax) FROM lineitem
+  UNION ALL
+  SELECT 'price_tax', 'tax', corr(l_extendedprice, l_tax) FROM lineitem
+)
+""",
+    "relational",
+    "stats",
+)
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: pairwise Pearson correlations in one
+    scan per pair (map-side moment sums; at scale all four fold into a
+    single multi-agg pass — kept separate here to mirror the oracle's
+    UNION shape exactly)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+
+    def one(x: str, y: str, cx: str, cy: str) -> DataFrame:
+        return li.agg(
+            F.lit(x).alias("x"),
+            F.lit(y).alias("y"),
+            rnd(F.corr(cx, cy)).alias("pearson"),
+        )
+
+    return (
+        one("quantity_price", "extendedprice", "l_quantity", "l_extendedprice")
+        .unionAll(one("quantity_discount", "discount", "l_quantity", "l_discount"))
+        .unionAll(one("discount_tax", "tax", "l_discount", "l_tax"))
+        .unionAll(one("price_tax", "tax", "l_extendedprice", "l_tax"))
+    )
+
+
+@register(
+    "events_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    "relational",
+    "window",
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix (Markov bigram counts): lag() over
+    each user's time-ordered stream, then one keyed agg — the window
+    partitions by user_id, so no global sort; ties inside a timestamp
+    break on event_id for a deterministic sequence."""
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("transitions")
+    )

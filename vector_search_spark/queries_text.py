@@ -1583,3 +1583,48 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(-F.sum(p * F.log(p))).alias("entropy"),
         )
     )
+
+
+ED_MAX = 40  # max edit distance for a near-dup verdict
+
+
+@register(
+    "dedup_edit_distance",
+    f"""
+WITH {_MH_PIPE},
+nt AS (SELECT doc_id, {T.sql_norm_text('text')} AS n FROM documents)
+SELECT c.a, c.b,
+       CAST(levenshtein(x.n, y.n) AS INT) AS edit_distance
+FROM cand c
+JOIN nt x ON x.doc_id = c.a
+JOIN nt y ON y.doc_id = c.b
+WHERE levenshtein(x.n, y.n) <= {ED_MAX}
+""",
+    "text",
+    "dedup",
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verify: LSH band candidates (never
+    all-pairs) re-scored with threshold-bounded levenshtein — the
+    character-level family beside token Jaccard (catches small in-word
+    edits Jaccard shrugs at). Spark's bounded form costs
+    O(len x threshold) per pair and returns -1 past the bound, so the
+    verify never pays the full O(len^2) on distant pairs."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, MH_N)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_buckets_wide(
+            dedup.minhash_signatures_wide(sh, MH_PERMS), MH_ROWS, MH_PERMS
+        )
+    )
+    nt = docs.select("doc_id", T.norm_text("text").alias("n"))
+    lev = F.levenshtein(
+        F.col("x_n"), F.col("y_n"), ED_MAX
+    )
+    return (
+        cand.join(nt.select(F.col("doc_id").alias("a"), F.col("n").alias("x_n")), "a")
+        .join(nt.select(F.col("doc_id").alias("b"), F.col("n").alias("y_n")), "b")
+        .withColumn("edit_distance", lev)
+        .filter(F.col("edit_distance") >= 0)
+        .select("a", "b", F.col("edit_distance").cast("int").alias("edit_distance"))
+    )
