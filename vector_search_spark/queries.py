@@ -234,7 +234,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "select_neighbors_pruned",
     "graph_symmetrize",
     "nn_descent_graph",
-    "ivf_adc_knn",
     "pq_encode",
     "pq_adc_knn",
     # rotated IN (round 5): round-4 code-path changes, must re-adjudicate
@@ -272,6 +271,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_edit_distance",
     "lineitem_corr",
     "events_transitions",
+    "ivf_bq_knn",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "text_repetition",
@@ -296,6 +296,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "rollup_lineitem",
     "tpch_q6",
+    "ivf_adc_knn",
     "nng_blocked",
     "knn_graph_degree",
     "pq_decode",

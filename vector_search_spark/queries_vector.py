@@ -1549,3 +1549,146 @@ def q_pca_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", rnd("dist").alias("dist"), "rank"
     )
+
+
+IVFBQ_NC = 16      # coarse cells (first-K deterministic centroids)
+IVFBQ_NPROBE = 4
+IVFBQ_SHORT = 40
+
+
+@register(
+    "ivf_bq_knn",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM pts
+          WHERE vec_id < {IVFBQ_NC}),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT p.vec_id, c.cell, {_L2.format(a="p.v", b="c.cv")} AS d
+    FROM pts p CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+),
+{_BQ_WORDS_SQL},
+qr AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           {_L2.format(a="q.v", b="c.cv")} AS d,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_L2.format(a="q.v", b="c.cv")}, c.cell) AS r
+    FROM pts q CROSS JOIN cents c WHERE q.vec_id < {BQ_QUERIES})
+  WHERE r <= {IVFBQ_NPROBE}
+),
+qw AS (
+  SELECT vec_id AS query_id, bits FROM words WHERE vec_id < {BQ_QUERIES}
+),
+ham AS (
+  SELECT qr.query_id, a.vec_id,
+         CAST(list_sum(list_transform(range(1, {BQ_WORDS}+1), j ->
+           bit_count(xor(q.bits[j], b.bits[j])))) AS INTEGER) AS hamming
+  FROM qr
+  JOIN asg a ON a.cell = qr.cell
+  JOIN words b ON b.vec_id = a.vec_id
+  JOIN qw q ON q.query_id = qr.query_id
+),
+short AS (
+  SELECT query_id, vec_id, hamming FROM (
+    SELECT query_id, vec_id, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, vec_id) AS r
+    FROM ham)
+  WHERE r <= {IVFBQ_SHORT}
+),
+ex AS (
+  SELECT s.query_id, s.vec_id, s.hamming,
+         {_L2.format(a="qp.v", b="bp.v")} AS d
+  FROM short s
+  JOIN pts qp ON qp.vec_id = s.query_id
+  JOIN pts bp ON bp.vec_id = s.vec_id
+)
+SELECT query_id, vec_id, hamming, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM ex
+QUALIFY "rank" <= {KNN_K}
+""",
+    "vector",
+    "ivf",
+    "bq",
+)
+def q_ivf_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level index: coarse cells prune the scan (IVF routing,
+    nprobe=4 of 16) and 1-bit codes shrink what's left 32x (Hamming
+    scan), then exact re-rank — the composed shape of a modern binary
+    IVF index (scan cost: probed fraction x bit width). Deterministic
+    first-K centroids, so the oracle replays routing, the in-cell
+    Hamming scan, the shortlist, and the re-rank."""
+    import numpy as np
+
+    from vector_search_spark.operators import bq
+    from vector_search_spark.operators import kmeans as _km
+    from vector_search_spark.operators import knn as _knn
+    from pyspark.sql import Window
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = kmeans.init_first_k(emb, IVFBQ_NC)
+    asg = _km.assign(emb, cents).select(
+        "vec_id", F.col("cluster_id").alias("cell")
+    )
+    bits = bq.encode_bits(emb, BQ_DIM).select("vec_id", "bits")
+    queries = emb.filter(F.col("vec_id") < BQ_QUERIES)
+    # route each query to its nprobe nearest cells (broadcast model)
+    qr = ivf.route_queries(
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        cents,
+        nprobe=IVFBQ_NPROBE,
+        query_id_col="query_id",
+    ).select("query_id", F.col("cluster_id").alias("cell"))
+    qb = bq.encode_bits(
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        BQ_DIM,
+    ).select("query_id", F.col("bits").alias("_qb"))
+    cand = (
+        qr.join(asg, "cell")
+        .join(bits, "vec_id")
+        .join(F.broadcast(qb), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            bq.hamming(F.col("_qb"), F.col("bits"), BQ_WORDS).alias(
+                "hamming"
+            ),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    short = (
+        cand.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= IVFBQ_SHORT)
+        .select("query_id", "vec_id", "hamming")
+    )
+    from vector_search_spark.functions.distance import as_double_array, l2_sqr
+
+    rescored = (
+        short.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    as_double_array("embedding").alias("_qv"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            l2_sqr(F.col("_qv"), as_double_array("embedding")).alias("dist"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id", "vec_id", "hamming", rnd("dist").alias("dist"), "rank"
+        )
+    )
