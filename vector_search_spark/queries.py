@@ -234,7 +234,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "select_neighbors_pruned",
     "graph_symmetrize",
     "nn_descent_graph",
-    "pq_encode",
     "pq_adc_knn",
     # rotated IN (round 5): round-4 code-path changes, must re-adjudicate
     "pq_sdc_pairs",
@@ -272,12 +271,13 @@ CATALOG_ORDER: tuple[str, ...] = (
     "lineitem_corr",
     "events_transitions",
     "ivf_bq_knn",
+    "docs_lang_mismatch",
+    "customer_rfm",
+    "events_value_histogram",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "text_repetition",
-    "text_chunks",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_groups",
     "docs_length_percentile_filter",
     "text_hash_embed_knn",
@@ -296,6 +296,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "rollup_lineitem",
     "tpch_q6",
+    "pq_encode",
+    "text_chunks",
+    "dedup_simhash",
     "ivf_adc_knn",
     "nng_blocked",
     "knn_graph_degree",

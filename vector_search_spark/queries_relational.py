@@ -1231,3 +1231,107 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("transitions")
     )
+
+
+RFM_ASOF = "1998-12-31"
+
+
+@register(
+    "customer_rfm",
+    f"""
+WITH base AS (
+  SELECT o.o_custkey AS c,
+         date_diff('day', max(o.o_orderdate), TIMESTAMP '{RFM_ASOF}')
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(o.o_totalprice) AS monetary
+  FROM orders o GROUP BY o.o_custkey
+)
+SELECT c AS custkey, CAST(recency_days AS INT) AS recency_days, frequency,
+       (ROUND(monetary, 2) + 0.0) AS monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days, c) AS INT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, c) AS INT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, c) AS INT) AS m_quartile
+FROM base
+""",
+    "relational",
+    "analytics",
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary per
+    customer, quartiled with ntile() (explicit custkey tie-breaks keep
+    bucket assignment deterministic). One keyed agg + three global
+    ntile windows over the CUSTOMER-sized relation — the windows sort
+    aggregates, never raw orders."""
+    from pyspark.sql import Window
+
+    o = tables.load(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    wr = Window.orderBy("recency_days", "custkey")
+    wf = Window.orderBy(F.desc("frequency"), "custkey")
+    wm = Window.orderBy(F.desc("monetary"), "custkey")
+    return base.select(
+        "custkey",
+        F.col("recency_days").cast("int").alias("recency_days"),
+        "frequency",
+        rnd(F.col("monetary"), 2).alias("monetary"),
+        F.ntile(4).over(wr).cast("int").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("int").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("int").alias("m_quartile"),
+    )
+
+
+HIST_BINS = 20
+
+
+@register(
+    "events_value_histogram",
+    f"""
+WITH b AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+),
+binned AS (
+  SELECT least(CAST(floor((e.value - b.lo) / ((b.hi - b.lo) / {HIST_BINS}))
+                    AS INT), {HIST_BINS} - 1) AS bin,
+         b.lo, b.hi
+  FROM events e CROSS JOIN b
+)
+SELECT bin,
+       (ROUND(lo + bin * ((hi - lo) / {HIST_BINS}), 6) + 0.0) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM binned GROUP BY bin, lo, hi
+""",
+    "relational",
+    "stats",
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values: one min/max pass, then a
+    single binning agg (the max value clamps into the last bin). Two
+    scans total, both map-side-combined — the distribution profile at
+    any scale."""
+    ev = tables.load(spark, sf_dir, "events")
+    [b] = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()
+    lo, hi = float(b.lo), float(b.hi)
+    w = (hi - lo) / HIST_BINS
+    binc = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("int"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        ev.select(binc.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            rnd(F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            "cnt",
+        )
+    )

@@ -1628,3 +1628,42 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_distance") >= 0)
         .select("a", "b", F.col("edit_distance").cast("int").alias("edit_distance"))
     )
+
+
+@register(
+    "docs_lang_mismatch",
+    f"""
+WITH {_TOKS},
+sc AS (
+  SELECT doc_id, l.lang,
+         len(list_filter(t, x -> list_contains(l.words, x))) * 1.0
+           / greatest(len(t), 1) AS score
+  FROM toks CROSS JOIN (VALUES {_SW_VALUES}) l(lang, words)
+),
+pred AS (
+  SELECT doc_id, lang AS pred_lang FROM sc
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+)
+SELECT d.doc_id, d.lang AS declared_lang, p.pred_lang,
+       (d.lang = p.pred_lang) AS agree
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+""",
+    "text",
+    "quality",
+)
+def q_docs_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: documents whose DECLARED language disagrees
+    with the n-gram language-ID prediction — the standard
+    metadata-vs-content consistency check before trusting corpus
+    labels for filtering or stratification. One join of two existing
+    passes; disagreement rows are the curation queue."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pred = textstats.language_id(docs).select("doc_id", "pred_lang")
+    return docs.select("doc_id", F.col("lang").alias("declared_lang")).join(
+        pred, "doc_id"
+    ).select(
+        "doc_id",
+        "declared_lang",
+        "pred_lang",
+        (F.col("declared_lang") == F.col("pred_lang")).alias("agree"),
+    )
