@@ -55,8 +55,9 @@ def test_results_invariant_to_shuffle_partitioning(spark):
     """Oracle-paired queries must be deterministic across partition
     layouts (batch boundaries must never leak into results — the
     assumption the whole DuckDB value-hash scheme rests on). Run a
-    gemm-path, a blocked-graph, and a dedup query under 7 vs the
-    default shuffle partitions and compare full row sets."""
+    gemm-path, a blocked-graph, lexical+semantic dedup, a grouped-UDF
+    greedy (MMR), and the bit-packed scan under 7 vs the default
+    shuffle partitions and compare full row sets."""
     from vector_search_spark.queries import get_catalog
 
     cat = get_catalog()
@@ -65,7 +66,8 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         results = {}
         for n_part in (prev, "7"):
             spark.conf.set("spark.sql.shuffle.partitions", n_part)
-            for name in ("knn_exact", "nng_blocked", "dedup_minhash_lsh"):
+            for name in ("knn_exact", "nng_blocked", "dedup_minhash_lsh",
+                         "mmr_rerank", "dedup_semantic", "bq_hamming_knn"):
                 df = cat[name].fn(spark, SF_ORACLE)
                 rows = sorted(tuple(r) for r in df.collect())
                 results.setdefault(name, []).append(rows)
