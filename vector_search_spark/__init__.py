@@ -18,14 +18,18 @@ Layout
 - ``operators``  relational/vector operators: brute-force kNN, k-means,
                  PQ train/encode/ADC/SDC, IVF search, kNN-graph + HNSW,
                  dedup family, text analysis, sessionization.
-- ``sources``    extra sources/sinks (fvecs binary reader, multimodal
-                 binary assets).
+- ``sources``    extra sources/sinks (fvecs binary reader, JSONL corpus
+                 reader with quarantine, multimodal binary assets,
+                 bucketed tables).
 - ``streaming``  Structured Streaming ingest (watermarks, tumbling /
-                 sliding / session windows, stateful dedup).
+                 sliding / session windows, stateful dedup, stream-stream
+                 interval join, live index refresh/upsert).
+- ``compat``     drop-in reference API (BruteForce / ProductQuantizer /
+                 HNSWIndex / Graph / Item) backed by the operators.
 - ``plans``      plan-inspection helpers used by tests to assert
                  pushdown / broadcast / codegen properties.
 - ``queries``    the query catalog consumed by ``__spark_entry__.py``
                  (each entry paired with a DuckDB oracle SQL string).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
