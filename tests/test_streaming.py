@@ -376,3 +376,43 @@ def test_streaming_upsert_folds_batches_into_index(spark, tmp_path):
     )
     assert key(after) == key(expect)
     assert after.filter(F.col("vec_id") == 0).count() == 1
+
+
+def test_transform_with_state_running_stats_equals_batch(spark, events_dir):
+    """The Spark-4 transformWithStateInPandas API: per-user running
+    count/sum in a ValueState cell. After the stream drains, each
+    user's LAST update row must equal the batch groupBy aggregate.
+
+    The runtime's state-server protocol needs google.protobuf, which
+    this container does not ship (no-new-deps brief) -> skip when the
+    import is unavailable; the operator itself is plain PySpark."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import Window
+
+    from vector_search_spark.streaming import stateful as st
+
+    stream = sev.read_events_stream(spark, events_dir).select(
+        "user_id", "value"
+    )
+    got = _run_stream(
+        spark, st.running_user_stats(stream), "t_tws", "update"
+    )
+    # update mode emits one row per user per micro-batch; the final
+    # (max n_events) row per user is the converged state
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        got.withColumn("_r", F.row_number().over(w))
+        .filter("_r = 1")
+        .select("user_id", "n_events", F.round("total_value", 2).alias("tv"))
+    )
+    want = (
+        tables.load(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -230,9 +230,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # flagship + oracles kept in-window (code changed or never rotated)
     "knn_exact",
     "knn_classify_vote",
-    "graph_greedy_search",
     "select_neighbors_pruned",
-    "graph_symmetrize",
     "nn_descent_graph",
     "pq_adc_knn",
     # rotated IN (round 5): round-4 code-path changes, must re-adjudicate
@@ -274,6 +272,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_lang_mismatch",
     "customer_rfm",
     "events_value_histogram",
+    "tpch_q4",
+    "sessionize_dynamic_gap",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "text_repetition",
@@ -296,6 +296,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "rollup_lineitem",
     "tpch_q6",
+    "graph_greedy_search",
+    "graph_symmetrize",
     "pq_encode",
     "text_chunks",
     "dedup_simhash",

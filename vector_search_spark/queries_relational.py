@@ -1335,3 +1335,114 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+@register(
+    "tpch_q4",
+    """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+""",
+    "relational",
+    "join",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): correlated EXISTS with
+    an INEQUALITY on the correlated columns — planned as a left-semi
+    join on orderkey with the l_shipdate > o_orderdate residual inside
+    the join condition, so lineitem is never aggregated or distinct'd
+    first."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    semi = o_f.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "sessionize_dynamic_gap",
+    f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR {_TS.format(c="ts")} - {_TS.format(c="lag(ts) OVER w")}
+                   > (CASE WHEN lag(event_type) OVER w = 'purchase'
+                           THEN 3600 ELSE 1800 END)
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+       {_TS.format(c="min(ts)")} AS session_start_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_idx
+""",
+    "relational",
+    "window",
+    "session",
+)
+def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: the inactivity timeout depends on
+    the PREVIOUS event (purchases earn a 60-min grace, everything else
+    30) — the per-row-gap semantics of F.session_window(gap_col),
+    replayed relationally (lag + conditional boundary + running sum)
+    so the oracle can value-check it."""
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.lag("event_type").over(w) == "purchase", F.lit(3600)
+    ).otherwise(F.lit(1800))
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+                > gap
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w).alias("session_idx"),
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("int").alias("session_idx"),
+        "session_start_epoch",
+        "n_events",
+    )

@@ -26,7 +26,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from vector_search_spark.functions.distance import as_double_array
 
-__all__ = ["score_stream", "streaming_topk"]
+__all__ = [
+    "score_stream",
+    "streaming_topk",
+    "running_user_stats",
+    "running_user_stats_processor",
+]
 
 
 def score_stream(
@@ -141,4 +146,91 @@ def streaming_topk(
         ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_stats_processor():
+    """StatefulProcessor for transformWithStateInPandas (the Spark 4
+    arbitrary-state API that replaces applyInPandasWithState): per-user
+    running event count and value sum maintained in a ValueState cell.
+
+    Emits one updated (user_id, n_events, total_value) row per user per
+    micro-batch — the streaming form of `groupBy(user).agg(count, sum)`
+    with O(1) state per key, but through the NEW handle-based API
+    (explicit state variables, TTL-capable, schema-evolvable) rather
+    than the single-blob GroupState. Kept beside the
+    applyInPandasWithState top-k processor so both stateful APIs are
+    exercised.
+
+    Environment note: executing this operator requires google.protobuf
+    (the transformWithState state-server protocol); the test suite
+    importorskips when absent (this container ships without it). The
+    applyInPandasWithState top-k path above has no such dependency and
+    is fully stream-tested here.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    class RunningUserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                prev = self._state.get()
+                n, total = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningUserStats()
+
+
+def running_user_stats(stream):
+    """Wire the processor: one state row per user, update-mode output."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=running_user_stats_processor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
     )
