@@ -273,3 +273,44 @@ def test_compact_index_merges_fragmented_cells(spark, emb, centroids, tmp_path):
     assert len(glob.glob(os.path.join(frag_dir, "part-*"))) == 1
     # second pass is a no-op
     assert ivf.compact_index(spark, path, max_files_per_cell=4) == []
+
+
+def test_upsert_index_removes_drained_cell(spark, tmp_path):
+    """A batch that moves EVERY row out of a cell (and adds none back)
+    must not leave the moved ids behind in the old cell: dynamic
+    partition overwrite never rewrites a partition absent from the
+    output, so upsert_index deletes drained cell directories explicitly.
+    Regression test for duplicate-ids-across-cells."""
+    import glob
+    import os
+
+    import numpy as np
+
+    cents = np.array([[0.0, 0.0], [10.0, 10.0]])
+    path = str(tmp_path / "drain_index")
+    base = spark.createDataFrame(
+        [(1, [0.1, 0.1]), (2, [10.1, 10.1])],
+        "vec_id long, embedding array<double>",
+    )
+    ivf.write_index(ivf.assign_clusters(base, cents), path)
+    assert os.path.isdir(os.path.join(path, "cluster_id=0"))
+
+    # id 1 moves to cell 1; cell 0 drains completely
+    batch = spark.createDataFrame(
+        [(1, [9.9, 9.9])], "vec_id long, embedding array<double>"
+    )
+    touched = ivf.upsert_index(spark, path, batch, cents)
+    assert touched == [0, 1]
+
+    after = spark.read.parquet(path)
+    assert after.count() == 2
+    assert after.filter(F.col("vec_id") == 1).count() == 1  # no stale copy
+    assert {
+        (r.vec_id, r.cluster_id)
+        for r in after.select("vec_id", "cluster_id").collect()
+    } == {(1, 1), (2, 1)}
+    # the drained partition directory itself is gone
+    assert not glob.glob(os.path.join(path, "cluster_id=0"))
+    # idempotence: replaying the same batch changes nothing
+    ivf.upsert_index(spark, path, batch, cents)
+    assert spark.read.parquet(path).count() == 2

@@ -281,3 +281,32 @@ def test_recall_at_k_hand_case(spark):
         for r in knn.recall_per_query(result, truth, k=2).collect()
     }
     assert got == {0: 0.5, 1: 0.0}
+
+
+def test_filtered_postfilter_custom_base_id_col(spark):
+    """postfilter must honor a renamed base id column (base_id_col) —
+    the survivors projection aliases it to the scored output's literal
+    `vec_id`. Regression test for the kwarg-name mismatch."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "bid")
+    )
+    q = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 5
+    )
+    out = knn.filtered_knn(
+        q,
+        emb,
+        F.col("label") == 2,
+        k=3,
+        strategy="postfilter",
+        overfetch=8,
+        base_id_col="bid",
+    ).collect()
+    assert out  # resolves and returns rows
+    ids = {r.vec_id for r in out}
+    lab = {
+        r.bid
+        for r in emb.select("bid", "label").filter(F.col("label") == 2).collect()
+    }
+    assert ids <= lab  # every survivor satisfies the predicate

@@ -273,3 +273,21 @@ def test_jsonl_to_parquet_roundtrip_and_quarantine(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 2
     q = spark.read.parquet(dst + "_quarantine")
     assert q.count() == 1 and "BROKEN" in q.collect()[0].raw_line
+
+
+def test_jsonl_quarantine_cleared_on_clean_rerun(spark, tmp_path):
+    """A rerun over corrected input must overwrite the quarantine with
+    an EMPTY one — a stale quarantine from the previous run would
+    mislead the audit trail it exists to provide."""
+    from vector_search_spark.sources import jsonl
+
+    src = tmp_path / "c.jsonl"
+    dst = str(tmp_path / "c.parquet")
+    src.write_text('{"doc_id": 1, "text": "a"}\nBROKEN\n')
+    jsonl.jsonl_to_parquet(spark, str(src), dst)
+    assert spark.read.parquet(dst + "_quarantine").count() == 1
+
+    src.write_text('{"doc_id": 1, "text": "a"}\n{"doc_id": 2, "text": "b"}\n')
+    n = jsonl.jsonl_to_parquet(spark, str(src), dst)
+    assert n == 2
+    assert spark.read.parquet(dst + "_quarantine").count() == 0

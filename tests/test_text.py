@@ -660,3 +660,38 @@ def test_incremental_lsh_shared_equals_two_source(spark):
         (r.new_id, r.corpus_id, round(r.jaccard, 9)) for r in rows
     )
     assert key(one) == key(two) and one
+
+
+def test_incremental_lsh_updated_doc_supersedes_corpus_row(spark):
+    """An id present in BOTH the new batch and the corpus is an updated
+    doc: the batch version supersedes the corpus row. No self-pairs,
+    and the result equals running against the corpus with the
+    overlapping id removed. Regression test for double-counted
+    shingles corrupting the exact-Jaccard verify."""
+    from vector_search_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "an entirely different corpus document about spark sql"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # id 2 UPDATED: now a near-dup of corpus doc 1
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(shingle_n=3, num_perms=16, rows_per_band=2, threshold=0.3)
+    got = dedup.incremental_lsh_pairs(new, corpus, **kw).collect()
+    assert all(r.new_id != r.corpus_id for r in got)  # no self-pairs
+    want = dedup.incremental_lsh_pairs(
+        new, corpus.filter(F.col("doc_id") != 2), **kw
+    ).collect()
+    key = lambda rows: sorted(
+        (r.new_id, r.corpus_id, round(r.jaccard, 9)) for r in rows
+    )
+    assert key(got) == key(want) and got

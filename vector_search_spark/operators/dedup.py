@@ -901,6 +901,15 @@ def incremental_lsh_pairs(
     """
     sh_new = shingle_table(new_docs, shingle_n, text_col, id_col)
     sh_old = shingle_table(corpus, shingle_n, text_col, id_col)
+    # An id present in BOTH sides is an UPDATED doc (the normal
+    # incremental-ingest case): the new batch's version supersedes the
+    # corpus row. Drop the superseded corpus shingles BEFORE bucketing
+    # and verification — otherwise the doc pairs with itself in the
+    # candidates and its double-counted shingles corrupt the exact
+    # Jaccard of every pair it touches. Anti-join against the
+    # batch-sized (broadcast) id set: cost scales with the batch.
+    new_ids = sh_new.select(id_col).distinct()
+    sh_old = sh_old.join(F.broadcast(new_ids), id_col, "left_anti")
     b_new = lsh_buckets_wide(
         minhash_signatures_wide(sh_new, num_perms, id_col),
         rows_per_band,

@@ -415,7 +415,16 @@ def upsert_index(
     cell footprint, not the index size. An id MOVING between cells is
     handled by rewriting its old cell too (membership probe below).
 
-    Returns the sorted list of rewritten cluster_ids.
+    DRAINED cells: dynamic partition overwrite only replaces partitions
+    PRESENT in the written DataFrame, so a touched cell whose rows all
+    move elsewhere (and receives no new rows) would never be rewritten —
+    its stale copies of the moved ids would survive, duplicating ids
+    across cells and breaking upsert idempotence. Those cells are
+    explicitly deleted after the write (touched − cells present in the
+    merged output; directory removal below, the storage twin of
+    compact_index's listing).
+
+    Returns the sorted list of rewritten-or-drained cluster_ids.
     """
     assigned = assign_clusters(
         new_vectors, centroids, id_col=id_col, vec_col=vec_col
@@ -441,10 +450,29 @@ def upsert_index(
     merged = survivors.unionByName(
         assigned.select(id_col, "cluster_id", vec_col)
     )
+    # cell footprint of the output — computed BEFORE the write (merged's
+    # lineage reads `path`); batch-cell-count sized, never row-sized
+    merged_cells = {
+        int(r.cluster_id)
+        for r in merged.select("cluster_id").distinct().collect()
+    }
     with _dynamic_overwrite(spark):
         merged.write.mode("overwrite").partitionBy("cluster_id").parquet(
             path
         )
+    drained = sorted(set(touched) - merged_cells)
+    if drained:
+        # dynamic overwrite never saw these partitions; remove their
+        # directories so the moved ids don't survive in their old cells.
+        # (Local-FS removal — on a real cluster swap in the Hadoop
+        # FileSystem delete, as with compact_index's listing.)
+        import os
+        import shutil
+
+        for cell in drained:
+            d = os.path.join(path, f"cluster_id={cell}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
     return sorted(touched)
 
 

@@ -456,12 +456,15 @@ def filtered_knn(
     wide = brute_force_knn(
         queries, base, k=k * overfetch, metric=metric, **cols
     )
-    base_id = cols.get("base_id", "vec_id")
-    keep = base.filter(predicate).select(base_id)
-    w = Window.partitionBy("query_id").orderBy("dist", base_id)
+    # base's id column may be renamed (base_id_col kwarg), but the
+    # scored output's id column is always literally `vec_id` — project
+    # the survivors onto that name before joining.
+    base_id = cols.get("base_id_col", "vec_id")
+    keep = base.filter(predicate).select(F.col(base_id).alias("vec_id"))
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
     return (
         wide.drop("rank")
-        .join(keep, base_id)
+        .join(keep, "vec_id")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

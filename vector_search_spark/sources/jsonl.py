@@ -67,10 +67,12 @@ def read_jsonl_corpus(
         # Spark disallows querying ONLY the corrupt-record column off a
         # raw file source (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
         # RECORD_COLUMN) — the quarantine projection below is exactly
-        # that, so materialize the parse once. For corpora beyond
-        # cache, land to parquet first (jsonl_to_parquet) — one pass,
-        # same effect, durable.
-        .cache()
+        # that, so materialize the parse once. localCheckpoint, NOT
+        # cache(): cache is keyed on the logical plan, so a rerun over
+        # the same path after the file changed would silently serve the
+        # STALE first read. For corpora beyond memory, land to parquet
+        # first (jsonl_to_parquet) — one pass, same effect, durable.
+        .localCheckpoint()
     )
     fields_ok = F.lit(True)
     for r in required:
@@ -98,8 +100,9 @@ def jsonl_to_parquet(
     number of good rows written. Quarantined lines are written beside
     the output as ``<dst>_quarantine`` (never silently dropped)."""
     good, bad = read_jsonl_corpus(spark, src, schema)
-    bad_rows = bad.count()
-    if bad_rows:
-        bad.write.mode("overwrite").parquet(dst + "_quarantine")
+    # Written UNCONDITIONALLY (an empty overwrite when the input is
+    # clean): a rerun over corrected input must not leave a stale
+    # quarantine from a previous run misleading the audit trail.
+    bad.write.mode("overwrite").parquet(dst + "_quarantine")
     good.write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst).count()
