@@ -643,8 +643,14 @@ def _broadcast_query_scorer(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("bv")
     )
 
-    def score(cands: DataFrame) -> DataFrame:
-        withv = cands.join(base, "vec_id")
+    def score(cands: DataFrame, base_override: DataFrame | None = None) -> DataFrame:
+        # base_override: a (vec_id, bv) subset relation (e.g. the
+        # materialized upper-layer skeleton) — lets repeated scoring
+        # passes probe an index-sized artifact instead of re-scanning
+        # the full vector table.
+        withv = cands.join(
+            base if base_override is None else base_override, "vec_id"
+        )
 
         def fn(batches):
             b_qids, b_Q = bc.value
@@ -676,7 +682,9 @@ def descend_entry_points(
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    layer1_hops: int = 3,
+    layer1_hops: int = 2,
+    probe_rounds: int = 1,
+    upper_hops: int = 3,
 ) -> DataFrame:
     """Upper-layer greedy descent (reference KNNSearch layers L..1 with
     ef=1, py/hnsw.py:408-409): start every query at the global entry
@@ -685,176 +693,135 @@ def descend_entry_points(
     neighbor while it improves), then drop a layer. Returns
     (query_id, vec_id) — per-query layer-0 entry seeds.
 
-    Split by data size, so no driver collect scales as N/m:
+    FULLY DISTRIBUTED (round 6 — retires the last N-scaling driver
+    collect): every layer's walk is the same relational recipe —
+    candidates = anchor ∪ up-to-``hops`` chained edge-joins in that
+    layer, one scorer pass, per-query argmin (anchor included, so the
+    descent is monotone) — and the per-layer argmin is just a DataFrame
+    transform of the previous layer's anchor, so the WHOLE descent
+    composes into one lazy plan. No ``.toPandas()`` anywhere; the only
+    driver-side data is the query batch itself (model-sized, broadcast
+    by design, as in every serving path here).
 
-    - Layers >= 2 (~N/m^2 of the nodes, a genuinely model-sized routing
-      skeleton — 1.6% at m=8) are collected once and walked with
-      BATCHED numpy: one padded-adjacency gather + one einsum per hop
-      scores every active query's whole neighbor row simultaneously —
-      no per-query Python loop.
-    - Layer 1 (~N/m — too big to collect at scale) stays a DataFrame:
-      its descent runs as ONE distributed frontier expansion —
-      ``layer1_hops`` chained edge-joins from the per-query layer-2
-      anchor, a single broadcast-scorer pass, per-query argmin.
+    Scan economics at 100 TB: the layers>=2 scoring passes probe
+    ``upper_base`` — the routing skeleton's (id, vector) relation,
+    ~N/m^2 rows, materialized once per call via localCheckpoint
+    (distributed, executor-resident; the artifact a real pipeline would
+    persist beside the edge list) — so walking L layers costs L joins
+    against an index-sized relation, not L scans of the vector table.
+    Layer 1 (~N/m — too big to materialize) is scored against the full
+    vector table: one ring pass + ``probe_rounds`` boundary probes.
 
-      DEVIATION from reference semantics (SURVEY §8 #32 note): the
-      reference's layer-1 ef=1 walk (py/hnsw.py:408-409) hops an
-      UNBOUNDED number of times while improving; this argmin over a
-      fixed ``layer1_hops``-hop neighborhood can hand a different
-      layer-0 seed to a query that would need more improving hops from
-      its layer-2 anchor. The hops are chained joins inside ONE job
-      (candidates union then a single scorer pass), so extra hops cost
-      plan width, not scheduling latency — the default covers
-      1+m+m^2+m^3 candidates per query. Downstream layer-0 beam search
-      re-expands from the seed; end-to-end recall is gated at >= 0.95
-      (tests/test_graph.py::test_hnsw_knn_catalog_recall; measured
-      1.000 at the fixture scale for hops in {2,3,4}).
-
-    Queries are a request batch (model-sized) — collected/broadcast by
-    design, as in every serving path here.
+    DEVIATION from reference semantics (SURVEY §8 #32 note): the
+    reference's ef=1 walk (py/hnsw.py:408-409) hops an UNBOUNDED
+    number of times while improving; this argmin over a bounded-hop
+    neighborhood can hand a different seed to a query that would need
+    more improving hops. Two mitigations: upper layers get
+    ``upper_hops`` (default 3 — 1+m+m^2+m^3 candidates on layers that
+    only hold ~N/m^layer nodes), and layer 1 gets a ``layer1_hops``
+    ring (default 2) plus ``probe_rounds`` greedy probes: each probe
+    expands ONLY each query's current best node by one hop and
+    re-argmins against the incumbent — a query whose best is interior
+    to the ring is at a true greedy local minimum (all its neighbors
+    were already scored and lost), so probes only ever help boundary
+    queries, at m rows/query instead of the m^3 tail of a wider ring.
+    Downstream layer-0 beam search re-expands from the seed;
+    end-to-end recall is gated at >= 0.95
+    (tests/test_graph.py::test_hnsw_knn_catalog_recall; measured 1.000
+    at the fixture scale).
     """
     spark = points.sparkSession
-    qpdf = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    ).toPandas()
-    if not len(qpdf):
-        raise ValueError("empty query set")
-    qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+    qids, score = _broadcast_query_scorer(points, queries, id_col, vec_col)
+    seed_df = spark.createDataFrame(
+        [(int(q), int(graph.entry_point)) for q in qids],
+        "query_id long, vec_id long",
+    )
     if graph.max_level < 1:
-        return spark.createDataFrame(
-            [(int(q), graph.entry_point) for q in qids],
-            "query_id long, vec_id long",
-        )
-    Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
+        return seed_df
 
-    # per-query current anchor, carried down the layers
-    cur = np.full(len(qids), graph.entry_point, dtype=np.int64)
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+
+    def argmin(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+
+    def ring_candidates(anchor_ids: DataFrame, edges: DataFrame, hops: int):
+        rings = [anchor_ids]
+        cur = anchor_ids
+        for _ in range(max(0, hops)):
+            cur = (
+                cur.select("query_id", F.col("vec_id").alias("src"))
+                .join(edges, "src")
+                .select("query_id", F.col("dst").alias("vec_id"))
+            )
+            rings.append(cur)
+        cand = rings[0]
+        for r in rings[1:]:
+            cand = cand.unionByName(r)
+        return cand.distinct()
+
+    anchor = seed_df  # (query_id, vec_id), refined layer by layer
 
     if graph.max_level >= 2:
-        # ONE collect job for the layers>=2 routing skeleton: edges +
-        # endpoint vectors in a single unioned job (edge relation is
-        # broadcast into the semi-join that prunes the vector scan).
-        up_edges = graph.edges.filter(F.col("layer") >= 2).select(
-            "layer", "src", "dst"
-        )
+        # The routing skeleton's vectors (~N/m^2 rows): materialize once,
+        # probe from every upper-layer scoring pass. Edge relation is
+        # broadcast into the semi-join that prunes the vector scan. The
+        # entry point is included explicitly (a single-node top layer
+        # has no layer>=2 edges), so every anchor the descent can hold
+        # is ALWAYS scoreable from this relation — anchors are argmins
+        # of candidate sets drawn from it, inductively.
+        up_edges = graph.edges.filter(F.col("layer") >= 2)
         endpoint_ids = (
             up_edges.select(F.col("src").alias("vec_id"))
             .unionByName(up_edges.select(F.col("dst").alias("vec_id")))
+            .unionByName(
+                spark.createDataFrame(
+                    [(int(graph.entry_point),)], "vec_id long"
+                )
+            )
             .distinct()
         )
-        vecs = points.select(
-            F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
-        ).join(F.broadcast(endpoint_ids), "vec_id", "left_semi")
-        bundle = (
-            up_edges.withColumn("_kind", F.lit(0))
-            .withColumn("v", F.lit(None).cast("array<double>"))
-            .unionByName(
-                vecs.select(
-                    F.lit(-1).alias("layer"),
-                    F.col("vec_id").alias("src"),
-                    F.lit(-1).alias("dst"),
-                    F.lit(1).alias("_kind"),
-                    "v",
-                )
+        upper_base = (
+            points.select(
+                F.col(id_col).alias("vec_id"),
+                as_double_array(vec_col).alias("bv"),
             )
-            .toPandas()
+            .join(F.broadcast(endpoint_ids), "vec_id", "left_semi")
+            .localCheckpoint()
         )
-        up = bundle[bundle["_kind"] == 0]
-        vec_pdf = bundle[bundle["_kind"] == 1].rename(
-            columns={"src": "vec_id"}
-        )[["vec_id", "v"]].reset_index(drop=True)
-        if len(vec_pdf):
-            vids = vec_pdf["vec_id"].to_numpy(dtype=np.int64)
-            pos = {int(v): i for i, v in enumerate(vids)}
-            V = np.vstack(vec_pdf["v"].to_numpy()).astype(np.float64)
-            n_skel = len(vids)
-            ep = graph.entry_point
-            cur_local = np.full(
-                len(qids), pos.get(int(ep), -1), dtype=np.int64
+        for layer in range(graph.max_level, 1, -1):
+            e_l = graph.edges.filter(F.col("layer") == layer).select(
+                "src", "dst"
             )
-            cur_d = (
-                ((Q - V[pos[int(ep)]][None, :]) ** 2).sum(axis=1)
-                if int(ep) in pos
-                else np.full(len(qids), np.inf)
+            cand = ring_candidates(anchor, e_l, upper_hops)
+            # localCheckpoint per layer: the anchor subtree feeds every
+            # ring branch of the NEXT layer — left lazy, the plan
+            # duplicates it (h+2)x per layer, exponential in depth.
+            # Eagerly pinning nq rows keeps each layer's work run once.
+            anchor = (
+                argmin(score(cand, base_override=upper_base))
+                .select("query_id", "vec_id")
+                .localCheckpoint()
             )
-            # per-layer padded adjacency over LOCAL indices (degree
-            # capped at m by construction, so padding is tight)
-            for layer in range(graph.max_level, 1, -1):
-                grp = up[up["layer"] == layer]
-                if not len(grp) or not (cur_local >= 0).any():
-                    continue
-                s = grp["src"].map(pos).to_numpy(dtype=np.int64)
-                d_ = grp["dst"].map(pos).to_numpy(dtype=np.int64)
-                o = np.lexsort((d_, s))
-                s, d_ = s[o], d_[o]
-                _, starts, counts = np.unique(
-                    s, return_index=True, return_counts=True
-                )
-                m_l = int(counts.max())
-                nbr = np.full((n_skel, m_l), -1, dtype=np.int64)
-                nbr[s, np.arange(len(s)) - np.repeat(starts, counts)] = d_
-                active = cur_local >= 0
-                while active.any():
-                    idx = np.nonzero(active)[0]
-                    nb = nbr[cur_local[idx]]  # (A, m_l) local, -1 pad
-                    valid = nb >= 0
-                    nbc = np.where(valid, nb, 0)
-                    # one einsum scores all active queries' neighbor
-                    # rows — computed as sum((V-Q)^2) DIRECTLY (not the
-                    # vnorm-2ab+qnorm expansion) so improvement/tie
-                    # decisions near equality are bit-identical to the
-                    # sequential walk's ((a-b)^2).sum and to cur_d's
-                    # seed form below.
-                    diff = V[nbc] - Q[idx][:, None, :]
-                    dc = np.einsum("amd,amd->am", diff, diff)
-                    dc[~valid] = np.inf
-                    dmin = dc.min(axis=1)
-                    # tie-break min dist -> min global id (matches the
-                    # sequential lexsort((nbrs, d)) semantics)
-                    tie = np.where(
-                        dc == dmin[:, None],
-                        vids[nbc],
-                        np.iinfo(np.int64).max,
-                    )
-                    j = tie.argmin(axis=1)
-                    best = nbc[np.arange(len(idx)), j]
-                    improved = dmin < cur_d[idx]
-                    upd = idx[improved]
-                    cur_local[upd] = best[improved]
-                    cur_d[upd] = dmin[improved]
-                    active[idx[~improved]] = False
-            hit = cur_local >= 0
-            cur[hit] = vids[cur_local[hit]]
 
-    # ---- layer 1: distributed frontier expansion (edges never leave
-    # the cluster). Candidates = anchor + everything within
-    # `layer1_hops` layer-1 edge-joins; per-query argmin seeds layer 0.
-    seed_df = spark.createDataFrame(
-        [(int(q), int(c)) for q, c in zip(qids, cur)],
-        "query_id long, vec_id long",
-    )
+    # ---- layer 1: ring pass + greedy boundary probes.
     e1 = graph.edges.filter(F.col("layer") == 1).select("src", "dst")
-    hops = [seed_df]
-    cur_f = seed_df
-    for _ in range(max(0, layer1_hops)):
-        cur_f = (
-            cur_f.select("query_id", F.col("vec_id").alias("src"))
+    best = argmin(
+        score(ring_candidates(anchor, e1, layer1_hops))
+    ).localCheckpoint()
+    for _ in range(max(0, probe_rounds)):
+        nxt = (
+            best.select("query_id", F.col("vec_id").alias("src"))
             .join(e1, "src")
             .select("query_id", F.col("dst").alias("vec_id"))
         )
-        hops.append(cur_f)
-    cand = hops[0]
-    for h in hops[1:]:
-        cand = cand.unionByName(h)
-    cand = cand.distinct()
-    _, score = _broadcast_query_scorer(points, queries, id_col, vec_col)
-    w1 = Window.partitionBy("query_id").orderBy("dist", "vec_id")
-    return (
-        score(cand)
-        .withColumn("_r", F.row_number().over(w1))
-        .filter(F.col("_r") == 1)
-        .select("query_id", "vec_id")
-    )
+        best = argmin(
+            score(nxt.distinct()).unionByName(best)
+        ).localCheckpoint()
+    return best.select("query_id", "vec_id")
 
 
 def greedy_search(
