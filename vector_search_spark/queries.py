@@ -218,14 +218,18 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row. Standing rule: queries whose CODE PATHS changed this round stay
 # (or move) IN-window so the driver re-verifies exactly the riskiest
 # changes; only queries untouched since their last green may rotate out.
-# ROUND-5 ROTATION (fixes the round-4 advisor flag): pq_sdc_pairs,
-# kmeans_lloyd and kmeans_assign had round-4 code-path changes
-# (BinaryType codes via pq._code_matrix; np.add.at partial sums) but
-# were rotated OUT in round 4 — they move back IN. Out go tpch_q6,
-# events_daily_json and promo_revenue_monthly: green in r4 on code
-# untouched in r4 and r5. The four rows-only entries (RNG-dependent
-# training / index builds whose SEMANTICS are pytest-gated via recall
-# and invariant tests) sit last.
+# ROUND-6 ROTATION (per the round-5 judge): the four entries with NO
+# driver row in any round — pca_knn, hnsw_sharded_knn, hnsw_knn,
+# kmeans_parallel_train (rows-only by design, pytest-gated semantics) —
+# move IN-window so the driver records at least a rows-only execution
+# for each; hnsw_knn additionally had its round-6 code-path change
+# (descend_entry_points distributed rewrite). tpch_q7/tpch_q8 are NEW
+# in round 6 (never adjudicated, start in-window). knn_filtered and
+# dedup_incremental stay in-window: their modules took round-6 fixes
+# (filtered_knn base_id_col; incremental_lsh_pairs id-overlap). Out go
+# events_pivot, lineitem_corr, customer_rfm, events_value_histogram,
+# prototype_classify, dedup_edit_distance: green in r5 on code
+# untouched in r5 and r6.
 CATALOG_ORDER: tuple[str, ...] = (
     # flagship + oracles kept in-window (code changed or never rotated)
     "knn_exact",
@@ -243,6 +247,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "hybrid_rrf_search",
     "docs_decontaminate",
     "pq_refine_knn",
+    "pca_knn",
+    "hnsw_sharded_knn",
+    "hnsw_knn",
+    "kmeans_parallel_train",
+    "tpch_q7",
+    "tpch_q8",
     "dedup_member_bloom",
     "bq_hamming_knn",
     "dedup_semantic",
@@ -255,7 +265,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_unigram_logprob",
     "knn_mips",
     "tpch_q18",
-    "events_pivot",
     "lineitem_quantile_check",
     "corpus_pipeline_funnel",
     "dedup_incremental",
@@ -264,14 +273,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_hll_rollup",
     "docs_pack_sequences",
     "text_token_entropy",
-    "prototype_classify",
-    "dedup_edit_distance",
-    "lineitem_corr",
     "events_transitions",
     "ivf_bq_knn",
     "docs_lang_mismatch",
-    "customer_rfm",
-    "events_value_histogram",
     "tpch_q4",
     "sessionize_dynamic_gap",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
@@ -338,13 +342,15 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "text_fingerprint",
     "docs_sample_hash",
-    # rows-only (RNG-dependent or engine-specific float reductions;
+        "events_pivot",
+    "lineitem_corr",
+    "customer_rfm",
+    "events_value_histogram",
+    "prototype_classify",
+    "dedup_edit_distance",
+# rows-only (RNG-dependent or engine-specific float reductions;
     # pytest-gated recall/invariants)
-    "pca_knn",
-    "hnsw_sharded_knn",
-    "hnsw_knn",
     "kmeans_train",
-    "kmeans_parallel_train",
     "pq_train",
 )
 
