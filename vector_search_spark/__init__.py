@@ -32,4 +32,4 @@ Layout
                  (each entry paired with a DuckDB oracle SQL string).
 """
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"

@@ -31,6 +31,7 @@ __all__ = [
     "streaming_topk",
     "running_user_stats",
     "running_user_stats_processor",
+    "running_user_stats_gs",
 ]
 
 
@@ -210,6 +211,48 @@ def running_user_stats_processor():
             pass
 
     return RunningUserStats()
+
+
+def running_user_stats_gs(stream: DataFrame) -> DataFrame:
+    """Runtime-proven twin of :func:`running_user_stats` on the
+    ``applyInPandasWithState`` (GroupState) API: per-user running event
+    count and value sum, one updated (user_id, n_events, total_value)
+    row per user per micro-batch.
+
+    Same capability, both stateful APIs: ``running_user_stats`` uses
+    the Spark-4 handle-based ``transformWithStateInPandas`` (whose
+    runtime needs ``google.protobuf`` — absent in the CI container, so
+    that path is code-reviewed + importorskip'd), while THIS twin runs
+    (and is stream==batch equality-tested) everywhere GroupState runs.
+    A deployment with protobuf available can switch the call; state
+    shape and emitted rows are identical.
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, total = state.get
+            n, total = int(n), float(total)
+        else:
+            n, total = 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum()) if len(pdf) else 0.0
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def running_user_stats(stream):
