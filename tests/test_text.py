@@ -695,3 +695,33 @@ def test_incremental_lsh_updated_doc_supersedes_corpus_row(spark):
         (r.new_id, r.corpus_id, round(r.jaccard, 9)) for r in rows
     )
     assert key(got) == key(want) and got
+
+
+def test_shared_span_pairs_hand_case_and_boilerplate_cap(spark):
+    """Two docs sharing a long verbatim passage must pair with
+    shared >= min_shared; a boilerplate span present in EVERY doc is
+    dropped by the df cap and must not, alone, create pairs."""
+    from vector_search_spark.operators import dedup
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    boiler = "copyright acme corp all rights reserved worldwide"
+    rows = [
+        (1, f"{passage} alpha beta gamma {boiler}"),
+        (2, f"intro words first {passage} {boiler}"),
+        (3, f"totally unrelated content about spark catalyst {boiler}"),
+        (4, f"other unrelated text mentioning parquet files {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.shared_span_pairs(
+        docs, shingle_n=3, window=4, min_shared=2, max_fp_df=2
+    ).collect()
+    pairs = {(r.a, r.b) for r in out}
+    assert (1, 2) in pairs  # the shared passage
+    # boilerplate-only pairs (3,4 etc.) must not appear: its
+    # fingerprints have df=4 > cap
+    assert (3, 4) not in pairs
+    # without the cap the boilerplate span does pair everything
+    un = dedup.shared_span_pairs(
+        docs, shingle_n=3, window=4, min_shared=2, max_fp_df=None
+    ).collect()
+    assert {(r.a, r.b) for r in un} >= {(1, 2), (3, 4)}

@@ -48,6 +48,7 @@ __all__ = [
     "semantic_dedup",
     "incremental_lsh_pairs",
     "incremental_lsh_pairs_shared",
+    "shared_span_pairs",
 ]
 
 
@@ -999,4 +1000,56 @@ def incremental_lsh_pairs_shared(
         F.col("a").alias("new_id"),
         F.col("b").alias("corpus_id"),
         "jaccard",
+    )
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document shared-SPAN detection (the MOSS shape: Schleimer
+    et al., SIGMOD 2003 §4): pairs of documents sharing at least
+    ``min_shared`` winnowing fingerprints, with the shared count.
+
+    Where MinHash/SimHash answer "are these documents near-duplicates
+    as wholes", this answers "do they share verbatim PASSAGES" — the
+    boilerplate/quotation/template signal a training-data pipeline
+    wants before span-level scrubbing. Same relational shape as the
+    n-gram-Jaccard ground truth: fingerprint-key self-join (only pairs
+    sharing >=1 fingerprint ever materialize), count per pair, floor.
+
+    ``max_fp_df`` drops fingerprints whose document frequency exceeds
+    the cap BEFORE the self-join (sitewide boilerplate is exactly the
+    hot-key skew risk — one fingerprint in d documents fans out d^2
+    pairs); reported counts then undercount by the dropped
+    fingerprints, dropping only boilerplate-borne pairs, never
+    distinctive shared passages. Returns (a, b, shared) with a < b.
+    """
+    from vector_search_spark.operators import textstats
+
+    fp = textstats.winnow_fingerprints(
+        docs, shingle_n=shingle_n, window=window,
+        text_col=text_col, id_col=id_col,
+    )
+    if max_fp_df is not None:
+        rare = (
+            fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fingerprint")
+        )
+        fp = fp.join(rare, "fingerprint", "left_semi")
+    a = fp.select(F.col(id_col).alias("a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )

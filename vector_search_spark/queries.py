@@ -253,6 +253,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "kmeans_parallel_train",
     "tpch_q7",
     "tpch_q8",
+    "tpch_q13",
+    "docs_shared_spans",
     "dedup_member_bloom",
     "bq_hamming_knn",
     "dedup_semantic",
@@ -273,9 +275,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_hll_rollup",
     "docs_pack_sequences",
     "text_token_entropy",
-    "events_transitions",
     "ivf_bq_knn",
-    "docs_lang_mismatch",
     "tpch_q4",
     "sessionize_dynamic_gap",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
@@ -348,6 +348,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_value_histogram",
     "prototype_classify",
     "dedup_edit_distance",
+    "docs_lang_mismatch",
+    "events_transitions",
 # rows-only (RNG-dependent or engine-specific float reductions;
     # pytest-gated recall/invariants)
     "kmeans_train",

@@ -1463,27 +1463,33 @@ FROM (
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE n1.n_name <> n2.n_name
     AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
                          AND TIMESTAMP '1997-12-31'
 )
 GROUP BY supp_nation, cust_nation, l_year
-ORDER BY supp_nation, cust_nation, l_year
+ORDER BY revenue DESC, supp_nation, cust_nation, l_year
+LIMIT 20
 """,
     "relational",
     "join",
 )
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume shipping (TPC-H Q7 shape, adapted to the -ish schema):
-    bilateral trade revenue between two nations by shipment year.
+    """Volume shipping (TPC-H Q7 shape, adapted): bilateral
+    international trade revenue by (supplier nation, customer nation,
+    shipment year) — top-20 lanes with an explicit key tie-break.
+    TPC-H parameterizes Q7 to one fixed nation pair; the -ish testdata
+    draws supplier nations independently per scale factor, so a fixed
+    pair is empty at some SFs — the cross-nation predicate keeps the
+    identical join/agg shape at every SF.
 
     Plan hygiene at scale: lineitem (the 100 TB fact) is filtered on
     l_shipdate FIRST (pushed to the parquet scan), joins orders on its
     shuffle key, and every dimension hop — supplier, customer, both
-    nation sides — is an explicit broadcast; the disjunctive nation-
-    pair predicate is applied AFTER both broadcast lookups, so the only
-    shuffles are the two fact-fact key exchanges + the final agg."""
+    nation sides — is an explicit broadcast; the cross-nation predicate
+    applies AFTER the broadcast lookups, so the only shuffles are the
+    fact-fact key exchange + the final agg (top-20 is
+    TakeOrderedAndProject, never a full sort)."""
     s = tables.load(spark, sf_dir, "supplier")
     c = tables.load(spark, sf_dir, "customer")
     o = tables.load(spark, sf_dir, "orders")
@@ -1494,11 +1500,6 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n2 = n.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
     return (
         li.filter(
@@ -1512,7 +1513,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .filter(pair)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
             "cust_nation",
@@ -1523,7 +1524,10 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .orderBy(
+            F.col("revenue").desc(), "supp_nation", "cust_nation", "l_year"
+        )
+        .limit(20)
     )
 
 
@@ -1603,4 +1607,47 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q13",
+    """
+WITH c_orders AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "relational",
+    "join",
+    "agg",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution (TPC-H Q13 shape): how many customers
+    placed exactly N orders — the outer-join + double-aggregation
+    pattern (count preserving zero-order customers, then a histogram of
+    the counts).
+
+    Scale shape: the LEFT OUTER join keys both sides on custkey (one
+    shuffle of orders, customer side broadcast when it fits); the first
+    agg combines map-side; the second agg runs over at most
+    |distinct order counts| rows — essentially free. count(o_orderkey)
+    (not count(*)) is what keeps the no-order customer at 0."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    c_orders = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )

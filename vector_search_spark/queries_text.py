@@ -1667,3 +1667,60 @@ def q_docs_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_lang",
         (F.col("declared_lang") == F.col("pred_lang")).alias("agree"),
     )
+
+
+SPAN_MIN = 2  # min shared winnowing fingerprints to report a pair
+SPAN_DF_CAP = 20  # fingerprint document-frequency cap (boilerplate guard)
+
+
+@register(
+    "docs_shared_spans",
+    f"""
+WITH {_TOKS},
+shp AS (
+  SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos, unnest(s) AS shingle
+  FROM (SELECT doc_id, {T.sql_shingles("t", MH_N)} AS s FROM toks)
+),
+hh AS (SELECT doc_id, pos, {T.sql_h64("shingle")} AS h FROM shp),
+w AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+           AS fingerprint,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM hh
+),
+fp AS (
+  SELECT DISTINCT doc_id, fingerprint FROM w
+  WHERE pos <= greatest(n - {WIN_W}, 0)
+),
+rare AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint
+  HAVING count(*) <= {SPAN_DF_CAP}
+),
+fpr AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint))
+SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+FROM fpr a JOIN fpr b USING (fingerprint)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {SPAN_MIN}
+""",
+    "text",
+    "dedup",
+)
+def q_docs_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-PASSAGE detection (MOSS shape, Schleimer
+    et al. 2003 §4): pairs sharing >= SPAN_MIN winnowing fingerprints
+    after dropping boilerplate fingerprints (df > SPAN_DF_CAP). The
+    span-level complement to the doc-level MinHash/SimHash families:
+    fingerprint-key self-join, output-sensitive, hot keys capped before
+    the join so one sitewide boilerplate span can never fan out df^2
+    pairs."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.shared_span_pairs(
+        docs,
+        shingle_n=MH_N,
+        window=WIN_W,
+        min_shared=SPAN_MIN,
+        max_fp_df=SPAN_DF_CAP,
+    )
