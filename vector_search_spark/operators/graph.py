@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_search_spark.functions.distance import as_double_array
+from vector_search_spark.functions.distance import as_double_array, l2_sqr
 from vector_search_spark.operators import knn
 
 __all__ = [
@@ -643,14 +643,8 @@ def _broadcast_query_scorer(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("bv")
     )
 
-    def score(cands: DataFrame, base_override: DataFrame | None = None) -> DataFrame:
-        # base_override: a (vec_id, bv) subset relation (e.g. the
-        # materialized upper-layer skeleton) — lets repeated scoring
-        # passes probe an index-sized artifact instead of re-scanning
-        # the full vector table.
-        withv = cands.join(
-            base if base_override is None else base_override, "vec_id"
-        )
+    def score(cands: DataFrame) -> DataFrame:
+        withv = cands.join(base, "vec_id")
 
         def fn(batches):
             b_qids, b_Q = bc.value
@@ -792,20 +786,46 @@ def descend_entry_points(
             .join(F.broadcast(endpoint_ids), "vec_id", "left_semi")
             .localCheckpoint()
         )
-        for layer in range(graph.max_level, 1, -1):
+        # Upper-layer candidate sets are a few hundred rows — score them
+        # with the interpreted Catalyst l2 fold on a double broadcast
+        # join rather than the Arrow scorer: at this size the python
+        # worker round trip costs more than the fold, and the values
+        # are the identical sum((a-b)^2) in index order.
+        qdf = queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("_qv"),
+        )
+
+        def score_upper(cand: DataFrame) -> DataFrame:
+            return (
+                cand.join(F.broadcast(upper_base), "vec_id")
+                .join(F.broadcast(qdf), "query_id")
+                .select(
+                    "query_id",
+                    "vec_id",
+                    l2_sqr("_qv", "bv").alias("dist"),
+                )
+            )
+
+        for i, layer in enumerate(range(graph.max_level, 1, -1)):
             e_l = graph.edges.filter(F.col("layer") == layer).select(
                 "src", "dst"
             )
             cand = ring_candidates(anchor, e_l, upper_hops)
-            # localCheckpoint per layer: the anchor subtree feeds every
-            # ring branch of the NEXT layer — left lazy, the plan
-            # duplicates it (h+2)x per layer, exponential in depth.
-            # Eagerly pinning nq rows keeps each layer's work run once.
-            anchor = (
-                argmin(score(cand, base_override=upper_base))
-                .select("query_id", "vec_id")
-                .localCheckpoint()
-            )
+            anchor = argmin(score_upper(cand)).select("query_id", "vec_id")
+            # Pin the nq-row anchor where lazy depth would compound —
+            # each layer's rings duplicate the anchor subtree into
+            # (hops+2) branches, exponential if never cut (measured
+            # 2.4x at depth 3) — but NOT after every layer: the top
+            # layers' subtrees are a handful of joins over near-empty
+            # edge relations, and each localCheckpoint is a scheduled
+            # job (~0.5s of fixed overhead at bench scale). Always pin
+            # before layer 1 (its rings run over the BIG edge
+            # relation); otherwise every other layer bounds Catalyst
+            # plan growth on deep graphs to (hops+2)^2 tiny-join
+            # copies per segment.
+            if layer == 2 or i % 2 == 1:
+                anchor = anchor.localCheckpoint()
 
     # ---- layer 1: ring pass + greedy boundary probes.
     e1 = graph.edges.filter(F.col("layer") == 1).select("src", "dst")
