@@ -229,3 +229,98 @@ def test_refine_improves_or_matches_adc_recall(spark, emb, model):
             assert r.dist == pytest.approx(
                 tdist[(r.query_id, r.vec_id)], rel=1e-12
             )
+
+
+# --- OPQ: trained rotation (Ge et al. 2013 non-parametric mode) -----------
+
+
+def _aniso_df(spark, n=600, dim=16, seed=9):
+    """Anisotropic fixture: axis-skewed gaussian pushed through a fixed
+    mixing rotation, so variance is concentrated along directions
+    MISALIGNED with the PQ subspace boundaries — the regime OPQ exists
+    for."""
+    import numpy as np
+
+    from vector_search_spark.operators import pq as _pq
+
+    rng = np.random.default_rng(seed)
+    scales = np.geomspace(8.0, 0.25, dim)
+    X = rng.normal(size=(n, dim)) * scales[None, :]
+    Mx = _pq.random_rotation(dim, seed=7)
+    X = X @ Mx.T
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_opq_rotation_orthonormal_and_monotone(spark):
+    from vector_search_spark.operators import pq as _pq
+
+    df = _aniso_df(spark)
+    R, model, errs = _pq.train_opq_rotation(
+        df, m=4, k=16, opq_iters=5, lloyd_iters=6, seed=42
+    )
+    import numpy as np
+
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)
+    # identity init => iteration 0 == plain PQ; alternating
+    # minimization must be monotone non-increasing on the sample
+    assert all(
+        errs[i + 1] <= errs[i] * (1 + 1e-9) for i in range(len(errs) - 1)
+    ), errs
+    assert errs[-1] < errs[0]  # anisotropic data: rotation genuinely helps
+
+
+def test_opq_beats_plain_pq_reconstruction_and_recall(spark):
+    import numpy as np
+
+    from vector_search_spark.operators import knn as _knn
+    from vector_search_spark.operators import pq as _pq
+
+    df = _aniso_df(spark).localCheckpoint()
+    M, K = 4, 16
+    R, opq_model, errs = _pq.train_opq_rotation(
+        df, m=M, k=K, opq_iters=5, lloyd_iters=6, seed=42
+    )
+    pq_model, _ = _pq.train_pq(df, m=M, k=K, seed=42, max_iter=30)
+
+    # distributed reconstruction error, both codecs
+    def mse(codes, model, base, vec_col):
+        dec = _pq.decode(codes, model)
+        joined = dec.join(base, "vec_id")
+        import pyspark.sql.functions as F
+
+        return (
+            joined.select(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.col("vec").cast("array<double>"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("e")
+            )
+            .agg(F.avg("e"))
+            .collect()[0][0]
+        )
+
+    rot = _pq.rotate(df, R).withColumnRenamed("rotated", "embedding")
+    opq_codes = _pq.encode(rot, opq_model)
+    pq_codes = _pq.encode(df, pq_model)
+    e_opq = mse(opq_codes, opq_model, rot.localCheckpoint(), "embedding")
+    e_pq = mse(pq_codes, pq_model, df, "embedding")
+    # rotation is an isometry, so rotated-space MSE == original-space MSE
+    assert e_opq <= e_pq * 1.02, (e_opq, e_pq)
+
+    # end-to-end ADC recall: rotate queries with the SAME R
+    queries = df.filter("vec_id < 20")
+    truth = _knn.brute_force_knn(queries, df, k=5)
+    rot_q = _pq.rotate(queries, R).withColumnRenamed("rotated", "embedding")
+    got_opq = _pq.adc_topk(rot_q, opq_codes, opq_model, k=5)
+    got_pq = _pq.adc_topk(queries, pq_codes, pq_model, k=5)
+    r_opq = _knn.recall_at_k(got_opq, truth, k=5)
+    r_pq = _knn.recall_at_k(got_pq, truth, k=5)
+    assert r_opq >= r_pq - 0.05, (r_opq, r_pq)

@@ -583,3 +583,92 @@ def refine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "dist", "rank")
     )
+
+
+def _lloyd_numpy(X: np.ndarray, C: np.ndarray, iters: int) -> np.ndarray:
+    """Small in-memory Lloyd refinement (first-min tie-break, empty
+    cluster keeps its old centroid — same conventions as the
+    distributed trainer)."""
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        newC = C.copy()
+        for j in range(len(C)):
+            mask = a == j
+            if mask.any():
+                newC[j] = X[mask].mean(axis=0)
+        if np.allclose(newC, C):
+            return newC
+        C = newC
+    return C
+
+
+def train_opq_rotation(
+    points: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    opq_iters: int = 8,
+    lloyd_iters: int = 8,
+    sample_size: int = 100_000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, PQModel, list[float]]:
+    """OPQ: jointly train an orthonormal rotation R and PQ codebooks by
+    alternating minimization (Ge et al., CVPR 2013, the non-parametric
+    OPQ that FAISS ships as the OPQMatrix stage):
+
+      repeat: (1) fix R, train PQ on the rotated sample X @ R.T;
+              (2) fix codebooks, solve the orthogonal Procrustes
+                  problem  min_R ||X R^T − Y||_F  (Y = the PQ
+                  reconstructions) via one SVD of X^T Y.
+
+    R is initialized to the IDENTITY, so iteration 0's objective equals
+    plain PQ's — alternating minimization is then monotone
+    non-increasing on the sample, i.e. trained-OPQ reconstruction error
+    is never worse than plain PQ where it was trained (the returned
+    ``errs`` history is asserted monotone in tests).
+
+    Scale shape: rotation + codebooks are a model (D² + M·K·D/M
+    doubles) trained on a bounded driver-side sample — the same FAISS
+    practice as train_coarse — then applied distributed
+    (:func:`rotate` gemm pass → :func:`encode`); no unbounded driver
+    state. Returns (R, model, errs).
+    """
+    src = points.select(as_double_array(vec_col).alias("_v"))
+    n = src.count()
+    sample = src
+    if n > sample_size:
+        sample = src.sample(
+            fraction=min(1.0, sample_size / n * 1.1), seed=seed
+        ).limit(sample_size)
+    X = np.vstack(sample.toPandas()["_v"].to_numpy()).astype(np.float64)
+    if len(X) < k:
+        raise ValueError(f"need >= {k} training points, got {len(X)}")
+    dim = X.shape[1]
+    dsub = _check_dims(dim, m)
+    rng = np.random.default_rng(seed)
+
+    R = np.eye(dim)
+    C = None
+    errs: list[float] = []
+    for _ in range(max(1, opq_iters)):
+        Xr = X @ R.T
+        Xs = Xr.reshape(len(X), m, dsub)
+        if C is None:
+            C = np.empty((m, k, dsub))
+            for mi in range(m):
+                C[mi] = _kmeanspp_numpy(Xs[:, mi, :], k, rng)
+        for mi in range(m):
+            C[mi] = _lloyd_numpy(Xs[:, mi, :], C[mi], lloyd_iters)
+        # reconstruct in rotated space
+        Y = np.empty_like(Xr)
+        for mi in range(m):
+            d = (
+                (Xs[:, mi, None, :] - C[mi][None, :, :]) ** 2
+            ).sum(axis=2)
+            Y[:, mi * dsub : (mi + 1) * dsub] = C[mi][d.argmin(axis=1)]
+        errs.append(float(((Xr - Y) ** 2).sum(axis=1).mean()))
+        # orthogonal Procrustes: min_R ||X R^T - Y||_F
+        U, _s, Vt = np.linalg.svd(X.T @ Y)
+        R = (U @ Vt).T
+    return np.ascontiguousarray(R), PQModel(C), errs

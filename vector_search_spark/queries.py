@@ -255,6 +255,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q8",
     "tpch_q13",
     "docs_shared_spans",
+    "opq_adc_knn",
     "dedup_member_bloom",
     "bq_hamming_knn",
     "dedup_semantic",
@@ -276,7 +277,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_pack_sequences",
     "text_token_entropy",
     "ivf_bq_knn",
-    "tpch_q4",
     "sessionize_dynamic_gap",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
@@ -350,6 +350,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_edit_distance",
     "docs_lang_mismatch",
     "events_transitions",
+    "tpch_q4",
 # rows-only (RNG-dependent or engine-specific float reductions;
     # pytest-gated recall/invariants)
     "kmeans_train",

@@ -1692,3 +1692,25 @@ def q_ivf_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", "hamming", rnd("dist").alias("dist"), "rank"
         )
     )
+
+
+@register("opq_adc_knn", None, "vector", "pq", "opq", "rows-only")
+def q_opq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ (Ge et al. 2013, the FAISS OPQMatrix stage): alternating
+    Procrustes-trained orthonormal rotation + PQ codebooks, applied as
+    a distributed gemm rotate pass -> encode -> per-query ADC scan.
+    Driver-side SVD in training -> not SQL-expressible -> rows-only;
+    reconstruction-monotonicity and recall-vs-plain-PQ are pytest-gated
+    (tests/test_pq.py::test_opq_*)."""
+    from vector_search_spark.operators import pq as _pq
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    R, model, _errs = _pq.train_opq_rotation(
+        emb, m=PQ_M, k=PQ_K, opq_iters=4, lloyd_iters=6, seed=42
+    )
+    rot = _pq.rotate(emb, R).withColumnRenamed("rotated", "embedding")
+    codes = _pq.encode(rot, model)
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    rot_q = _pq.rotate(queries, R).withColumnRenamed("rotated", "embedding")
+    out = _pq.adc_topk(rot_q, codes, model, k=10)
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
