@@ -297,3 +297,54 @@ def test_filtered_knn_prefilter_predicate_reaches_scan(spark):
     out = knn.filtered_knn(q, emb, F.col("label") == 2, k=5)
     pushed = plans.pushed_filters(out)
     assert any("label" in p for p in pushed), f"no pushdown: {pushed}"
+
+
+def test_round6_queries_partition_invariant(spark):
+    """Partition-invariance gate extended to the round-6 oracle-paired
+    additions: the winnowing shared-span self-join, the two new TPC-H
+    shapes, and the outer-join histogram."""
+    from vector_search_spark.queries import get_catalog
+
+    cat = get_catalog()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in (prev, "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in ("docs_shared_spans", "tpch_q7", "tpch_q8",
+                         "tpch_q13"):
+                df = cat[name].fn(spark, SF_ORACLE)
+                rows = sorted(tuple(r) for r in df.collect())
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} differs across partition counts"
+
+
+def test_tpch_q7_top20_is_take_ordered_not_full_sort(spark):
+    """Q7's LIMIT 20 over the ordered lanes must plan as
+    TakeOrderedAndProject (per-partition top-k + merge), never a global
+    Sort followed by a limit — at 100 TB a full sort of the lane
+    aggregate is pure waste."""
+    from vector_search_spark import plans
+    from vector_search_spark.queries import get_catalog
+
+    df = get_catalog()["tpch_q7"].fn(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in p, p[:2000]
+
+
+def test_tpch_q8_dimension_hops_broadcast(spark):
+    """Every dimension hop in the 7-relation Q8 join must be a
+    broadcast — the only exchanges allowed are the fact-fact key
+    shuffle and the final aggregate."""
+    from vector_search_spark import plans
+    from vector_search_spark.queries import get_catalog
+
+    df = get_catalog()["tpch_q8"].fn(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 5, (
+        "expected >=5 broadcast joins\n" + p[:3000]
+    )
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
