@@ -725,3 +725,34 @@ def test_shared_span_pairs_hand_case_and_boilerplate_cap(spark):
         docs, shingle_n=3, window=4, min_shared=2, max_fp_df=None
     ).collect()
     assert {(r.a, r.b) for r in un} >= {(1, 2), (3, 4)}
+
+
+def test_quality_weighted_sample_monotone_nesting(spark):
+    """Raising the base rate (or a row's weight) must strictly GROW the
+    kept set — the per-row uniform depends only on (seed, id), never on
+    the rate, so samples nest (the property mixture tuning needs)."""
+    from vector_search_spark import tables as tb
+    from vector_search_spark.operators import sampling
+
+    docs = tb.load(spark, "/root/testdata/sf0.001", "documents")
+    w = F.least(F.col("n_chars") / F.lit(1000.0), F.lit(2.0))
+    keep = {}
+    for r in (0.1, 0.3, 0.6):
+        keep[r] = {
+            x.doc_id
+            for x in sampling.quality_weighted_sample(
+                docs, weight=w, base_rate=r
+            ).select("doc_id").collect()
+        }
+    assert keep[0.1] <= keep[0.3] <= keep[0.6]
+    assert len(keep[0.1]) < len(keep[0.6])
+    # doubling every weight at fixed rate also nests
+    big = {
+        x.doc_id
+        for x in sampling.quality_weighted_sample(
+            docs, weight=w * 2.0, base_rate=0.3
+        ).select("doc_id").collect()
+    }
+    assert keep[0.3] <= big
+    with pytest.raises(ValueError):
+        sampling.quality_weighted_sample(docs, weight=w, base_rate=-0.1)

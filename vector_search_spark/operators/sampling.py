@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from vector_search_spark.functions import texts as T
 
-__all__ = ["stratified_sample_hash"]
+__all__ = ["stratified_sample_hash", "quality_weighted_sample"]
 
 # Rate resolution: rates are applied as integer thresholds out of 1e6,
 # so the smallest expressible rate step is 1e-6 (and the oracle's
@@ -62,5 +62,35 @@ def stratified_sample_hash(
         F.create_map(*pairs)[F.col(stratum_col)],
         F.lit(int(default_rate * _DENOM)),
     )
+    u = T.h32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return df.filter(u % _DENOM < threshold)
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    base_rate: float,
+    id_col: str = "doc_id",
+    seed: str = "qw",
+) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep a row iff
+    ``h32(seed:id) % 1e6 < floor(clamp(base_rate * weight, 0, 1) * 1e6)``.
+
+    The corpus-mixing primitive (quality-weighted upsampling is how
+    LLM data recipes skew toward high-quality documents while keeping
+    the pipeline reproducible): a per-row keep-probability proportional
+    to any quality score already computed relationally, applied as a
+    hash threshold so the decision is stable under re-partitioning,
+    appends, retries, and engine swaps — never ``sample()``'s RNG.
+    The per-row uniform draw depends only on (seed, id), so raising
+    ``base_rate`` (or a row's weight) strictly grows the sample —
+    nested samples, the property mixture tuning needs.
+
+    Plan shape: one map-side filter, no shuffle, no state at any size.
+    """
+    if base_rate < 0.0:
+        raise ValueError(f"base_rate must be >= 0, got {base_rate}")
+    p = F.least(F.greatest(F.lit(base_rate) * weight, F.lit(0.0)), F.lit(1.0))
+    threshold = F.floor(p * _DENOM).cast("long")
     u = T.h32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     return df.filter(u % _DENOM < threshold)

@@ -256,6 +256,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q13",
     "docs_shared_spans",
     "opq_adc_knn",
+    "docs_quality_weighted_sample",
     "dedup_member_bloom",
     "bq_hamming_knn",
     "dedup_semantic",
@@ -280,7 +281,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "sessionize_dynamic_gap",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
-    "text_repetition",
     "dedup_minhash_lsh",
     "dedup_groups",
     "docs_length_percentile_filter",
@@ -351,6 +351,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_lang_mismatch",
     "events_transitions",
     "tpch_q4",
+    "text_repetition",
 # rows-only (RNG-dependent or engine-specific float reductions;
     # pytest-gated recall/invariants)
     "kmeans_train",

@@ -1724,3 +1724,34 @@ def q_docs_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=SPAN_MIN,
         max_fp_df=SPAN_DF_CAP,
     )
+
+
+QW_BASE = 0.35  # quality-weighted sampling base rate
+
+
+@register(
+    "docs_quality_weighted_sample",
+    f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE {T.sql_h32("'qw:' || CAST(doc_id AS VARCHAR)")} % 1000000
+      < floor(least(greatest({QW_BASE} * least(n_chars / 1000.0, 2.0), 0.0),
+                    1.0) * 1000000)
+""",
+    "text",
+    "pipeline",
+)
+def q_docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (the LLM data-mixing
+    primitive): per-row keep probability proportional to a
+    relationally-computed quality proxy (here capped length), decided
+    by a salted id-hash threshold — reproducible under repartitioning,
+    appends, and engine swaps, and monotone in both the base rate and
+    the row's weight (raising either strictly grows the sample)."""
+    from vector_search_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars") / F.lit(1000.0), F.lit(2.0))
+    return sampling.quality_weighted_sample(
+        docs, weight=w, base_rate=QW_BASE, seed="qw"
+    ).select("doc_id", "n_chars")
