@@ -257,6 +257,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_shared_spans",
     "opq_adc_knn",
     "docs_quality_weighted_sample",
+    "tpch_q15",
+    "tpch_q17",
     "dedup_member_bloom",
     "bq_hamming_knn",
     "dedup_semantic",
@@ -281,9 +283,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "sessionize_dynamic_gap",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
-    "dedup_minhash_lsh",
     "dedup_groups",
-    "docs_length_percentile_filter",
     "text_hash_embed_knn",
     # multimodal
     "multimodal_byte_histogram",
@@ -352,6 +352,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_transitions",
     "tpch_q4",
     "text_repetition",
+    "dedup_minhash_lsh",
+    "docs_length_percentile_filter",
 # rows-only (RNG-dependent or engine-specific float reductions;
     # pytest-gated recall/invariants)
     "kmeans_train",

@@ -1651,3 +1651,104 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@register(
+    "tpch_q17",
+    """
+WITH part_avg AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT (ROUND(SUM(l.l_extendedprice) / 7.0, 2) + 0.0) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.qty_cut
+""",
+    "relational",
+    "join",
+    "agg",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): revenue lost to
+    orders below 20% of the part's average quantity — the correlated
+    scalar-aggregate pattern, planned as one per-part aggregate joined
+    back to the fact (never a per-row subquery execution).
+
+    Scale: both the fact scan and the per-part avg shuffle on
+    l_partkey, so AQE can reuse the exchange; the brand filter prunes
+    via the broadcast part dimension before the fact rows reach the
+    aggregate join."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(rnd(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q15",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, (r.total_revenue + 0.0) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+    "relational",
+    "join",
+    "agg",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): the supplier(s) with maximum
+    quarterly revenue — aggregate-then-compare-to-global-max, the
+    "view reused twice" pattern. The revenue relation is
+    localCheckpointed: it feeds both the max computation and the
+    equality filter from ONE action, and a lazy cache under two
+    subtrees of the same action races (recomputes both sides).
+    Rounded BEFORE the max/equality so the compared values are ones
+    both engines agree on bit-for-bit; ties (multiple max suppliers)
+    all surface, ordered by key."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .localCheckpoint()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_revenue") + F.lit(0.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
