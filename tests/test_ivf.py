@@ -314,3 +314,77 @@ def test_upsert_index_removes_drained_cell(spark, tmp_path):
     # idempotence: replaying the same batch changes nothing
     ivf.upsert_index(spark, path, batch, cents)
     assert spark.read.parquet(path).count() == 2
+
+
+def test_rebalance_index_splits_fat_cell_only(spark, tmp_path):
+    """A cell holding most of the data gets split in two; untouched
+    cells keep their ids and files; routing against the grown centroid
+    table still finds every row exactly once; search over the
+    rebalanced index equals brute force at full probe."""
+    import numpy as np
+
+    # 2 far-apart regions; region 0 deliberately overloaded 10:1
+    rng = np.random.default_rng(3)
+    fat = rng.normal(0.0, 1.0, size=(100, 4))
+    thin = rng.normal(20.0, 0.5, size=(10, 4))
+    X = np.vstack([fat, thin])
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.array([[0.0] * 4, [20.0] * 4])
+    path = str(tmp_path / "rb_index")
+    ivf.write_index(ivf.assign_clusters(base, cents), path)
+
+    # mean cell size is 55 (100 + 10 over 2 cells): factor 1.5 -> only
+    # the 100-row cell crosses the 82.5-row bar
+    C2, split = ivf.rebalance_index(spark, path, cents, skew_factor=1.5)
+    assert split == [0]
+    assert len(C2) == 3  # one new child cell
+    assert np.allclose(C2[1], cents[1])  # untouched cell's centroid kept
+
+    after = spark.read.parquet(path)
+    assert after.count() == len(X)  # no row lost or duplicated
+    assert after.select("vec_id").distinct().count() == len(X)
+    # the fat cell genuinely split: both children non-trivial
+    sizes = {
+        int(r.cluster_id): int(r.n)
+        for r in after.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sizes[1] == 10  # untouched
+    assert set(sizes) == {0, 1, 2}
+    assert sizes[0] + sizes[2] == 100 and min(sizes[0], sizes[2]) >= 10
+
+    # full-probe search over the rebalanced layout == brute force
+    queries = base.filter(F.col("vec_id") < 5)
+    got = ivf.ivf_topk(
+        queries, after, C2, k=3, nprobe=len(C2)
+    ).select("query_id", "vec_id", "rank")
+    want = knn.brute_force_knn(queries, base, k=3).select(
+        "query_id", "vec_id", "rank"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_rebalance_index_noop_when_balanced(spark, emb, centroids, tmp_path):
+    import numpy as np
+
+    path = str(tmp_path / "rb_noop")
+    ivf.write_index(ivf.assign_clusters(emb, centroids), path)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .select("vec_id", "cluster_id").collect()
+    )
+    C2, split = ivf.rebalance_index(
+        spark, path, centroids, skew_factor=1e9
+    )
+    assert split == [] and np.allclose(C2, centroids)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .select("vec_id", "cluster_id").collect()
+    )
+    assert after == before

@@ -537,3 +537,105 @@ def compact_index(
             path
         )
     return sorted(fragged)
+
+
+def rebalance_index(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    skew_factor: float = 4.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, list[int]]:
+    """Split oversized cells (index maintenance under drift): any cell
+    holding more than ``skew_factor`` x the mean cell size is split in
+    two by a local 2-means over ITS OWN rows (deterministic
+    farthest-point init), its centroid replaced by the two children,
+    and only its rows rewritten.
+
+    Why this matters at 100 TB: IVF's scan cost is |probed cells| x
+    |cell|. Ingest drift (a hot topic, one crawl source) concentrates
+    rows into a few mega-cells, so every probe that routes there pays
+    the skew — rebalancing restores the pruning economics WITHOUT a
+    full re-train/re-write: untouched cells keep their ids, their
+    directories are never read, and queries keep routing against the
+    returned (grown) centroid table. The same touched-cells-only
+    contract as upsert_index/compact_index.
+
+    Splitting is driver-side numpy over one cell's rows at a time —
+    bounded by the largest cell, which is exactly what this operator
+    is shrinking; production would cap the collected sample per split
+    (the split quality needs only a sample). New cells take fresh ids
+    NC, NC+1, ... so existing cell ids (and their directories) stay
+    stable.
+
+    Returns (new_centroids, split_cell_ids).
+    """
+    existing = spark.read.parquet(path)
+    counts = {
+        int(r.cluster_id): int(r.n)
+        for r in existing.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return np.asarray(centroids), []
+    mean = sum(counts.values()) / len(counts)
+    fat = sorted(
+        c for c, n in counts.items() if n > skew_factor * mean and n >= 2
+    )
+    if not fat:
+        return np.asarray(centroids), []
+
+    C = np.asarray(centroids, dtype=np.float64).copy()
+    new_rows = []
+    next_id = len(C)
+    for cell in fat:
+        pdf = (
+            existing.filter(F.col("cluster_id") == cell)
+            .select(id_col, as_double_array(vec_col).alias("_v"))
+            .toPandas()
+        )
+        X = np.vstack(pdf["_v"].to_numpy())
+        # seeded 2-means: farthest-from-mean + farthest-from-that init
+        mu = X.mean(axis=0)
+        a = int(((X - mu) ** 2).sum(axis=1).argmax())
+        b = int(((X - X[a]) ** 2).sum(axis=1).argmax())
+        two = np.stack([X[a], X[b]])
+        for _ in range(10):
+            d = ((X[:, None, :] - two[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
+            nxt = two.copy()
+            for j in (0, 1):
+                if (lab == j).any():
+                    nxt[j] = X[lab == j].mean(axis=0)
+            if np.allclose(nxt, two):
+                break
+            two = nxt
+        d = ((X[:, None, :] - two[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        # child 0 keeps the old cell id; child 1 gets a fresh id
+        C[cell] = two[0]
+        C = np.vstack([C, two[1][None, :]])
+        ids = pdf[id_col].to_numpy()
+        child = np.where(lab == 0, cell, next_id)
+        new_rows.append(
+            pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cluster_id": child.astype("int32"),
+                    "_v": list(X),
+                }
+            )
+        )
+        next_id += 1
+
+    moved = spark.createDataFrame(pd.concat(new_rows, ignore_index=True))
+    moved = moved.select(
+        id_col,
+        F.col("cluster_id").cast("int"),
+        F.col("_v").cast("array<double>").alias(vec_col),
+    )
+    with _dynamic_overwrite(spark):
+        moved.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    return C, fat
