@@ -310,3 +310,42 @@ def test_filtered_postfilter_custom_base_id_col(spark):
         for r in emb.select("bid", "label").filter(F.col("label") == 2).collect()
     }
     assert ids <= lab  # every survivor satisfies the predicate
+
+
+# --- multi-probe LSH (operators/lsh_ann.py) --------------------------------
+
+
+def test_lsh_multiprobe_candidates_superset_and_recall(spark):
+    """Multi-probe candidates strictly contain single-probe candidates
+    (home bucket is always probed), so recall can only improve; probe
+    set size is exactly (1 + n_flip) rows per (query, table)."""
+    from vector_search_spark.operators import lsh_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    H = lsh_ann.hyperplanes(dim=64, n_bits=8, n_tables=2, seed=7)
+    q = emb.filter(F.col("vec_id") < 10)
+
+    probes = lsh_ann.lsh_probe_signatures(q, H, n_flip=2)
+    n_q = q.count()
+    assert probes.count() == n_q * 2 * (1 + 2)  # (1+n_flip) per table
+    # home signatures are a subset of the probe set
+    homes = lsh_ann.lsh_signatures(q, H).select(
+        F.col("vec_id").alias("query_id"), "t", "sig"
+    )
+    assert homes.join(probes, ["query_id", "t", "sig"], "left_anti").count() == 0
+
+    single = lsh_ann.lsh_topk(emb, q, H, k=5)
+    multi = lsh_ann.lsh_multiprobe_topk(emb, q, H, k=5, n_flip=2)
+    truth = knn.brute_force_knn(q, emb, k=5)
+
+    def recall(res):
+        hit = res.select("query_id", "vec_id").intersect(
+            truth.select("query_id", "vec_id")
+        ).count()
+        return hit / truth.count()
+
+    r1, rm = recall(single), recall(multi)
+    assert rm >= r1  # superset candidates
+    assert rm > 0.3
+    with pytest.raises(ValueError):
+        lsh_ann.lsh_probe_signatures(q, H, n_flip=99)

@@ -259,6 +259,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_quality_weighted_sample",
     "tpch_q15",
     "tpch_q17",
+    "ann_lsh_multiprobe",
     "dedup_member_bloom",
     "bq_hamming_knn",
     "dedup_semantic",
@@ -284,7 +285,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
     # never adjudicated, so they sit in-window)
     "dedup_groups",
-    "text_hash_embed_knn",
     # multimodal
     "multimodal_byte_histogram",
     # streaming windows + the stream-stream join's batch twin (NEW in
@@ -354,6 +354,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_repetition",
     "dedup_minhash_lsh",
     "docs_length_percentile_filter",
+    "text_hash_embed_knn",
 # rows-only (RNG-dependent or engine-specific float reductions;
     # pytest-gated recall/invariants)
     "kmeans_train",
