@@ -291,3 +291,55 @@ def test_jsonl_quarantine_cleared_on_clean_rerun(spark, tmp_path):
     n = jsonl.jsonl_to_parquet(spark, str(src), dst)
     assert n == 2
     assert spark.read.parquet(dst + "_quarantine").count() == 0
+
+
+# --- fvecs as a Spark 4 Python Data Source ---------------------------------
+
+
+def test_fvecs_datasource_equals_function_reader_and_splits(spark, tmp_path):
+    """spark.read.format('fvecs') must return exactly the rows of the
+    binaryFile-based read_fvecs, and a small target_bytes must split
+    ONE file into MANY input partitions at record boundaries (the
+    capability binaryFile lacks) without changing the result."""
+    import numpy as np
+
+    from vector_search_spark.sources import fvecs as fv
+    from vector_search_spark.sources.fvecs_datasource import FvecsDataSource
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(100, 8)).astype(np.float32)
+    p = str(tmp_path / "base.fvecs")
+    fv.write_fvecs_local(X, p)
+
+    spark.dataSource.register(FvecsDataSource)
+    got = spark.read.format("fvecs").load(p)
+    want = fv.read_fvecs(spark, p)
+
+    def key(df):
+        return sorted(
+            (r.row_in_file, tuple(round(float(x), 6) for x in r.embedding))
+            for r in df.select("row_in_file", "embedding").collect()
+        )
+
+    assert key(got) == key(want)
+    assert got.count() == 100
+
+    # force many splits: 3 records per split -> ceil(100/3) partitions
+    rec = 4 + 4 * 8
+    split_df = (
+        spark.read.format("fvecs")
+        .option("target_bytes", 3 * rec)
+        .load(p)
+    )
+    assert split_df.rdd.getNumPartitions() >= 30
+    assert key(split_df) == key(want)
+
+
+def test_fvecs_datasource_rejects_corrupt_file(spark, tmp_path):
+    from vector_search_spark.sources.fvecs_datasource import FvecsDataSource
+
+    p = tmp_path / "bad.fvecs"
+    p.write_bytes(b"\x08\x00\x00\x00" + b"\x00" * 7)  # truncated record
+    spark.dataSource.register(FvecsDataSource)
+    with pytest.raises(Exception, match="not a multiple"):
+        spark.read.format("fvecs").load(str(p)).count()

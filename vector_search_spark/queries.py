@@ -260,6 +260,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q15",
     "tpch_q17",
     "ann_lsh_multiprobe",
+    "events_variant_stats",
     "dedup_member_bloom",
     "bq_hamming_knn",
     "dedup_semantic",
@@ -277,7 +278,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_incremental",
     "knn_quota",
     "events_hourly_zscore",
-    "events_hll_rollup",
     "docs_pack_sequences",
     "text_token_entropy",
     "ivf_bq_knn",
@@ -355,6 +355,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "docs_length_percentile_filter",
     "text_hash_embed_knn",
+    "events_hll_rollup",
 # rows-only (RNG-dependent or engine-specific float reductions;
     # pytest-gated recall/invariants)
     "kmeans_train",

@@ -1752,3 +1752,44 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "events_variant_stats",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "relational",
+    "scalar",
+    "variant",
+)
+def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` once into a binary-encoded variant column, then
+    ``variant_get`` path extraction — the open-table-format answer to
+    schema-on-read JSON (parse once, extract many, no per-extraction
+    re-parse like get_json_object). Filter + aggregate on the
+    extracted field; the DuckDB oracle reads the same paths with
+    json_extract_string."""
+    ev = tables.load(spark, sf_dir, "events")
+    v = ev.withColumn("_props", F.parse_json("props"))
+    k = F.variant_get(F.col("_props"), "$.k", "int")
+    return (
+        v.filter((k % 2) == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.max(k).cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
