@@ -756,3 +756,28 @@ def test_quality_weighted_sample_monotone_nesting(spark):
     assert keep[0.3] <= big
     with pytest.raises(ValueError):
         sampling.quality_weighted_sample(docs, weight=w, base_rate=-0.1)
+
+
+def test_bigram_logprob_hand_case(spark):
+    """Deterministic corpus: 'a b' repeated vs 'b a' once. With add-k
+    smoothing, the common transition must outscore the rare one, and
+    the exact value is checkable by hand."""
+    import math
+
+    rows = [
+        (1, "a b"),
+        (2, "a b"),
+        (3, "b a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in textstats.bigram_logprob(docs, k=0.5).collect()
+    }
+    # bigrams: (a,b) x2, (b,a) x1; contexts: a->2, b->1; V=2
+    p_ab = (2 + 0.5) / (2 + 0.5 * 2)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 2)
+    assert out[1] == out[2]
+    assert out[1][0] == 1 and abs(out[1][1] - math.log(p_ab)) < 1e-12
+    assert abs(out[3][1] - math.log(p_ba)) < 1e-12
+    assert out[1][1] > out[3][1]

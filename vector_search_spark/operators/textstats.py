@@ -20,6 +20,7 @@ from vector_search_spark.functions import texts as T
 
 __all__ = [
     "unigram_logprob",
+    "bigram_logprob",
     "STOPWORDS",
     "BPE_TOKEN_RE",
     "language_id",
@@ -439,6 +440,62 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_toks"),
+            F.avg(F.log("p")).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-relative BIGRAM log-probability per document — one rung
+    up the LM-quality ladder from :func:`unigram_logprob`: scores
+    P(t_i | t_{i-1}) with add-k smoothing over the corpus's own bigram
+    counts, so word-salad documents (plausible tokens, implausible
+    transitions) score low even when their unigram mix looks fine.
+
+    Smoothing is required here (unlike the unigram case): a document's
+    bigram can be corpus-unique, and an unsmoothed estimate degenerates
+    to log(1/cnt(a)) noise at the tail —
+    P(b|a) = (cnt(a,b) + k) / (cnt(a,·) + k·V), V = unigram vocab.
+
+    Shapes: the bigram relation is one lead() window over (doc, pos);
+    counts are two map-side-combinable shuffles (bigram-vocab- and
+    vocab-sized, not corpus-sized); the probability join is an
+    equi-join on the bigram key that AQE demotes to broadcast for
+    small vocabularies. Returns (id_col, n_bigrams int, avg_logprob) —
+    single-token documents have no bigram and drop out (the honest
+    contract; callers coalesce if they need them).
+    """
+    from vector_search_spark.functions import texts as T
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos", "t")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        toks.select(F.col(id_col), "t", F.lead("t").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+    )
+    cnt_ab = bg.groupBy("t", "nxt").agg(F.count(F.lit(1)).alias("c_ab"))
+    cnt_a = bg.groupBy("t").agg(F.count(F.lit(1)).alias("c_a"))
+    V = toks.select("t").distinct().count()
+    probs = cnt_ab.join(cnt_a, "t").select(
+        "t",
+        "nxt",
+        (
+            (F.col("c_ab") + F.lit(float(k)))
+            / (F.col("c_a") + F.lit(float(k * V)))
+        ).alias("p"),
+    )
+    return (
+        bg.join(probs, ["t", "nxt"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
             F.avg(F.log("p")).alias("avg_logprob"),
         )
     )

@@ -261,6 +261,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q17",
     "ann_lsh_multiprobe",
     "events_variant_stats",
+    "text_bigram_logprob",
     "dedup_member_bloom",
     "bq_hamming_knn",
     "dedup_semantic",
@@ -278,7 +279,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_incremental",
     "knn_quota",
     "events_hourly_zscore",
-    "docs_pack_sequences",
     "text_token_entropy",
     "ivf_bq_knn",
     "sessionize_dynamic_gap",
@@ -356,6 +356,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_length_percentile_filter",
     "text_hash_embed_knn",
     "events_hll_rollup",
+    "docs_pack_sequences",
 # rows-only (RNG-dependent or engine-specific float reductions;
     # pytest-gated recall/invariants)
     "kmeans_train",

@@ -1755,3 +1755,48 @@ def q_docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
     return sampling.quality_weighted_sample(
         docs, weight=w, base_rate=QW_BASE, seed="qw"
     ).select("doc_id", "n_chars")
+
+
+BG_K = 0.5  # bigram add-k smoothing
+
+
+@register(
+    "text_bigram_logprob",
+    f"""
+WITH {_TOKS},
+tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS t FROM toks
+),
+bg AS (
+  SELECT doc_id, t,
+         lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok
+  QUALIFY nxt IS NOT NULL
+),
+vocab AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM tok),
+c_ab AS (SELECT t, nxt, count(*) AS c_ab FROM bg GROUP BY t, nxt),
+c_a AS (SELECT t, count(*) AS c_a FROM bg GROUP BY t),
+probs AS (
+  SELECT ab.t, ab.nxt,
+         (ab.c_ab + {BG_K}) / (a.c_a + {BG_K} * (SELECT v FROM vocab)) AS p
+  FROM c_ab ab JOIN c_a a ON a.t = ab.t
+)
+SELECT bg.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       (ROUND(avg(ln(p.p)), 6) + 0.0) AS avg_logprob
+FROM bg JOIN probs p ON p.t = bg.t AND p.nxt = bg.nxt
+GROUP BY bg.doc_id
+""",
+    "text",
+    "quality",
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM quality score (one rung above the unigram
+    proxy): documents with implausible token TRANSITIONS score low
+    even when their unigram mix looks typical. Add-k smoothing over
+    the corpus's own bigram counts; the oracle rebuilds transition
+    probabilities and the per-doc mean log-prob."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = textstats.bigram_logprob(docs, k=BG_K)
+    return out.select(
+        "doc_id", "n_bigrams", rnd("avg_logprob").alias("avg_logprob")
+    )
