@@ -262,6 +262,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ann_lsh_multiprobe",
     "events_variant_stats",
     "text_bigram_logprob",
+    "dedup_keep_canonical",
     "dedup_member_bloom",
     "bq_hamming_knn",
     "dedup_semantic",
@@ -279,7 +280,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_incremental",
     "knn_quota",
     "events_hourly_zscore",
-    "text_token_entropy",
     "ivf_bq_knn",
     "sessionize_dynamic_gap",
     # dedup / text (text_repetition / text_chunks are NEW in round 4 —
@@ -357,6 +357,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_hash_embed_knn",
     "events_hll_rollup",
     "docs_pack_sequences",
+    "text_token_entropy",
 # rows-only (RNG-dependent or engine-specific float reductions;
     # pytest-gated recall/invariants)
     "kmeans_train",

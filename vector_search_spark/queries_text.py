@@ -1800,3 +1800,46 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", rnd("avg_logprob").alias("avg_logprob")
     )
+
+
+@register(
+    "dedup_keep_canonical",
+    f"""
+WITH RECURSIVE {_MH_PIPE},
+prs AS (SELECT a, b FROM jac WHERE j >= {MH_TAU}),
+und AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+reach(node, lab) AS (
+  SELECT DISTINCT x, x FROM und
+  UNION
+  SELECT r.node, u.y FROM reach r JOIN und u ON u.x = r.lab
+),
+cc AS (SELECT node, min(lab) AS canonical_id FROM reach GROUP BY node),
+losers AS (SELECT node FROM cc WHERE node <> canonical_id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM losers)
+""",
+    "text",
+    "dedup",
+    "pipeline",
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT: the corpus after near-dup
+    canonicalization — every non-canonical member of a MinHash-LSH
+    cluster dropped, everything else untouched. Composes
+    minhash_lsh_pairs -> connected_components -> keep_canonical; the
+    oracle replays clustering with a recursive CTE and anti-joins the
+    losers. dedup_groups value-checks the clusters; THIS checks the
+    keep step a training build actually consumes."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs,
+        shingle_n=MH_N,
+        num_perms=MH_PERMS,
+        rows_per_band=MH_ROWS,
+        threshold=MH_TAU,
+    )
+    groups = dedup.connected_components(pairs)
+    return dedup.keep_canonical(docs, groups).select(
+        "doc_id", "lang", "n_chars"
+    )
