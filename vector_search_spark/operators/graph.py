@@ -725,13 +725,37 @@ def descend_entry_points(
     at the fixture scale).
     """
     spark = points.sparkSession
-    qids, score = _broadcast_query_scorer(points, queries, id_col, vec_col)
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("_qv"),
+    )
+    qids = qdf.select("query_id").toPandas()["query_id"].to_numpy()
+    if not len(qids):
+        raise ValueError("empty query set")
     seed_df = spark.createDataFrame(
         [(int(q), int(graph.entry_point)) for q in qids],
         "query_id long, vec_id long",
     )
     if graph.max_level < 1:
         return seed_df
+
+    # Candidate sets everywhere in the descent scale with the QUERY
+    # BATCH (nq x ring size), never with N — so every scoring pass is
+    # the interpreted Catalyst l2 fold on a broadcast join: stays
+    # JVM-side (no python worker round trip per pass), and the fold's
+    # index-order sum((a-b)^2) matches the Arrow scorer bit-for-bit.
+    full_base = points.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("bv")
+    )
+
+    def score_against(cand: DataFrame, basedf: DataFrame) -> DataFrame:
+        return (
+            cand.join(basedf, "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id", "vec_id", l2_sqr("_qv", "bv").alias("dist")
+            )
+        )
 
     w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
 
@@ -786,33 +810,14 @@ def descend_entry_points(
             .join(F.broadcast(endpoint_ids), "vec_id", "left_semi")
             .localCheckpoint()
         )
-        # Upper-layer candidate sets are a few hundred rows — score them
-        # with the interpreted Catalyst l2 fold on a double broadcast
-        # join rather than the Arrow scorer: at this size the python
-        # worker round trip costs more than the fold, and the values
-        # are the identical sum((a-b)^2) in index order.
-        qdf = queries.select(
-            F.col(id_col).alias("query_id"),
-            as_double_array(vec_col).alias("_qv"),
-        )
-
-        def score_upper(cand: DataFrame) -> DataFrame:
-            return (
-                cand.join(F.broadcast(upper_base), "vec_id")
-                .join(F.broadcast(qdf), "query_id")
-                .select(
-                    "query_id",
-                    "vec_id",
-                    l2_sqr("_qv", "bv").alias("dist"),
-                )
-            )
-
         for i, layer in enumerate(range(graph.max_level, 1, -1)):
             e_l = graph.edges.filter(F.col("layer") == layer).select(
                 "src", "dst"
             )
             cand = ring_candidates(anchor, e_l, upper_hops)
-            anchor = argmin(score_upper(cand)).select("query_id", "vec_id")
+            anchor = argmin(
+                score_against(cand, F.broadcast(upper_base))
+            ).select("query_id", "vec_id")
             # Pin the nq-row anchor where lazy depth would compound —
             # each layer's rings duplicate the anchor subtree into
             # (hops+2) branches, exponential if never cut (measured
@@ -827,10 +832,13 @@ def descend_entry_points(
             if layer == 2 or i % 2 == 1:
                 anchor = anchor.localCheckpoint()
 
-    # ---- layer 1: ring pass + greedy boundary probes.
+    # ---- layer 1: ring pass + greedy boundary probes (scored against
+    # the full vector table — layer-1 nodes are ~N/m, never
+    # materialized; the cand side broadcasts, so each pass is one
+    # pruned relational probe of the base).
     e1 = graph.edges.filter(F.col("layer") == 1).select("src", "dst")
     best = argmin(
-        score(ring_candidates(anchor, e1, layer1_hops))
+        score_against(ring_candidates(anchor, e1, layer1_hops), full_base)
     ).localCheckpoint()
     for _ in range(max(0, probe_rounds)):
         nxt = (
@@ -839,7 +847,7 @@ def descend_entry_points(
             .select("query_id", F.col("dst").alias("vec_id"))
         )
         best = argmin(
-            score(nxt.distinct()).unionByName(best)
+            score_against(nxt.distinct(), full_base).unionByName(best)
         ).localCheckpoint()
     return best.select("query_id", "vec_id")
 
