@@ -79,3 +79,65 @@ def test_semantic_dedup_single_row_cluster(spark):
     )
     out = dedup.semantic_dedup(emb, np.array([[1.0, 0.0]]), 0.5).collect()
     assert len(out) == 1 and out[0].kept
+
+
+# --- round-6 operators ------------------------------------------------------
+
+
+def test_shared_span_pairs_degenerate_inputs(spark):
+    from vector_search_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.shared_span_pairs(empty).count() == 0
+    one = spark.createDataFrame(
+        [(1, "only one document here nothing to pair")],
+        "doc_id long, text string",
+    )
+    assert dedup.shared_span_pairs(one).count() == 0
+
+
+def test_quality_weighted_sample_rate_extremes(spark):
+    from vector_search_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(50)], "doc_id long, n_chars long"
+    )
+    w = F.col("n_chars") / F.lit(100.0)
+    assert sampling.quality_weighted_sample(docs, w, 0.0).count() == 0
+    # p clamps at 1.0: a huge base_rate keeps EVERY row, never >1 draws
+    assert sampling.quality_weighted_sample(docs, w, 1000.0).count() == 50
+
+
+def test_multiprobe_zero_flips_equals_single_probe(spark):
+    from vector_search_spark.operators import lsh_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    H = lsh_ann.hyperplanes(dim=64, n_bits=8, n_tables=2, seed=7)
+    q = emb.filter(F.col("vec_id") < 5)
+    single = lsh_ann.lsh_topk(emb, q, H, k=5)
+    multi0 = lsh_ann.lsh_multiprobe_topk(emb, q, H, k=5, n_flip=0)
+    key = lambda df: sorted(
+        (r.query_id, r.vec_id, r.rank) for r in df.collect()
+    )
+    assert key(single) == key(multi0)
+
+
+def test_bigram_logprob_single_token_docs_drop_out(spark):
+    from vector_search_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "solitary"), (2, "two tokens")], "doc_id long, text string"
+    )
+    out = {r.doc_id for r in textstats.bigram_logprob(docs).collect()}
+    assert out == {2}
+
+
+def test_opq_rejects_tiny_training_set(spark):
+    from vector_search_spark.operators import pq as _pq
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="training points"):
+        _pq.train_opq_rotation(df, m=2, k=16)
