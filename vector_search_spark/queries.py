@@ -269,6 +269,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_variant_stats",
     "text_bigram_logprob",
     "dedup_keep_canonical",
+    "ivf_recall_curve",
     "dedup_member_bloom",
     "bq_hamming_knn",
     "dedup_semantic",
@@ -284,7 +285,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "lineitem_quantile_check",
     "corpus_pipeline_funnel",
     "dedup_incremental",
-    "knn_quota",
     "events_hourly_zscore",
     "ivf_bq_knn",
     "sessionize_dynamic_gap",
@@ -364,6 +364,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "events_hll_rollup",
     "docs_pack_sequences",
     "text_token_entropy",
+    "knn_quota",
 # rows-only (RNG-dependent or engine-specific float reductions;
     # pytest-gated recall/invariants)
     "kmeans_train",

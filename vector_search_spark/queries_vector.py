@@ -1758,3 +1758,143 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, _LSH_H, k=10, n_flip=LSH_FLIPS
     )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+RC_LEVELS = (1, 2, 4, 8)  # recall-curve nprobe sweep
+
+
+@register(
+    "ivf_recall_curve",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cluster_id, v AS cv FROM pts WHERE vec_id < {IVF_NC}),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT p.vec_id, c.cluster_id, {_L2.format(a="p.v", b="c.cv")} AS d
+    FROM pts p CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < {IVF_QUERIES}),
+routes AS (
+  SELECT query_id, cluster_id, pr FROM (
+    SELECT q.query_id, c.cluster_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_L2.format(a="q.qv", b="c.cv")},
+                                       c.cluster_id) AS pr
+    FROM q CROSS JOIN cents c)
+  WHERE pr <= {max(RC_LEVELS)}
+),
+scored AS (
+  SELECT r.query_id, r.pr, a.vec_id, {_L2.format(a="q.qv", b="p.v")} AS d
+  FROM routes r
+  JOIN assigned a ON a.cluster_id = r.cluster_id
+  JOIN q ON q.query_id = r.query_id
+  JOIN pts p ON p.vec_id = a.vec_id
+),
+levels AS (SELECT unnest([{", ".join(map(str, RC_LEVELS))}]) AS nprobe),
+ranked AS (
+  SELECT l.nprobe, s.query_id, s.vec_id,
+         row_number() OVER (PARTITION BY l.nprobe, s.query_id
+                            ORDER BY s.d, s.vec_id) AS rk
+  FROM scored s JOIN levels l ON s.pr <= l.nprobe
+),
+approx AS (SELECT nprobe, query_id, vec_id FROM ranked WHERE rk <= 10),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, p.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_L2.format(a="q.qv", b="p.v")},
+                                       p.vec_id) AS rk
+    FROM q CROSS JOIN pts p)
+  WHERE rk <= 10
+),
+hits AS (
+  SELECT a.nprobe, count(*) AS h
+  FROM approx a JOIN truth t USING (query_id, vec_id)
+  GROUP BY a.nprobe
+)
+SELECT l.nprobe,
+       (ROUND(COALESCE(h.h, 0) / ({IVF_QUERIES} * 10.0), 6) + 0.0) AS recall
+FROM levels l LEFT JOIN hits h ON h.nprobe = l.nprobe
+ORDER BY l.nprobe
+""",
+    "vector",
+    "ivf",
+    "eval",
+)
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-nprobe curve as ONE relational query: the evaluation
+    sweep a 100 TB deployment runs before picking its probe budget —
+    every nprobe level shares the SAME max-level routing + scoring
+    pass (a level is just `probe_rank <= L` on the tagged candidate
+    relation), so the whole curve costs one scan plus per-level window
+    ranks, not |levels| independent searches. Deterministic first-NC
+    centroids; the oracle replays routing, level slicing, ranking, and
+    the exact-truth join."""
+    from vector_search_spark.operators import knn as _knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, IVF_NC)
+    assigned = ivf.assign_clusters(emb, C)
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    truth = _knn.brute_force_knn(queries, emb, k=10).select(
+        "query_id", "vec_id"
+    )
+
+    # routing with probe_rank retained, up to the deepest level
+    from pyspark.sql import Window
+    from vector_search_spark.functions.distance import as_double_array, l2_sqr
+
+    cents = F.broadcast(
+        kmeans.centroids_df(spark, C).select(
+            "cluster_id", F.col("centroid").alias("_cv")
+        )
+    )
+    qd = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("_qv"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_cd").asc(), F.col("cluster_id").asc()
+    )
+    routes = (
+        qd.crossJoin(cents)
+        .select(
+            "query_id",
+            "cluster_id",
+            "_qv",
+            l2_sqr("_qv", "_cv").alias("_cd"),
+        )
+        .withColumn("pr", F.row_number().over(wr))
+        .filter(F.col("pr") <= max(RC_LEVELS))
+        .select("query_id", "cluster_id", "pr", "_qv")
+    )
+    scored = (
+        routes.join(assigned.withColumnRenamed("cluster_id", "c2"),
+                    F.col("c2") == F.col("cluster_id"))
+        .select(
+            "query_id",
+            "pr",
+            "vec_id",
+            l2_sqr("_qv", as_double_array("embedding")).alias("d"),
+        )
+        .localCheckpoint()  # shared by every level's window rank
+    )
+    out = None
+    for L in RC_LEVELS:
+        wl = Window.partitionBy("query_id").orderBy("d", "vec_id")
+        top = (
+            scored.filter(F.col("pr") <= L)
+            .withColumn("rk", F.row_number().over(wl))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "vec_id")
+        )
+        hits = top.join(truth, ["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        row = hits.select(
+            F.lit(L).alias("nprobe"),
+            rnd(F.col("h") / F.lit(IVF_QUERIES * 10.0)).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
