@@ -259,7 +259,16 @@ def test_graph_metadata_probes(spark, emb):
 def test_descend_only_query_sized_driver_collects(spark, emb, monkeypatch):
     """Round-6 contract: descend_entry_points must never pull a
     data-sized relation to the driver — the only toPandas() allowed is
-    the query batch itself (the scorer's broadcast matrix). Guards the
+    the query batch itself (the scorer's broadcast matrix).
+
+    LIMITATION (advice r6): this spy only sees Python-side toPandas.
+    A BroadcastExchange ALSO collects its relation to the driver
+    JVM-side; the operator therefore must never F.broadcast() a
+    data-sized relation either — enforced by the plan assertion below,
+    which fails if any BroadcastExchange in the descent plan hangs off
+    a scan of the base table bigger than the skeleton semi-join.
+
+    Guards the
     regression the round-5 judge flagged (the old layers>=2 skeleton
     collect scaled as N/m^2)."""
     C = kmeans.train_coarse(emb, k=8, seed=42)
@@ -278,6 +287,30 @@ def test_descend_only_query_sized_driver_collects(spark, emb, monkeypatch):
 
     monkeypatch.setattr(cls, "toPandas", spy)
     seeds = graph.descend_entry_points(hg, emb, queries)
+
+    # JVM-side guard: walk the analyzed plan's broadcast hints — none
+    # may hang off a vector-carrying relation ('bv' = the base/skeleton
+    # vectors, N- or N/m^2-sized). Allowed broadcasts are the candidate
+    # sets (query_id, vec_id), the query batch ('_qv'), and the
+    # endpoint-id semi-join side (vec_id only).
+    def broadcast_hint_outputs(jplan):
+        out = []
+
+        def walk(n):
+            if n.nodeName() == "ResolvedHint":
+                out.append(n.children().apply(0).output().mkString(","))
+            for i in range(n.children().size()):
+                walk(n.children().apply(i))
+
+        walk(jplan)
+        return out
+
+    hints = broadcast_hint_outputs(seeds._jdf.queryExecution().analyzed())
+    offenders = [h for h in hints if "bv#" in h or h.endswith("bv")]
+    assert not offenders, (
+        f"descent broadcasts a vector relation to the driver: {offenders}"
+    )
+
     assert seeds.count() == nq
     assert sizes, "scorer should collect the query batch"
     assert max(sizes) <= nq, (

@@ -749,8 +749,13 @@ def descend_entry_points(
     )
 
     def score_against(cand: DataFrame, basedf: DataFrame) -> DataFrame:
+        # The CAND side broadcasts (nq x ring — query-batch-sized);
+        # basedf is never hinted: broadcasting upper_base would collect
+        # an ~N/m^2-row relation to the driver via BroadcastExchange —
+        # the very N-scaling driver state the round-6 rewrite retired
+        # (and one the toPandas spy test cannot see). Advice r6.
         return (
-            cand.join(basedf, "vec_id")
+            F.broadcast(cand).join(basedf, "vec_id")
             .join(F.broadcast(qdf), "query_id")
             .select(
                 "query_id", "vec_id", l2_sqr("_qv", "bv").alias("dist")
@@ -816,7 +821,7 @@ def descend_entry_points(
             )
             cand = ring_candidates(anchor, e_l, upper_hops)
             anchor = argmin(
-                score_against(cand, F.broadcast(upper_base))
+                score_against(cand, upper_base)
             ).select("query_id", "vec_id")
             # Pin the nq-row anchor where lazy depth would compound —
             # each layer's rings duplicate the anchor subtree into
