@@ -343,3 +343,38 @@ def test_fvecs_datasource_rejects_corrupt_file(spark, tmp_path):
     spark.dataSource.register(FvecsDataSource)
     with pytest.raises(Exception, match="not a multiple"):
         spark.read.format("fvecs").load(str(p)).count()
+
+
+def test_fvecs_datasource_reads_directory(spark, tmp_path):
+    """Advice r6: .load('/some/dir') must read the directory's *.fvecs
+    members (glob.glob returns [dir] for an existing directory, so the
+    old `or`-chained fallback was unreachable and the load died with a
+    directory read error)."""
+    import numpy as np
+
+    from vector_search_spark.sources import fvecs as fv
+    from vector_search_spark.sources.fvecs_datasource import FvecsDataSource
+
+    rng = np.random.default_rng(9)
+    d = tmp_path / "corpus"
+    d.mkdir()
+    A = rng.normal(size=(7, 4)).astype(np.float32)
+    B = rng.normal(size=(5, 4)).astype(np.float32)
+    fv.write_fvecs_local(A, str(d / "a.fvecs"))
+    fv.write_fvecs_local(B, str(d / "b.fvecs"))
+    (d / "notes.txt").write_text("ignored")  # non-fvecs member skipped
+
+    spark.dataSource.register(FvecsDataSource)
+    got = spark.read.format("fvecs").load(str(d))
+    assert got.count() == 12
+    by_file = {
+        r.path.rsplit("/", 1)[-1]: r.n
+        for r in got.groupBy("path").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert by_file == {"a.fvecs": 7, "b.fvecs": 5}
+
+    # glob pattern matching the directory itself also expands members
+    got2 = spark.read.format("fvecs").load(str(tmp_path / "corp*"))
+    assert got2.count() == 12

@@ -431,9 +431,15 @@ def unigram_logprob(
         F.col(id_col), F.explode(T.tokens(text_col)).alias("t")
     )
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.count()
-    probs = vocab.select(
-        "t", (F.col("cnt").cast("double") / F.lit(float(total))).alias("p")
+    # corpus token total computed INSIDE the plan (1-row aggregate,
+    # broadcast cross-join) — same lazy-composition fix as
+    # bigram_logprob: no eager corpus-wide action at call time.
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("_T"))
+    probs = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "t", (F.col("cnt").cast("double") / F.col("_T")).alias("p")
+        )
     )
     return (
         toks.join(probs, "t")
@@ -482,14 +488,26 @@ def bigram_logprob(
     )
     cnt_ab = bg.groupBy("t", "nxt").agg(F.count(F.lit(1)).alias("c_ab"))
     cnt_a = bg.groupBy("t").agg(F.count(F.lit(1)).alias("c_a"))
-    V = toks.select("t").distinct().count()
-    probs = cnt_ab.join(cnt_a, "t").select(
-        "t",
-        "nxt",
-        (
-            (F.col("c_ab") + F.lit(float(k)))
-            / (F.col("c_a") + F.lit(float(k * V)))
-        ).alias("p"),
+    # vocab size V stays INSIDE the plan (advice r6: an eager
+    # .distinct().count() here re-tokenized the corpus in a separate
+    # job at call time, breaking lazy composition): a 1-row
+    # countDistinct aggregate cross-joined (broadcast nested loop of
+    # one row) into the bigram-vocab-sized probability relation.
+    vsize = toks.agg(F.countDistinct("t").alias("_V"))
+    probs = (
+        cnt_ab.join(cnt_a, "t")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "t",
+            "nxt",
+            (
+                (F.col("c_ab") + F.lit(float(k)))
+                / (
+                    F.col("c_a")
+                    + F.lit(float(k)) * F.col("_V").cast("double")
+                )
+            ).alias("p"),
+        )
     )
     return (
         bg.join(probs, ["t", "nxt"])

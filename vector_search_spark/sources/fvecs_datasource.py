@@ -74,15 +74,28 @@ class FvecsReader(DataSourceReader):
         self.target_bytes = int(options.get("target_bytes", 32 * 1024 * 1024))
 
     def partitions(self):
-        paths = sorted(glob.glob(self.path)) or (
-            sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
+        # Directory FIRST (advice r6: glob.glob on an existing directory
+        # returns [the directory], so an `or`-chained fallback never ran
+        # and .load('/some/dir') died later with IsADirectoryError):
+        # a directory path reads its *.fvecs members; anything else is
+        # a glob pattern (or literal file), with matched directories
+        # expanded to their members and non-files dropped.
+        def members(d: str) -> list[str]:
+            return [
+                os.path.join(d, f)
+                for f in os.listdir(d)
                 if f.endswith(".fvecs")
+            ]
+
+        if os.path.isdir(self.path):
+            paths = sorted(members(self.path))
+        else:
+            paths = sorted(
+                p
+                for m in glob.glob(self.path)
+                for p in (members(m) if os.path.isdir(m) else [m])
+                if os.path.isfile(p)
             )
-            if os.path.isdir(self.path)
-            else [self.path]
-        )
         if not paths:
             raise FileNotFoundError(f"no fvecs files at {self.path}")
         splits: list[_Split] = []
