@@ -218,155 +218,142 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row. Standing rule: queries whose CODE PATHS changed this round stay
 # (or move) IN-window so the driver re-verifies exactly the riskiest
 # changes; only queries untouched since their last green may rotate out.
-# ROUND-6 ROTATION (per the round-5 judge). IN (16): the four entries
-# with NO driver row in any round — pca_knn, hnsw_sharded_knn,
-# hnsw_knn, kmeans_parallel_train (rows-only by design, pytest-gated
-# semantics; hnsw_knn additionally took the round-6 distributed
-# descend rewrite) — plus the 12 NEW round-6 entries, all starting
-# in-window per the standing rule: tpch_q7/q8/q13/q15/q17,
-# docs_shared_spans, docs_quality_weighted_sample, ann_lsh_multiprobe,
-# events_variant_stats, text_bigram_logprob, dedup_keep_canonical,
-# opq_adc_knn (rows-only, SVD-trained). knn_filtered and
-# dedup_incremental stay in-window: their modules took round-6 fixes
-# (filtered_knn base_id_col; incremental_lsh_pairs id-overlap). OUT
-# (16): customer_rfm, dedup_edit_distance, dedup_minhash_lsh,
-# docs_lang_mismatch, docs_length_percentile_filter,
-# docs_pack_sequences, events_hll_rollup, events_pivot,
-# events_transitions, events_value_histogram, lineitem_corr,
-# prototype_classify, text_hash_embed_knn, text_repetition,
-# text_token_entropy, tpch_q4 — every one green in r5 (or r4) on code
-# untouched since.
+# ROUND-7 ROTATION (freshness pass per the round-6 judge: "every
+# oracle-paired entry's most recent green row <= 2 rounds old"). 49
+# entries' last green was r3/r4 — more than one 50-slot window holds —
+# so r7 takes: (a) every entry whose module changed this round
+# (graph.py descent de-broadcast -> the graph family + hnsw_knn
+# rows-only; ivf.py sample-capped rebalance + Hadoop-FS maintenance ->
+# the ivf family; textstats.py lazy-total fix -> the two LM scores),
+# (b) all 8 r3-stale entries, (c) r4-stale entries up to the 50-slot
+# cap. The 7 r4 greens that did NOT fit (events_tumbling_hourly,
+# events_sliding_window, events_session_window, cube_events,
+# grouping_sets_events, rollup_lineitem, promo_revenue_monthly — all
+# static pure-relational window/rollup paths untouched since r4) are
+# the r8 rotation's first picks. Everything rotated OUT was green in
+# r5/r6 on code untouched since.
 CATALOG_ORDER: tuple[str, ...] = (
-    # flagship + oracles kept in-window (code changed or never rotated)
+    # ---- adjudication window (first 50) ----
     "knn_exact",
-    "knn_classify_vote",
     "select_neighbors_pruned",
     "nn_descent_graph",
-    "pq_adc_knn",
-    # rotated IN (round 5): round-4 code-path changes, must re-adjudicate
-    "pq_sdc_pairs",
-    "kmeans_lloyd",
-    "kmeans_assign",
-    # NEW in round 5 (never adjudicated): BM25 keyword search + hybrid
-    # RRF fusion (operators/ranking.py), train/eval decontamination
-    "text_bm25_search",
-    "hybrid_rrf_search",
-    "docs_decontaminate",
-    "pq_refine_knn",
-    "pca_knn",
-    "hnsw_sharded_knn",
-    "hnsw_knn",
-    "kmeans_parallel_train",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q13",
-    "docs_shared_spans",
-    "opq_adc_knn",
-    "docs_quality_weighted_sample",
-    "tpch_q15",
-    "tpch_q17",
-    "ann_lsh_multiprobe",
-    "events_variant_stats",
-    "text_bigram_logprob",
-    "dedup_keep_canonical",
-    "ivf_recall_curve",
-    "dedup_member_bloom",
-    "bq_hamming_knn",
-    "dedup_semantic",
-    "events_funnel",
-    "events_retention",
-    "ngram_heavy_hitters",
-    "mmr_rerank",
-    "knn_filtered",
-    "ann_recall_eval",
-    "text_unigram_logprob",
-    "knn_mips",
-    "tpch_q18",
-    "lineitem_quantile_check",
-    "corpus_pipeline_funnel",
-    "dedup_incremental",
-    "events_hourly_zscore",
-    "ivf_bq_knn",
-    "sessionize_dynamic_gap",
-    # dedup / text (text_repetition / text_chunks are NEW in round 4 —
-    # never adjudicated, so they sit in-window)
-    "dedup_groups",
-    # multimodal
-    "multimodal_byte_histogram",
-    # streaming windows + the stream-stream join's batch twin (NEW in
-    # round 5, never adjudicated)
-    "purchase_follow_pairs",
-    # relational
-    # ---- tail: rotated OUT (green on unchanged code in their last
-    # adjudicated round; their operators' coverage stands on those rows) ----
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q10",
-    "semi_join_late_orders",
-    "anti_join_idle_customers",
-    "rollup_lineitem",
-    "tpch_q6",
     "graph_greedy_search",
     "graph_symmetrize",
-    "pq_encode",
-    "text_chunks",
-    "dedup_simhash",
-    "ivf_adc_knn",
-    "nng_blocked",
     "knn_graph_degree",
+    "nng_blocked",
+    "hnsw_knn",
+    "ivf_knn",
+    "ivf_adc_knn",
+    "ivf_bq_knn",
+    "ivf_recall_curve",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "knn_cosine",
+    "knn_graph",
+    "ann_lsh",
+    "text_simhash",
+    "text_fingerprint",
+    "dedup_minhash_signatures",
+    "docs_sample_hash",
+    "pq_encode",
     "pq_decode",
     "sq_encode",
     "sq_knn",
-    "multimodal_metadata",
-    "events_approx_distinct",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "docs_stratified_sample",
     "dedup_exact",
+    "dedup_embedding",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "docs_stratified_sample",
+    "docs_split_assign",
+    "text_chunks",
     "text_language_id",
     "text_quality",
     "text_token_count",
-    "docs_split_assign",
-    "events_tumbling_hourly",
-    "events_sliding_window",
-    "events_session_window",
+    "multimodal_metadata",
+    "events_approx_distinct",
     "events_daily_json",
-    "promo_revenue_monthly",
-    "cube_events",
-    "sessionize_events",
+    "tpch_q1",
+    "tpch_q3",
     "tpch_q5",
-    "grouping_sets_events",
+    "tpch_q6",
+    "tpch_q10",
+    "semi_join_late_orders",
+    "anti_join_idle_customers",
     "range_join_purchase_follow",
     "asof_purchase_view",
     "setop_converting_days",
     "window_customer_orders",
-    "knn_cosine",
-    "knn_graph",
-    "ivf_knn",
-    "ann_lsh",
-    "text_simhash",
-    "dedup_minhash_signatures",
-    "text_fingerprint",
-    "docs_sample_hash",
-        "events_pivot",
-    "lineitem_corr",
+    "sessionize_events",
+    # ---- tail: green in r5/r6 (or r4 overflow, see above)
+    # on code untouched since ----
+    "ann_lsh_multiprobe",
+    "ann_recall_eval",
+    "bq_hamming_knn",
+    "corpus_pipeline_funnel",
+    "cube_events",
     "customer_rfm",
-    "events_value_histogram",
-    "prototype_classify",
     "dedup_edit_distance",
-    "docs_lang_mismatch",
-    "events_transitions",
-    "tpch_q4",
-    "text_repetition",
+    "dedup_groups",
+    "dedup_incremental",
+    "dedup_keep_canonical",
+    "dedup_member_bloom",
     "dedup_minhash_lsh",
+    "dedup_semantic",
+    "docs_decontaminate",
+    "docs_lang_mismatch",
     "docs_length_percentile_filter",
-    "text_hash_embed_knn",
-    "events_hll_rollup",
     "docs_pack_sequences",
-    "text_token_entropy",
+    "docs_quality_weighted_sample",
+    "docs_shared_spans",
+    "events_funnel",
+    "events_hll_rollup",
+    "events_hourly_zscore",
+    "events_pivot",
+    "events_retention",
+    "events_session_window",
+    "events_sliding_window",
+    "events_transitions",
+    "events_tumbling_hourly",
+    "events_value_histogram",
+    "events_variant_stats",
+    "grouping_sets_events",
+    "hybrid_rrf_search",
+    "kmeans_assign",
+    "kmeans_lloyd",
+    "knn_classify_vote",
+    "knn_filtered",
+    "knn_mips",
     "knn_quota",
-# rows-only (RNG-dependent or engine-specific float reductions;
-    # pytest-gated recall/invariants)
+    "lineitem_corr",
+    "lineitem_quantile_check",
+    "mmr_rerank",
+    "multimodal_byte_histogram",
+    "ngram_heavy_hitters",
+    "pq_adc_knn",
+    "pq_refine_knn",
+    "pq_sdc_pairs",
+    "promo_revenue_monthly",
+    "prototype_classify",
+    "purchase_follow_pairs",
+    "rollup_lineitem",
+    "sessionize_dynamic_gap",
+    "text_bm25_search",
+    "text_hash_embed_knn",
+    "text_repetition",
+    "text_token_entropy",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    # rows-only (RNG-dependent or engine-specific float
+    # reductions; pytest-gated recall/invariants)
+    "pca_knn",
+    "hnsw_sharded_knn",
+    "kmeans_parallel_train",
+    "opq_adc_knn",
     "kmeans_train",
     "pq_train",
 )
