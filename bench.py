@@ -4,12 +4,18 @@
 OUTPUT CONTRACT (round 6 — BENCH_r05 lost its official number because
 the single 105-entry JSON line overran the driver's stdout-tail
 capture): the LAST stdout line is a COMPACT headline JSON object —
-{"metric","value","unit","sf","reps","agg","failed_reps","queries"
-(top-20 slowest only),"queries_omitted","detail_file"} — sized to
-survive a tail capture at any catalog size. The FULL per-query map is
-(a) printed on an earlier stdout line and (b) written to
-BENCH_DETAIL.json beside this script; cross-round per-query comparison
-reads the detail file.
+{"metric","value","unit","sf","reps","agg","failed_reps",
+"serving_latency_sec","queries" (top-20 slowest only),
+"queries_omitted","detail_file"} — sized to survive a tail capture at
+any catalog size. The FULL per-query map is written to
+BENCH_DETAIL.json beside this script (file only since round 7 — the
+earlier stdout copy of the full map was redundant capture risk);
+cross-round per-query comparison reads the detail file.
+
+"serving_latency_sec" (round 7) holds min-of-3 small-batch latencies
+for the two production serving paths (ivf_topk / hnsw_sharded at
+nq=1 and nq=16) against a prebuilt index — see _serving_latency for
+the documented expectation.
 
 Each query is materialized with a full-result noop write (no driver
 collect — measures the distributed plan, not result serialization), and
@@ -49,6 +55,56 @@ HEADLINE = [
 def _materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _serving_latency(spark, sf_dir: str) -> dict[str, float]:
+    """Small-batch serving latency for the two production serving paths
+    (round-6 judge #5): the catalog rows measure BATCH throughput; a
+    100 TB deployment's second question after recall is per-query-batch
+    latency at nq~1, where fixed per-job overhead (scheduling, task
+    launch, python worker round-trips) dominates and is invisible in
+    the throughput numbers.
+
+    Measures min-of-3 wall-clock for nq in {1, 16} against a PREBUILT
+    index (centroid train + cell assignment outside the timer — the
+    serving contract). EXPECTATION, documented for cross-round reads:
+    on local[32] at sf0.1, nq=1 and nq=16 should be nearly identical
+    per path (~0.2-0.5 s ivf_topk, ~1-2 s hnsw_sharded, which rebuilds
+    shard graphs inside the cogroup by design) — the time is fixed job
+    overhead, not per-query work. A future nq=1 reading that scales
+    with nq would mean a serving path lost its broadcast/pruned shape.
+    """
+    import numpy as np  # noqa: F401 — centroid model round-trips numpy
+
+    from pyspark.sql import functions as F
+
+    from vector_search_spark import tables
+    from vector_search_spark.operators import hnsw_sharded as hs
+    from vector_search_spark.operators import ivf, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings").localCheckpoint()
+    C = kmeans.train_coarse(emb, k=16, seed=42)
+    assigned = ivf.assign_clusters(emb, C).localCheckpoint()
+    out: dict[str, float] = {}
+    for nq in (1, 16):
+        queries = emb.filter(F.col("vec_id") < nq).localCheckpoint()
+        paths = {
+            "ivf_topk": lambda: ivf.ivf_topk(
+                queries, assigned, C, k=10, nprobe=4
+            ),
+            "hnsw_sharded": lambda: hs.hnsw_sharded_topk(
+                emb, C, queries, k=10, m=8, ef_construction=32, ef=48,
+                nprobe=3,
+            ),
+        }
+        for pname, fn in paths.items():
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _materialize(fn())
+                best = min(best, time.perf_counter() - t0)
+            out[f"{pname}_nq{nq}"] = round(best, 3)
+    return out
 
 
 def main() -> None:
@@ -126,6 +182,15 @@ def main() -> None:
         if best == best:
             total += best
 
+    # Small-batch serving latency (separate from the throughput rows;
+    # skippable via env for quick runs)
+    latency: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_LATENCY", "1") != "0":
+        try:
+            latency = _serving_latency(spark, sf_dir)
+        except Exception as e:  # pragma: no cover — must not kill bench
+            print(f"bench: latency probe FAILED: {e}", file=sys.stderr)
+
     headline = {
         "metric": "total_headline_wall",
         "value": round(total, 3),
@@ -134,11 +199,12 @@ def main() -> None:
         "reps": reps,
         "agg": "min",
         "failed_reps": failed_reps,
+        "serving_latency_sec": latency,
     }
-    # Full detail: one stdout line (for full-output readers) + a file
-    # beside this script (for cross-round per-query comparison).
+    # Full detail goes to the file ONLY (round-7: the old extra stdout
+    # copy of the full map was redundant capture risk — the whole
+    # reason the compact-last-line contract exists).
     detail = dict(headline, queries=timings, n_queries=len(timings))
-    print(json.dumps(detail))
     with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     # Compact headline LAST: only the top-20 slowest per-query entries,
