@@ -529,3 +529,29 @@ def test_fsutil_roundtrip(spark, tmp_path):
     assert fsutil.delete(spark, os.path.join(root, "cluster_id=0"))
     assert not fsutil.delete(spark, os.path.join(root, "cluster_id=0"))
     assert fsutil.list_subdirs(spark, root) == ["cluster_id=3"]
+
+
+def test_cell_stats_flags_fat_cell(spark, tmp_path):
+    """cell_stats must agree with rebalance_index's oversize criterion:
+    the flagged cell is the one a subsequent rebalance splits."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    fat = rng.normal(0.0, 1.0, size=(90, 4))
+    thin = rng.normal(20.0, 0.5, size=(10, 4))
+    X = np.vstack([fat, thin])
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.array([[0.0] * 4, [20.0] * 4])
+    assigned = ivf.assign_clusters(base, cents)
+    stats = {r.cluster_id: r for r in ivf.cell_stats(
+        assigned, skew_factor=1.5
+    ).collect()}
+    assert stats[0].n_vecs == 90 and stats[1].n_vecs == 10
+    # mean cell = 50: ratio 1.8 vs 0.2; only cell 0 oversized at 1.5x
+    assert abs(stats[0].skew_ratio - 1.8) < 1e-9
+    assert stats[0].is_oversized == 1 and stats[1].is_oversized == 0
+    # norms: thin cell sits at radius ~40 (20 per dim), fat near origin
+    assert stats[1].avg_norm > stats[0].avg_norm

@@ -781,3 +781,66 @@ def test_bigram_logprob_hand_case(spark):
     assert out[1][0] == 1 and abs(out[1][1] - math.log(p_ab)) < 1e-12
     assert abs(out[3][1] - math.log(p_ba)) < 1e-12
     assert out[1][1] > out[3][1]
+
+
+def test_lsh_band_curve_nesting_and_truth(spark):
+    """Band-curve invariants: smaller r (more bands) can only ADD
+    candidates — levels nest — and every level's verified-pair count is
+    bounded by its candidate count and non-increasing in r."""
+    from vector_search_spark import tables
+    from vector_search_spark.operators import dedup
+
+    docs = tables.load(spark, SF_ORACLE, "documents")
+    rows = {
+        r.rows_per_band: r
+        for r in dedup.lsh_band_curve(
+            docs, shingle_n=3, num_perms=12, r_values=(2, 3, 4, 6),
+            threshold=0.5,
+        ).collect()
+    }
+    assert set(rows) == {2, 3, 4, 6}
+    for r in rows.values():
+        assert r.n_bands == 12 // r.rows_per_band
+        assert 0 <= r.n_true_pairs <= r.n_candidates
+    # candidate sets nest downward in r: P(match) = 1-(1-s^r)^(P/r)
+    # is monotone decreasing in r at fixed P
+    cands = [rows[r].n_candidates for r in (2, 3, 4, 6)]
+    assert cands == sorted(cands, reverse=True)
+    true = [rows[r].n_true_pairs for r in (2, 3, 4, 6)]
+    assert true == sorted(true, reverse=True)
+    # the r=3 level must reproduce the standalone pipeline's pair count
+    from vector_search_spark.operators.dedup import minhash_lsh_pairs
+
+    n3 = minhash_lsh_pairs(
+        docs, shingle_n=3, num_perms=12, rows_per_band=3, threshold=0.5
+    ).count()
+    assert rows[3].n_true_pairs == n3
+
+
+def test_dup_rate_by_source_consistent_with_exact_dedup(spark):
+    from vector_search_spark import tables
+    from vector_search_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, SF_ORACLE, "documents")
+    per = dedup.dup_rate_by_source(docs).collect()
+    assert sum(r.n_docs for r in per) == docs.count()
+    for r in per:
+        assert 0 <= r.n_distinct <= r.n_docs
+        assert abs(r.dup_rate - round(1 - r.n_distinct / r.n_docs, 6)) < 1e-9
+    # corpus-wide distinct canonical hashes == exact_dedup's group count
+    n_groups = (
+        dedup.exact_dedup(docs).select("canonical_id").distinct().count()
+    )
+    total_distinct = (
+        docs.select(
+            F.md5(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_groups == total_distinct

@@ -242,6 +242,126 @@ def pair_jaccard(
     )
 
 
+def lsh_band_curve(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    num_perms: int = 12,
+    r_values: tuple[int, ...] = (2, 3, 4, 6),
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The LSH banding TUNING CURVE as one relational pass — for each
+    rows-per-band setting r, how many candidate pairs does banding
+    surface and how many survive exact-Jaccard verification at
+    ``threshold``? Returns one row per r:
+    (rows_per_band, n_bands, n_candidates, n_true_pairs).
+
+    This is the dedup twin of queries_vector's ivf_recall_curve: a
+    pipeline owner choosing r for a 100 TB dedup run needs the
+    candidate-volume/precision trade-off MEASURED on their corpus
+    (match probability 1-(1-s^r)^(P/r) — smaller r = more bands =
+    more candidates = fewer LSH false negatives, but the verify join
+    pays |candidates|). Running the sweep naively re-shingles and
+    re-hashes the corpus per r; here the expensive relations are
+    computed ONCE — one shingle pass, one wide-signature aggregation
+    (P min-hash columns in a single shuffle), one exact-Jaccard verify
+    over the DISTINCT union of candidates — and only the band-key
+    explode (row-local md5 concats, zero extra shuffle) differs per r.
+
+    All output columns are integers, so the driver's value-hash
+    compare is float-free. Candidates whose verified Jaccard falls
+    below threshold still count in n_candidates (they are the cost the
+    curve exists to expose); a candidate pair sharing no shingle at
+    all (possible only through md5 collisions) counts with Jaccard 0.
+    """
+    for r in r_values:
+        if num_perms % r:
+            raise ValueError(
+                f"rows_per_band {r} must divide num_perms {num_perms}"
+            )
+    sh = shingle_table(docs, shingle_n, text_col, id_col).localCheckpoint()
+    wide = minhash_signatures_wide(sh, num_perms, id_col).localCheckpoint()
+    per_r = []
+    for r in r_values:
+        buckets = lsh_buckets_wide(wide, r, num_perms, id_col)
+        per_r.append(
+            lsh_candidate_pairs(buckets, id_col).withColumn(
+                "rows_per_band", F.lit(int(r))
+            )
+        )
+    cands = per_r[0]
+    for c in per_r[1:]:
+        cands = cands.unionByName(c)
+    # verify each DISTINCT pair once, then join the verdict back to
+    # every banding level that surfaced it (levels nest, so the union
+    # is just the loosest level's pair set — the verify join is paid
+    # once, not len(r_values) times)
+    verified = pair_jaccard(
+        cands.select("a", "b").distinct(), sh, id_col
+    )
+    return (
+        cands.join(verified, ["a", "b"], "left")
+        .groupBy("rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count(
+                F.when(
+                    F.coalesce(F.col("jaccard"), F.lit(0.0))
+                    >= float(threshold),
+                    1,
+                )
+            ).alias("n_true_pairs"),
+        )
+        .withColumn(
+            "n_bands",
+            (F.lit(int(num_perms)) / F.col("rows_per_band")).cast("int"),
+        )
+        .select("rows_per_band", "n_bands", "n_candidates", "n_true_pairs")
+    )
+
+
+def dup_rate_by_source(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-health dashboard row per source: how duplicated is each
+    ingest feed? (n_docs, n_distinct md5-of-normalized-text, dup_rate,
+    avg_chars). The first triage query a training-data pipeline runs
+    when a crawl source goes bad — one grouped aggregation, map-side
+    combinable, no joins; the hash is the same canonical form
+    exact_dedup groups on, so the dashboard and the dedup pass agree
+    on what "duplicate" means.
+    """
+    return (
+        docs.select(
+            F.col(group_col),
+            F.md5(T.norm_text(text_col)).alias("_h"),
+            F.length(text_col).alias("_len"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_h").alias("n_distinct"),
+            F.avg(F.col("_len").cast("double")).alias("_avg_len"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_distinct",
+            (
+                F.round(
+                    1.0 - F.col("n_distinct") / F.col("n_docs"), 6
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+            (F.round("_avg_len", 4) + F.lit(0.0)).alias("avg_chars"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     shingle_n: int = 3,

@@ -393,6 +393,62 @@ def ivf_adc_topk(
     return topk_per_query(scored, k)
 
 
+def cell_stats(
+    assigned: DataFrame,
+    skew_factor: float = 2.0,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index observability: per-cell occupancy and skew — the query a
+    100 TB operator runs BEFORE :func:`rebalance_index` to decide
+    whether maintenance is due (and after, to confirm it worked).
+    Returns one row per cell:
+    (cluster_id, n_vecs, avg_norm, skew_ratio, is_oversized) where
+    skew_ratio = n / mean cell size and is_oversized flags cells past
+    ``skew_factor`` x the mean — the same oversize criterion
+    rebalance_index splits on.
+
+    Plan shape: one map-side-combinable groupBy over the assignment
+    relation (norms are a row-local Catalyst fold, no UDF), then the
+    cell-count-sized per-cell relation cross-joins a broadcast 1-row
+    mean aggregate — the whole statistic composes lazily, never
+    collects, and its cost is one scan regardless of index size.
+    skew_ratio is a ratio of exact integers (cell count / mean of
+    counts), so it is bit-deterministic across engines; avg_norm is a
+    true float mean, rounded to 4 places for hash stability.
+    """
+    norms = assigned.select(
+        "cluster_id",
+        F.sqrt(
+            F.aggregate(
+                as_double_array(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("_nrm"),
+    )
+    per = norms.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("_nrm").alias("_avg_nrm"),
+    )
+    mean = per.agg(
+        F.avg(F.col("n_vecs").cast("double")).alias("_mean")
+    )
+    return (
+        per.crossJoin(F.broadcast(mean))
+        .select(
+            "cluster_id",
+            "n_vecs",
+            (F.round("_avg_nrm", 4) + F.lit(0.0)).alias("avg_norm"),
+            (
+                F.round(F.col("n_vecs") / F.col("_mean"), 6) + F.lit(0.0)
+            ).alias("skew_ratio"),
+            (
+                F.col("n_vecs") > float(skew_factor) * F.col("_mean")
+            ).cast("int").alias("is_oversized"),
+        )
+    )
+
+
 def upsert_index(
     spark,
     path: str,

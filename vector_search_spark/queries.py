@@ -281,11 +281,18 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "range_join_purchase_follow",
     "asof_purchase_view",
+    # NEW round-7 entries (observability family) start in-window per
+    # the standing rule, displacing three r4-stale picks
+    # (setop_converting_days, window_customer_orders,
+    # sessionize_events) to the r8 queue
+    "ivf_cell_stats",
+    "dedup_lsh_band_curve",
+    "docs_dup_rate_by_source",
+    # ---- tail: green in r5/r6 (or r4 overflow, see above)
+    # on code untouched since ----
     "setop_converting_days",
     "window_customer_orders",
     "sessionize_events",
-    # ---- tail: green in r5/r6 (or r4 overflow, see above)
-    # on code untouched since ----
     "ann_lsh_multiprobe",
     "ann_recall_eval",
     "bq_hamming_knn",

@@ -1843,3 +1843,106 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.keep_canonical(docs, groups).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: dedup-pipeline observability
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_band_curve",
+    f"""
+WITH {_TOKS},
+{_sh_cte(MH_N)},
+mh AS (
+  SELECT doc_id, p.perm,
+         min(md5(CAST(p.perm AS VARCHAR) || ':' || shingle)) AS minh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {MH_PERMS})) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+rv AS (SELECT CAST(unnest([2, 3, 4, 6]) AS INT) AS rows_per_band),
+bk AS (
+  SELECT rv.rows_per_band, doc_id,
+         CAST(perm // rv.rows_per_band AS INT) AS band,
+         md5(string_agg(minh, '|' ORDER BY perm)) AS key
+  FROM mh CROSS JOIN rv
+  GROUP BY rv.rows_per_band, doc_id, CAST(perm // rv.rows_per_band AS INT)
+),
+cand AS (
+  SELECT DISTINCT x.rows_per_band, x.doc_id AS a, y.doc_id AS b
+  FROM bk x JOIN bk y
+    ON x.rows_per_band = y.rows_per_band
+   AND x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+),
+uniq AS (SELECT DISTINCT a, b FROM cand),
+szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT u.a, u.b, count(*) AS i
+  FROM uniq u
+  JOIN sh sa ON sa.doc_id = u.a
+  JOIN sh sb ON sb.doc_id = u.b AND sb.shingle = sa.shingle
+  GROUP BY u.a, u.b
+),
+jac AS (
+  SELECT a, b, i * 1.0 / (x.n + y.n - i) AS j
+  FROM inter JOIN szs x ON x.doc_id = a JOIN szs y ON y.doc_id = b
+)
+SELECT c.rows_per_band,
+       CAST({MH_PERMS} // c.rows_per_band AS INT) AS n_bands,
+       count(*) AS n_candidates,
+       count(CASE WHEN coalesce(j.j, 0) >= {MH_TAU} THEN 1 END) AS n_true_pairs
+FROM cand c LEFT JOIN jac j ON j.a = c.a AND j.b = c.b
+GROUP BY c.rows_per_band
+""",
+    "text",
+    "dedup",
+    "lsh",
+    "ops",
+)
+def q_dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuning curve (operators/dedup.py lsh_band_curve):
+    candidate volume vs verified-pair yield for r in {2,3,4,6} from ONE
+    shingle pass + ONE wide-signature aggregation + ONE verify join
+    over the distinct candidate union. The oracle replays the identical
+    md5 permutations and band keys per r, so the banding math itself is
+    value-checked. All-integer output."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.lsh_band_curve(
+        docs,
+        shingle_n=MH_N,
+        num_perms=MH_PERMS,
+        r_values=(2, 3, 4, 6),
+        threshold=MH_TAU,
+    )
+
+
+@register(
+    "docs_dup_rate_by_source",
+    f"""
+WITH h AS (
+  SELECT source, md5({T.sql_norm_text("text")}) AS hh,
+         length(text) AS len
+  FROM documents
+),
+per AS (
+  SELECT source, count(*) AS n_docs, count(DISTINCT hh) AS n_distinct,
+         avg(len * 1.0) AS a_len
+  FROM h GROUP BY source
+)
+SELECT source, n_docs, n_distinct,
+       {rnd_sql("1.0 - n_distinct * 1.0 / n_docs", 6)} AS dup_rate,
+       {rnd_sql("a_len", 4)} AS avg_chars
+FROM per
+""",
+    "text",
+    "dedup",
+    "ops",
+)
+def q_docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication dashboard (operators/dedup.py
+    dup_rate_by_source): the crawl-health triage query — same canonical
+    text hash as dedup_exact, one grouped aggregation, no joins."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.dup_rate_by_source(docs)

@@ -21,7 +21,7 @@ import numpy as np
 
 from vector_search_spark import tables
 from vector_search_spark.operators import ivf, kmeans, pq
-from vector_search_spark.queries import KNN_K, KNN_QUERIES, register, rnd
+from vector_search_spark.queries import KNN_K, KNN_QUERIES, register, rnd, rnd_sql
 
 _L2 = "list_sum(list_transform(range(1, len({a})+1), j -> ({a}[j]-{b}[j])^2))"
 _DOT_SQL2 = "list_sum(list_transform(range(1, len({a})+1), j -> {a}[j]*{b}[j]))"
@@ -1898,3 +1898,50 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("nprobe")
+
+
+# --------------------------------------------------------------------------
+# Index observability (round 7): the maintenance-decision query behind
+# operators/ivf.py rebalance_index
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ivf_cell_stats",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cluster_id, v AS cv FROM pts WHERE vec_id < {IVF_NC}),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT p.vec_id, c.cluster_id, {_L2.format(a="p.v", b="c.cv")} AS d
+    FROM pts p CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1
+),
+norms AS (
+  SELECT a.cluster_id, sqrt(list_sum(list_transform(p.v, x -> x * x))) AS nrm
+  FROM assigned a JOIN pts p USING (vec_id)
+),
+per AS (
+  SELECT cluster_id, count(*) AS n_vecs, avg(nrm) AS a_nrm
+  FROM norms GROUP BY cluster_id
+)
+SELECT cluster_id, n_vecs,
+       {rnd_sql("a_nrm", 4)} AS avg_norm,
+       {rnd_sql("n_vecs / avg(n_vecs * 1.0) OVER ()", 6)} AS skew_ratio,
+       CAST(n_vecs > 2.0 * avg(n_vecs * 1.0) OVER () AS INT) AS is_oversized
+FROM per
+""",
+    "vector",
+    "ivf",
+    "ops",
+)
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy/skew dashboard (operators/ivf.py cell_stats):
+    the observability query a 100 TB index operator runs to decide
+    whether rebalance_index is due. Deterministic first-NC centroids so
+    the oracle replays the assignment; skew_ratio is a ratio of exact
+    integers, avg_norm a rounded float mean."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, IVF_NC)
+    assigned = ivf.assign_clusters(emb, C)
+    return ivf.cell_stats(assigned, skew_factor=2.0)
