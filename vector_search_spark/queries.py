@@ -280,7 +280,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "semi_join_late_orders",
     "anti_join_idle_customers",
     "range_join_purchase_follow",
-    "asof_purchase_view",
     # NEW round-7 entries (observability family) start in-window per
     # the standing rule, displacing three r4-stale picks
     # (setop_converting_days, window_customer_orders,
@@ -288,6 +287,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ivf_cell_stats",
     "dedup_lsh_band_curve",
     "docs_dup_rate_by_source",
+    "bq_rotated_knn",  # rows-only (numpy QR rotation); pytest-gated
     # ---- tail: green in r5/r6 (or r4 overflow, see above)
     # on code untouched since ----
     "setop_converting_days",
@@ -295,6 +295,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "sessionize_events",
     "ann_lsh_multiprobe",
     "ann_recall_eval",
+    "asof_purchase_view",
     "bq_hamming_knn",
     "corpus_pipeline_funnel",
     "cube_events",

@@ -1945,3 +1945,28 @@ def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = kmeans.init_first_k(emb, IVF_NC)
     assigned = ivf.assign_clusters(emb, C)
     return ivf.cell_stats(assigned, skew_factor=2.0)
+
+
+@register("bq_rotated_knn", None, "vector", "bq", "rows-only")
+def q_bq_rotated_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated binary quantization (operators/bq.py
+    bq_rotated_refine_topk): seeded orthogonal rotation (QR with
+    R-diagonal sign fix — the LSH/ITQ/RaBitQ pre-conditioner) spreads
+    vector energy evenly across dimensions before sign-bit packing, so
+    every bit carries ~equal information; then the standard Hamming
+    shortlist + exact re-rank. Rows-only: the rotation is a numpy QR
+    artifact, not SQL-expressible; semantics are pytest-gated
+    (orthogonality/determinism, identity-rotation == plain BQ
+    bit-for-bit, recall floor vs brute force in tests/test_knn.py)."""
+    from vector_search_spark.operators import bq
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = bq.bq_rotated_refine_topk(
+        queries, emb, dim=BQ_DIM, k=KNN_K, shortlist=BQ_SHORTLIST, seed=42
+    )
+    return out.select(
+        "query_id", "vec_id", "hamming", rnd("dist").alias("dist"), "rank"
+    )
