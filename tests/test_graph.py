@@ -317,3 +317,39 @@ def test_descend_only_query_sized_driver_collects(spark, emb, monkeypatch):
         f"descend collected {max(sizes)} rows to the driver — "
         f"only the {nq}-row query batch is allowed"
     )
+
+
+def test_graph_save_load_roundtrip_and_pruning(spark, emb, tmp_path):
+    """save_graph/load_graph: the reopened artifact serves the same
+    answers as the in-memory build, and a per-layer edge filter on the
+    loaded relation prunes at the parquet partition level (the upper
+    layers of a 100 TB graph read kilobytes)."""
+    C = kmeans.train_coarse(emb, k=8, seed=42)
+    hg = graph.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
+    path = str(tmp_path / "hnsw_artifact")
+    graph.save_graph(hg, path)
+    hg2 = graph.load_graph(spark, path)
+    assert (hg2.entry_point, hg2.max_level) == (hg.entry_point, hg.max_level)
+    assert hg2.edges.count() == hg.edges.count()
+    assert sorted(
+        tuple(r) for r in hg2.levels.collect()
+    ) == sorted(tuple(r) for r in hg.levels.collect())
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    def key(df):
+        return sorted(
+            (r.query_id, r.rank, r.vec_id)
+            for r in df.select("query_id", "rank", "vec_id").collect()
+        )
+    a = graph.greedy_search(hg, emb, queries, k=5, ef=32)
+    b = graph.greedy_search(hg2, emb, queries, k=5, ef=32)
+    assert key(a) == key(b)
+
+    # partition pruning: a layer filter must land in PartitionFilters
+    plan = (
+        hg2.edges.filter(F.col("layer") == 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "layer" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]

@@ -52,6 +52,8 @@ __all__ = [
     "select_neighbors_heuristic",
     "symmetrize_and_cap",
     "hnsw_build",
+    "save_graph",
+    "load_graph",
     "descend_entry_points",
     "greedy_search",
     "graph_height",
@@ -487,6 +489,46 @@ class HNSWGraph:
     levels: DataFrame  # (vec_id, level)
     entry_point: int
     max_level: int
+
+
+def save_graph(graph: HNSWGraph, path: str) -> None:
+    """Persist the graph artifact (round 7): edges parquet PARTITIONED
+    BY LAYER, levels parquet, and a 1-row meta table. This completes
+    the build-once/serve-many story the descent docstring assumes
+    ("the artifact a real pipeline would persist beside the edge
+    list"): a 100 TB deployment builds the graph in one job and every
+    serving job ``load_graph``s it.
+
+    Layer partitioning is the layout the read side wants: every walk
+    filters ``edges.layer == l`` per hop, and the upper layers hold
+    only ~N/m^l rows — directory-level partition pruning means a
+    layer-5 probe reads kilobytes, not the layer-0 bulk (same
+    economics as the IVF cell directories). Plain DataFrame writes —
+    no driver I/O, any Hadoop scheme.
+    """
+    graph.edges.write.mode("overwrite").partitionBy("layer").parquet(
+        f"{path}/edges"
+    )
+    graph.levels.write.mode("overwrite").parquet(f"{path}/levels")
+    spark = graph.edges.sparkSession
+    spark.createDataFrame(
+        [(int(graph.entry_point), int(graph.max_level))],
+        "entry_point long, max_level int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_graph(spark, path: str) -> HNSWGraph:
+    """Reopen a :func:`save_graph` artifact. The edge relation comes
+    back as a layer-partitioned parquet scan, so per-layer filters in
+    the walk operators prune at the directory level (plan-asserted in
+    tests/test_graph.py)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return HNSWGraph(
+        edges=spark.read.parquet(f"{path}/edges"),
+        levels=spark.read.parquet(f"{path}/levels"),
+        entry_point=int(meta.entry_point),
+        max_level=int(meta.max_level),
+    )
 
 
 def hnsw_build(
