@@ -555,3 +555,83 @@ def test_cell_stats_flags_fat_cell(spark, tmp_path):
     assert stats[0].is_oversized == 1 and stats[1].is_oversized == 0
     # norms: thin cell sits at radius ~40 (20 per dim), fat near origin
     assert stats[1].avg_norm > stats[0].avg_norm
+
+
+def test_index_maintenance_lifecycle(spark, tmp_path):
+    """End-to-end lifecycle of a long-lived on-disk IVF index — the
+    100 TB operational story in one test: build -> drift batches
+    upserted -> small-files compaction -> cell_stats flags the fat
+    cell -> rebalance splits it -> centroid model persisted/reloaded
+    -> full-probe search over the final layout equals brute force over
+    the logical corpus. Every step goes through the public ops and the
+    Hadoop-FS shim underneath."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base0 = rng.normal(0.0, 1.0, size=(40, 4))
+    far = rng.normal(30.0, 0.5, size=(40, 4))
+    X0 = np.vstack([base0, far])
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X0)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.array([[0.0] * 4, [30.0] * 4])
+    path = str(tmp_path / "life_index")
+    cpath = str(tmp_path / "life_centroids")
+    ivf.write_index(ivf.assign_clusters(base, cents), path)
+    ivf.save_centroids(spark, cents, cpath)
+
+    # drift: three hot batches land in cell 0's region (ids 100+)
+    corpus = {int(i): row for i, row in enumerate(X0)}
+    for b in range(3):
+        B = rng.normal(1.0 + 0.2 * b, 1.0, size=(30, 4))
+        ids = [100 + 30 * b + j for j in range(30)]
+        for i, row in zip(ids, B):
+            corpus[i] = row
+        batch = spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in zip(ids, B)],
+            "vec_id long, embedding array<double>",
+        )
+        C = ivf.load_centroids(spark, cpath)
+        ivf.upsert_index(spark, path, batch, C)
+
+    # compaction: the hot cell accumulated per-batch part files
+    compacted = ivf.compact_index(spark, path, max_files_per_cell=2)
+    assert 0 in compacted
+
+    # observability -> decision: cell 0 now holds 130 of 170 rows
+    C = ivf.load_centroids(spark, cpath)
+    stats = {
+        r.cluster_id: r
+        for r in ivf.cell_stats(
+            spark.read.parquet(path), skew_factor=1.3
+        ).collect()
+    }
+    assert stats[0].is_oversized == 1 and stats[1].is_oversized == 0
+
+    # rebalance + publish the grown model
+    C2, split = ivf.rebalance_index(
+        spark, path, C, skew_factor=1.3, sample_cap=64
+    )
+    assert split == [0] and len(C2) == 3
+    ivf.save_centroids(spark, C2, cpath)
+
+    # final state: no loss, no duplication, search == brute force
+    after = spark.read.parquet(path)
+    assert after.count() == len(corpus)
+    assert after.select("vec_id").distinct().count() == len(corpus)
+    logical = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in corpus.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = logical.filter(F.col("vec_id").isin([0, 45, 100, 150]))
+    C3 = ivf.load_centroids(spark, cpath)
+    got = ivf.ivf_topk(queries, after, C3, k=3, nprobe=len(C3)).select(
+        "query_id", "vec_id", "rank"
+    )
+    want = knn.brute_force_knn(queries, logical, k=3).select(
+        "query_id", "vec_id", "rank"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

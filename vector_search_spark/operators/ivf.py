@@ -393,6 +393,39 @@ def ivf_adc_topk(
     return topk_per_query(scored, k)
 
 
+def save_centroids(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist the coarse-quantizer model beside the cell directories.
+    rebalance_index RETURNS a grown centroid table — the index is only
+    consistent if the new model and the rewritten cells publish
+    together, so a real pipeline writes this immediately after the
+    cell rewrite (model-sized: NC x D doubles, one tiny parquet)."""
+    rows = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(np.asarray(centroids, dtype=np.float64))
+    ]
+    (
+        spark.createDataFrame(
+            rows, "cluster_id int, centroid array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_centroids(spark, path: str) -> np.ndarray:
+    """Reopen a :func:`save_centroids` model as the (NC, D) ndarray the
+    routing/maintenance ops take. Model-sized driver collect by
+    definition; validates the id range is dense 0..NC-1."""
+    pdf = (
+        spark.read.parquet(path).orderBy("cluster_id").toPandas()
+    )
+    ids = pdf["cluster_id"].to_numpy()
+    if len(ids) == 0 or ids[0] != 0 or ids[-1] != len(ids) - 1:
+        raise ValueError(f"non-dense centroid ids in {path}")
+    return np.vstack(pdf["centroid"].to_numpy())
+
+
 def cell_stats(
     assigned: DataFrame,
     skew_factor: float = 2.0,
