@@ -838,16 +838,15 @@ def descend_entry_points(
         # has no layer>=2 edges), so every anchor the descent can hold
         # is ALWAYS scoreable from this relation — anchors are argmins
         # of candidate sets drawn from it, inductively.
-        up_edges = graph.edges.filter(F.col("layer") >= 2)
-        endpoint_ids = (
-            up_edges.select(F.col("src").alias("vec_id"))
-            .unionByName(up_edges.select(F.col("dst").alias("vec_id")))
-            .unionByName(
-                spark.createDataFrame(
-                    [(int(graph.entry_point),)], "vec_id long"
-                )
-            )
-            .distinct()
+        # Skeleton membership comes from the LEVELS relation (level>=2
+        # == exactly the nodes the layers>=2 walk can touch; the build
+        # invariant "edge at layer l => endpoints have level >= l" is
+        # pytest-gated) — one filter of an N/m-row table instead of the
+        # old union+distinct over both endpoint columns of the edge
+        # relation; isolated top-layer nodes (incl. the entry point)
+        # are members by definition, no explicit union needed.
+        endpoint_ids = graph.levels.filter(F.col("level") >= 2).select(
+            "vec_id"
         )
         upper_base = (
             points.select(
