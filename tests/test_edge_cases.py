@@ -141,3 +141,71 @@ def test_opq_rejects_tiny_training_set(spark):
     )
     with pytest.raises(ValueError, match="training points"):
         _pq.train_opq_rotation(df, m=2, k=16)
+
+
+def test_lsh_band_curve_guards_and_empty(spark):
+    from vector_search_spark.operators import dedup
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    # empty corpus -> empty curve, no failure
+    assert dedup.lsh_band_curve(docs, r_values=(3,)).count() == 0
+    # r must divide num_perms
+    with pytest.raises(ValueError, match="divide"):
+        dedup.lsh_band_curve(docs, num_perms=12, r_values=(5,))
+
+
+def test_dup_rate_single_source_all_dups(spark):
+    from vector_search_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "Same   TEXT ", "web") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    r = dedup.dup_rate_by_source(docs).collect()[0]
+    # normalization folds case/whitespace -> one distinct, rate 0.75
+    assert (r.n_docs, r.n_distinct) == (4, 1)
+    assert abs(r.dup_rate - 0.75) < 1e-9
+
+
+def test_cell_stats_single_cell_ratio_one(spark):
+    import numpy as np
+
+    from vector_search_spark.operators import ivf
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    stats = ivf.cell_stats(
+        ivf.assign_clusters(base, np.array([[0.0, 0.0]]))
+    ).collect()
+    assert len(stats) == 1
+    r = stats[0]
+    assert (r.n_vecs, r.skew_ratio, r.is_oversized) == (5, 1.0, 0)
+
+
+def test_rotate_preserves_l2(spark):
+    """Rotation isometry end-to-end through the Spark op: pairwise L2
+    before == after (the property that makes the rotated re-rank
+    exact)."""
+    import itertools
+
+    import numpy as np
+
+    from vector_search_spark.operators import bq
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(6, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    R = bq.random_rotation(8, seed=3)
+    out = {
+        r.vec_id: np.asarray(r.rot)
+        for r in bq.rotate(df, R).collect()
+    }
+    for a, b in itertools.combinations(range(6), 2):
+        d0 = float(((X[a] - X[b]) ** 2).sum())
+        d1 = float(((out[a] - out[b]) ** 2).sum())
+        assert abs(d0 - d1) < 1e-9
