@@ -264,9 +264,11 @@ def test_descend_only_query_sized_driver_collects(spark, emb, monkeypatch):
     LIMITATION (advice r6): this spy only sees Python-side toPandas.
     A BroadcastExchange ALSO collects its relation to the driver
     JVM-side; the operator therefore must never F.broadcast() a
-    data-sized relation either — enforced by the plan assertion below,
-    which fails if any BroadcastExchange in the descent plan hangs off
-    a scan of the base table bigger than the skeleton semi-join.
+    vector-carrying relation either — enforced by spying on
+    F.broadcast ITSELF (the descent localCheckpoints its internal
+    plans, which erases hint nodes from the returned DataFrame's
+    analyzed plan — a plan walk there would be vacuous, as the round-7
+    review proved by reintroducing the regression).
 
     Guards the
     regression the round-5 judge flagged (the old layers>=2 skeleton
@@ -286,27 +288,27 @@ def test_descend_only_query_sized_driver_collects(spark, emb, monkeypatch):
         return pdf
 
     monkeypatch.setattr(cls, "toPandas", spy)
+
+    # JVM-side guard: record the columns of every relation the descent
+    # hands to F.broadcast — none may carry vectors ('bv' = the base/
+    # skeleton vectors, N- or N/m^2-sized). Allowed broadcasts are the
+    # candidate sets (query_id, vec_id), the query batch ('_qv'), and
+    # the endpoint-id semi-join side (vec_id only). Spying at the call
+    # site (not the final plan) survives the operator's internal
+    # localCheckpoints; self-check below proves the spy fires.
+    import pyspark.sql.functions as FF
+
+    orig_broadcast = FF.broadcast
+    broadcast_cols = []
+
+    def spy_broadcast(df):
+        broadcast_cols.append(tuple(df.columns))
+        return orig_broadcast(df)
+
+    monkeypatch.setattr(FF, "broadcast", spy_broadcast)
     seeds = graph.descend_entry_points(hg, emb, queries)
-
-    # JVM-side guard: walk the analyzed plan's broadcast hints — none
-    # may hang off a vector-carrying relation ('bv' = the base/skeleton
-    # vectors, N- or N/m^2-sized). Allowed broadcasts are the candidate
-    # sets (query_id, vec_id), the query batch ('_qv'), and the
-    # endpoint-id semi-join side (vec_id only).
-    def broadcast_hint_outputs(jplan):
-        out = []
-
-        def walk(n):
-            if n.nodeName() == "ResolvedHint":
-                out.append(n.children().apply(0).output().mkString(","))
-            for i in range(n.children().size()):
-                walk(n.children().apply(i))
-
-        walk(jplan)
-        return out
-
-    hints = broadcast_hint_outputs(seeds._jdf.queryExecution().analyzed())
-    offenders = [h for h in hints if "bv#" in h or h.endswith("bv")]
+    assert broadcast_cols, "spy must see the descent's broadcasts"
+    offenders = [c for c in broadcast_cols if "bv" in c]
     assert not offenders, (
         f"descent broadcasts a vector relation to the driver: {offenders}"
     )

@@ -802,12 +802,18 @@ def test_lsh_band_curve_nesting_and_truth(spark):
     for r in rows.values():
         assert r.n_bands == 12 // r.rows_per_band
         assert 0 <= r.n_true_pairs <= r.n_candidates
-    # candidate sets nest downward in r: P(match) = 1-(1-s^r)^(P/r)
-    # is monotone decreasing in r at fixed P
-    cands = [rows[r].n_candidates for r in (2, 3, 4, 6)]
-    assert cands == sorted(cands, reverse=True)
-    true = [rows[r].n_true_pairs for r in (2, 3, 4, 6)]
-    assert true == sorted(true, reverse=True)
+    # candidate-set containment holds only where every coarser-aligned
+    # block contains a full finer-aligned band: r1 | r2 gives the
+    # chains 2<-4<-6 and 3<-6, and at P=12 every level's blocks
+    # (length >= 3) contain an aligned 2-band, so r=2 dominates all.
+    # r=3 vs r=4 have misaligned blocks and are genuinely
+    # INCOMPARABLE — asserting a full descending sort would fail on
+    # correct output for some corpora (round-7 review).
+    c = {r: rows[r].n_candidates for r in (2, 3, 4, 6)}
+    t = {r: rows[r].n_true_pairs for r in (2, 3, 4, 6)}
+    for hi, lo in [(2, 3), (2, 4), (2, 6), (3, 6), (4, 6)]:
+        assert c[hi] >= c[lo], (hi, lo, c)
+        assert t[hi] >= t[lo], (hi, lo, t)
     # the r=3 level must reproduce the standalone pipeline's pair count
     from vector_search_spark.operators.dedup import minhash_lsh_pairs
 

@@ -210,6 +210,12 @@ def rotate(
     import numpy as np
     import pandas as pd  # noqa: F401 — mapInPandas batch frames
 
+    clash = {"_v", out_col} & set(points.columns) - {vec_col}
+    if clash:
+        raise ValueError(
+            f"rotate: input already has column(s) {sorted(clash)}; "
+            f"pick a different out_col"
+        )
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(
         np.ascontiguousarray(rotation, dtype=np.float64)

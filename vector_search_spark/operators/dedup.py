@@ -294,9 +294,14 @@ def lsh_band_curve(
     for c in per_r[1:]:
         cands = cands.unionByName(c)
     # verify each DISTINCT pair once, then join the verdict back to
-    # every banding level that surfaced it (levels nest, so the union
-    # is just the loosest level's pair set — the verify join is paid
-    # once, not len(r_values) times)
+    # every banding level that surfaced it — the verify join is paid
+    # once, not len(r_values) times. (Nesting note: candidates(r2) is
+    # a subset of candidates(r1) only when every r2-aligned block
+    # contains a full r1-aligned band — automatic when r1 | r2, and
+    # true of every default level vs r=2 since any aligned block of
+    # length >= 3 contains an aligned 2-band; r=3 vs r=4 are
+    # INCOMPARABLE, so the distinct union is not simply the loosest
+    # level's set.)
     verified = pair_jaccard(
         cands.select("a", "b").distinct(), sh, id_col
     )

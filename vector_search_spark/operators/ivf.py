@@ -421,7 +421,10 @@ def load_centroids(spark, path: str) -> np.ndarray:
         spark.read.parquet(path).orderBy("cluster_id").toPandas()
     )
     ids = pdf["cluster_id"].to_numpy()
-    if len(ids) == 0 or ids[0] != 0 or ids[-1] != len(ids) - 1:
+    if len(ids) == 0 or not (ids == np.arange(len(ids))).all():
+        # element-wise, not endpoints-only: duplicates with a
+        # compensating gap (e.g. [0,1,1,3]) would silently misalign
+        # every row after the duplicate (round-7 review)
         raise ValueError(f"non-dense centroid ids in {path}")
     return np.vstack(pdf["centroid"].to_numpy())
 

@@ -280,10 +280,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "semi_join_late_orders",
     "anti_join_idle_customers",
     "range_join_purchase_follow",
-    # NEW round-7 entries (observability family) start in-window per
-    # the standing rule, displacing three r4-stale picks
+    # NEW round-7 entries (observability family + rotated BQ) start
+    # in-window per the standing rule, displacing FOUR r4-stale picks
     # (setop_converting_days, window_customer_orders,
-    # sessionize_events) to the r8 queue
+    # sessionize_events, asof_purchase_view) to the r8 queue
     "ivf_cell_stats",
     "dedup_lsh_band_curve",
     "docs_dup_rate_by_source",
