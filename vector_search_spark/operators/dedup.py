@@ -39,6 +39,8 @@ __all__ = [
     "lsh_buckets_wide",
     "lsh_candidate_pairs",
     "pair_jaccard",
+    "lsh_band_curve",
+    "dup_rate_by_source",
     "minhash_lsh_pairs",
     "connected_components",
     "ngram_jaccard_pairs",

@@ -445,12 +445,17 @@ def cell_stats(
 
     Plan shape: one map-side-combinable groupBy over the assignment
     relation (norms are a row-local Catalyst fold, no UDF), then the
-    cell-count-sized per-cell relation cross-joins a broadcast 1-row
-    mean aggregate — the whole statistic composes lazily, never
-    collects, and its cost is one scan regardless of index size.
-    skew_ratio is a ratio of exact integers (cell count / mean of
-    counts), so it is bit-deterministic across engines; avg_norm is a
-    true float mean, rounded to 4 places for hash stability.
+    mean cell size is a GLOBAL WINDOW over the cell-count-sized
+    per-cell relation (one single-partition exchange of NC rows —
+    model-sized, and the exact twin of the oracle's ``OVER ()``). A
+    crossJoin against a separate 1-row aggregate would read cleaner
+    but plans as a SECOND full aggregation of the corpus-sized input
+    (no ReusedExchange — verified round 7); the window keeps the whole
+    statistic one scan regardless of index size, composing lazily with
+    no collect. skew_ratio is a ratio of exact integers (cell count /
+    mean of counts), so it is bit-deterministic across engines;
+    avg_norm is a true float mean, rounded to 4 places for hash
+    stability.
     """
     norms = assigned.select(
         "cluster_id",
@@ -466,22 +471,24 @@ def cell_stats(
         F.count(F.lit(1)).alias("n_vecs"),
         F.avg("_nrm").alias("_avg_nrm"),
     )
-    mean = per.agg(
-        F.avg(F.col("n_vecs").cast("double")).alias("_mean")
-    )
-    return (
-        per.crossJoin(F.broadcast(mean))
-        .select(
-            "cluster_id",
-            "n_vecs",
-            (F.round("_avg_nrm", 4) + F.lit(0.0)).alias("avg_norm"),
-            (
-                F.round(F.col("n_vecs") / F.col("_mean"), 6) + F.lit(0.0)
-            ).alias("skew_ratio"),
-            (
-                F.col("n_vecs") > float(skew_factor) * F.col("_mean")
-            ).cast("int").alias("is_oversized"),
-        )
+    w = Window.partitionBy()
+    return per.select(
+        "cluster_id",
+        "n_vecs",
+        (F.round("_avg_nrm", 4) + F.lit(0.0)).alias("avg_norm"),
+        (
+            F.round(
+                F.col("n_vecs")
+                / F.avg(F.col("n_vecs").cast("double")).over(w),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("skew_ratio"),
+        (
+            F.col("n_vecs")
+            > float(skew_factor)
+            * F.avg(F.col("n_vecs").cast("double")).over(w)
+        ).cast("int").alias("is_oversized"),
     )
 
 
