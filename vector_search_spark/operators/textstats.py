@@ -431,15 +431,17 @@ def unigram_logprob(
         F.col(id_col), F.explode(T.tokens(text_col)).alias("t")
     )
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    # corpus token total computed INSIDE the plan (1-row aggregate,
-    # broadcast cross-join) — same lazy-composition fix as
-    # bigram_logprob: no eager corpus-wide action at call time.
-    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("_T"))
-    probs = (
-        vocab.crossJoin(F.broadcast(tot))
-        .select(
-            "t", (F.col("cnt").cast("double") / F.col("_T")).alias("p")
-        )
+    # corpus token total = sum of the vocab counts — a GLOBAL WINDOW
+    # over the already-aggregated vocab-sized relation, so the plan is
+    # lazy (no eager action at call time) AND single-pass (a separate
+    # toks.agg subtree would re-tokenize the corpus a second time —
+    # Spark does not reuse the exchange across the two subtrees).
+    probs = vocab.select(
+        "t",
+        (
+            F.col("cnt").cast("double")
+            / F.sum(F.col("cnt").cast("double")).over(Window.partitionBy())
+        ).alias("p"),
     )
     return (
         toks.join(probs, "t")
