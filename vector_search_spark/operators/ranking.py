@@ -41,7 +41,10 @@ from vector_search_spark.functions import texts as T
 
 
 def bm25_tables(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Corpus-side BM25 state: (tf, df, dl, stats).
 
@@ -49,10 +52,20 @@ def bm25_tables(
     relations; dl(doc_id, dl) the document lengths; stats a single row
     (n_docs, avgdl). All four are plain DataFrames — persist them as
     parquet to reuse across query batches (that IS the index).
+
+    ``materialize=True`` eagerly pins the tokenized relation
+    (localCheckpoint) before fanning out: all four tables are subtrees
+    of the same tokenization, and Spark does not reuse the exchange
+    across subtrees of one action — an ad-hoc search otherwise
+    re-tokenizes the corpus up to four times (the same measured
+    multi-subtree race dedup's shingle table fixed). Leave False when
+    the caller persists the tables to parquet anyway.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("t")
     )
+    if materialize:
+        toks = toks.localCheckpoint()
     dl = toks.select("doc_id", F.size("t").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -83,7 +96,7 @@ def bm25_topk(
     non-negative for any df. Docs sharing no term with a query simply
     don't appear (score floor, as in any inverted-index engine).
     """
-    tf, df, dl, stats = bm25_tables(docs, text_col, id_col)
+    tf, df, dl, stats = bm25_tables(docs, text_col, id_col, materialize=True)
     qt = query_terms.select("query_id", "term").distinct()
     # df/dl/stats are needed only for matched terms; the probe joins are
     # broadcasts (query terms and the semi-joined df slice are tiny).
