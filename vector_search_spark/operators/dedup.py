@@ -295,6 +295,11 @@ def lsh_band_curve(
     cands = per_r[0]
     for c in per_r[1:]:
         cands = cands.unionByName(c)
+    # candidate-volume-sized eager pin: the union feeds BOTH the
+    # distinct-union verify side and the final per-level left join —
+    # left lazy, the whole 4-level bucket-join pipeline runs twice
+    # (measured ~40% of the query's wall at sf0.1)
+    cands = cands.localCheckpoint()
     # verify each DISTINCT pair once, then join the verdict back to
     # every banding level that surfaced it — the verify join is paid
     # once, not len(r_values) times. (Nesting note: candidates(r2) is
