@@ -452,3 +452,71 @@ def test_groupstate_running_stats_equals_batch(spark, events_dir):
     assert sorted(map(tuple, final.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_cell_arrival_counts_stream_equals_batch(spark, tmp_path):
+    """Streaming cell-occupancy monitor: file-source vectors with event
+    times, two micro-batches, availableNow -> the drained per-window
+    per-cell counts must equal the batch twin on the union (same
+    routing, same windows), and the hot cell must dominate."""
+    import datetime as dt
+
+    import numpy as np
+
+    from vector_search_spark.streaming import index_refresh as ir
+
+    cents = np.array([[0.0, 0.0], [50.0, 50.0]])
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(start_min, n_hot, n_cold):
+        out = []
+        for i in range(n_hot):  # route to cell 0
+            out.append(
+                (t0 + dt.timedelta(minutes=start_min, seconds=i), [0.5, float(i % 3)])
+            )
+        for i in range(n_cold):  # route to cell 1
+            out.append(
+                (t0 + dt.timedelta(minutes=start_min, seconds=30 + i), [49.0, 51.0])
+            )
+        return out
+
+    schema = "ts timestamp, embedding array<double>"
+    src = tmp_path / "arrivals"
+    spark.createDataFrame(rows(0, 8, 2), schema).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    spark.createDataFrame(rows(1, 6, 1), schema).write.mode(
+        "append"
+    ).parquet(str(src))
+    # flush batch: append mode only emits a window once the watermark
+    # passes its end, so a later event must advance event time past
+    # the last data window (its own window stays open and unemitted)
+    spark.createDataFrame(
+        [(t0 + dt.timedelta(minutes=5), [49.0, 51.0])], schema
+    ).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = ir.cell_arrival_counts(
+        stream, cents, window_duration="1 minute", watermark_delay="30 seconds"
+    )
+    got = _run_stream(spark, out, "cell_arrivals", "append")
+
+    batch = ir.cell_arrival_counts(
+        spark.read.parquet(str(src)), cents, window_duration="1 minute"
+    ).filter(F.col("window_start") < t0 + dt.timedelta(minutes=5))
+    key = lambda df: sorted(
+        (r.window_start, r.cell, r.n_arrivals)
+        for r in df.select("window_start", "cell", "n_arrivals").collect()
+    )
+    assert key(got) == key(batch)
+    # the hot cell dominates every window — the drift signal the
+    # monitor exists to surface
+    per_cell = {
+        r.cell: r.n
+        for r in got.groupBy("cell").agg(F.sum("n_arrivals").alias("n")).collect()
+    }
+    assert per_cell[0] == 14 and per_cell[1] == 3
