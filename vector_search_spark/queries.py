@@ -270,8 +270,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_quality",
     "text_token_count",
     "multimodal_metadata",
-    "events_approx_distinct",
-    "events_daily_json",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
@@ -279,7 +277,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q10",
     "semi_join_late_orders",
     "anti_join_idle_customers",
-    "range_join_purchase_follow",
     # NEW round-7 entries (observability family + rotated BQ) start
     # in-window per the standing rule, displacing FOUR r4-stale picks
     # (setop_converting_days, window_customer_orders,
@@ -288,8 +285,19 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_lsh_band_curve",
     "docs_dup_rate_by_source",
     "bq_rotated_knn",  # rows-only (numpy QR rotation); pytest-gated
+    # NEW round-7 TPC-H shapes (Q12 conditional agg, Q19 disjunctive
+    # pushdown, Q22 scalar-threshold anti-join), in-window per the
+    # standing rule — displacing three more r4-stale picks
+    # (range_join_purchase_follow, events_daily_json,
+    # events_approx_distinct) to the r8 queue
+    "tpch_q12",
+    "tpch_q19",
+    "tpch_q22",
     # ---- tail: green in r5/r6 (or r4 overflow, see above)
     # on code untouched since ----
+    "range_join_purchase_follow",
+    "events_daily_json",
+    "events_approx_distinct",
     "setop_converting_days",
     "window_customer_orders",
     "sessionize_events",

@@ -1793,3 +1793,164 @@ def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: three more classic TPC-H SHAPES, adapted to the -ish schema
+# (no partsupp / l_shipmode / c_phone in the reduced testdata — each
+# docstring names the substitution; the SHAPE under test is intact).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q12",
+    """
+SELECT l.l_linestatus AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+""",
+    "relational",
+    "join",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority split (TPC-H Q12 shape: join + per-group
+    CONDITIONAL aggregation — two CASE-sums in one pass, never two
+    scans). Adapted: the -ish lineitem has no l_shipmode/commitdate/
+    receiptdate, so the grouping key is l_linestatus and the date
+    predicate is on l_shipdate; the priority CASE split is verbatim
+    Q12. Shape under test: the filter pushes to the lineitem scan,
+    orders joins on the key, and both counts come from ONE aggregation
+    (conditional partial aggregates map-side)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    """
+SELECT (ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0)
+         AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+        AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+        AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 1 AND 35
+        AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    "relational",
+    "join",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue (TPC-H Q19 shape: a DISJUNCTION of conjunct
+    triples spanning BOTH join sides). Adapted only in dropping the
+    p_container/l_shipmode conjuncts the -ish schema lacks. Shape
+    under test: Catalyst must split the OR — the part-only conjuncts
+    (brand+size) and lineitem-only conjuncts (quantity ranges) each
+    push below the join as a derived OR filter on their own scan
+    (PushedFilters on both sides), with the full predicate re-checked
+    as the join residual; naive plans filter only after the join."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part")
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        (
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q22",
+    """
+WITH pos AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       (ROUND(SUM(c.c_acctbal), 2) + 0.0) AS totacctbal
+FROM customer c, pos
+WHERE c.c_acctbal > pos.a
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c.c_mktsegment
+""",
+    "relational",
+    "join",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape: scalar-subquery
+    threshold + NOT EXISTS anti-join + grouped rollup). Adapted: the
+    -ish customer has no c_phone, so the report groups by c_mktsegment
+    instead of phone country code, and — because every customer in
+    this testdata has at least one lifetime order — "no orders"
+    becomes "no orders since 2000-01-01" (lapsed customers), keeping
+    the anti-join non-degenerate at every SF. Threshold, anti-join,
+    and rollup are otherwise verbatim. Shape under test: the positive-balance average is a
+    1-row broadcast (never a per-row subquery), the NOT EXISTS plans
+    as a LEFT ANTI join on custkey, and the threshold compare happens
+    before the anti-join so orders only sees above-average customers."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_a")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal") > F.col("_a"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    idle = rich.join(
+        o.filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        ).select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("totacctbal"),
+    )
