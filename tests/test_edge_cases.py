@@ -209,3 +209,50 @@ def test_rotate_preserves_l2(spark):
         d0 = float(((X[a] - X[b]) ** 2).sum())
         d1 = float(((out[a] - out[b]) ** 2).sum())
         assert abs(d0 - d1) < 1e-9
+
+
+def test_enrich_with_static_validates_keys(spark):
+    from vector_search_spark.streaming import events as sev
+
+    ev = spark.createDataFrame([(1, "a")], "user_id long, x string")
+    dim = spark.createDataFrame([(1, "n")], "uid long, name string")
+    ok = sev.enrich_with_static(ev, dim, "user_id", "uid")
+    assert ok.collect()[0].name == "n"
+    with pytest.raises(ValueError, match="not in dimension columns"):
+        sev.enrich_with_static(ev, dim, "user_id", "wrong_key")
+    clash = spark.createDataFrame(
+        [(1, 9, "n")], "uid long, user_id long, name string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        sev.enrich_with_static(ev, clash, "user_id", "uid")
+
+
+def test_quality_weighted_sample_null_weight_raises(spark):
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(1, 1.0), (2, None)], "doc_id long, w double"
+    )
+    out = sampling.quality_weighted_sample(
+        docs, base_rate=1.0, weight=F.col("w"), seed=1
+    )
+    with pytest.raises(Exception, match="NULL weight"):
+        out.collect()
+
+
+def test_cms_estimate_rejects_mismatched_parameters(spark):
+    from vector_search_spark.operators import sketch
+
+    items = spark.createDataFrame(
+        [(f"k{i % 5}",) for i in range(50)], "k string"
+    )
+    sk = sketch.cms_build(items, "k", depth=4, width=64)
+    probes = spark.createDataFrame([("k0",)], "k string")
+    ok = sketch.cms_estimate(sk, probes, "k", depth=4, width=64)
+    assert ok.collect()[0].cms_est >= 10
+    with pytest.raises(ValueError, match="undercount"):
+        sketch.cms_estimate(sk, probes, "k", depth=2, width=64)
+    with pytest.raises(ValueError, match="undercount"):
+        sketch.cms_estimate(sk, probes, "k", depth=4, width=16)

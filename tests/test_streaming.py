@@ -520,3 +520,44 @@ def test_cell_arrival_counts_stream_equals_batch(spark, tmp_path):
         for r in got.groupBy("cell").agg(F.sum("n_arrivals").alias("n")).collect()
     }
     assert per_cell[0] == 14 and per_cell[1] == 3
+
+
+def test_incremental_pq_refresh_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once; the refresh write must therefore
+    be idempotent. Re-running the same source with a FRESH checkpoint
+    replays every batch with the same batch ids — the index must be
+    IDENTICAL afterward (dynamic overwrite of (cell, batch) partitions),
+    not doubled (the old append-mode bug)."""
+    from vector_search_spark.operators import kmeans, pq
+    from vector_search_spark.streaming import index_refresh as ir
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings").limit(200)
+    C = kmeans.init_first_k(emb, 4)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=7, max_iter=3)
+
+    src_dir = tmp_path / "emb_replay"
+    emb.repartition(2).write.mode("overwrite").parquet(str(src_dir))
+    out_dir = str(tmp_path / "index")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label int"
+        ).option("maxFilesPerTrigger", "1").parquet(str(src_dir))
+        q = ir.incremental_pq_refresh(
+            stream, C, model, out_dir, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run("ckpt1")
+    first = sorted(
+        (r.vec_id, r.cluster_id, bytes(r.code))
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert len(first) == 200
+    run("ckpt2")  # full replay, same batch ids
+    second = sorted(
+        (r.vec_id, r.cluster_id, bytes(r.code))
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert second == first  # not doubled, not reordered

@@ -117,19 +117,33 @@ def assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_vec: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each point to its nearest centroid (squared L2).
 
     Returns ``(id_col, cluster_id, dist)`` (+ the vector when
-    ``with_vec``). One streaming pass, BLAS per Arrow batch, no shuffle.
+    ``with_vec``, + ``carry_cols`` passed through unchanged — e.g. an
+    event-time column for streaming callers; the single routing kernel
+    serves every consumer, so tie-breaks and dtypes can't drift
+    between, say, the index writer and the arrival monitor). One
+    streaming pass, BLAS per Arrow batch, no shuffle.
     """
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
     src = points.select(
-        F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
+        F.col(id_col).alias("_id"),
+        as_double_array(vec_col).alias("_v"),
+        *[F.col(c) for c in carry_cols],
     )
-    out_schema = f"{id_col} long, cluster_id int, dist double" + (
-        ", vec array<double>" if with_vec else ""
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in carry_cols
+    )
+    out_schema = (
+        f"{id_col} long, cluster_id int, dist double"
+        + (", vec array<double>" if with_vec else "")
+        + carry_schema
     )
 
     def fn(batches):
@@ -148,6 +162,8 @@ def assign(
             }
             if with_vec:
                 cols["vec"] = list(X)
+            for c in carry_cols:
+                cols[c] = pdf[c]
             yield pd.DataFrame(cols)
 
     return src.mapInPandas(fn, out_schema)

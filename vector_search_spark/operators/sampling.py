@@ -90,7 +90,22 @@ def quality_weighted_sample(
     """
     if base_rate < 0.0:
         raise ValueError(f"base_rate must be >= 0, got {base_rate}")
-    p = F.least(F.greatest(F.lit(base_rate) * weight, F.lit(0.0)), F.lit(1.0))
+    # NULL weight would propagate to a NULL threshold and silently
+    # DROP the row from the sample — for an auditable corpus-mixing
+    # primitive that's a correctness trap, so it fails fast instead
+    # (coalesce an explicit default upstream if that's the policy).
+    w_checked = F.when(
+        weight.isNull(),
+        F.raise_error(
+            F.lit(
+                "quality_weighted_sample: NULL weight — coalesce an "
+                "explicit default in the weight expression"
+            )
+        ),
+    ).otherwise(weight)
+    p = F.least(
+        F.greatest(F.lit(base_rate) * w_checked, F.lit(0.0)), F.lit(1.0)
+    )
     threshold = F.floor(p * _DENOM).cast("long")
     u = T.h32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     return df.filter(u % _DENOM < threshold)

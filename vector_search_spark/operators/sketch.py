@@ -89,10 +89,39 @@ def cms_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 2048,
+    validate: bool = True,
 ) -> DataFrame:
     """Point-query the sketch for each distinct probe key: adds
     ``cms_est`` (min over the key's depth cells; >= true count always).
-    The sketch side is depth*width rows -> broadcast; probes stream."""
+    The sketch side is depth*width rows -> broadcast; probes stream.
+
+    The never-undercount guarantee only holds when (depth, width)
+    match the build parameters — the sketch DataFrame carries no
+    metadata, and a mismatch would silently probe the wrong cells
+    (coalesce 0, min 0: an undercount). ``validate`` (default on)
+    runs one sketch-sized aggregate at call time that rejects a probe
+    depth differing from the built rows and a probe width smaller
+    than the built buckets; a probe width LARGER than the build is
+    undetectable from the sketch alone (buckets all < both widths) —
+    keep the parameters with the sketch. Pass validate=False to skip
+    the eager check in latency-critical paths."""
+    if validate:
+        chk = sketch.agg(
+            F.countDistinct("row").alias("rows"),
+            F.max("row").alias("maxrow"),
+            F.max("bucket").alias("maxb"),
+        ).first()
+        if chk["rows"] and (
+            int(chk["rows"]) != depth
+            or int(chk["maxrow"]) >= depth
+            or int(chk["maxb"]) >= width
+        ):
+            raise ValueError(
+                f"cms_estimate(depth={depth}, width={width}) does not "
+                f"match the sketch (rows={chk['rows']}, "
+                f"max row={chk['maxrow']}, max bucket={chk['maxb']}) — "
+                f"probing the wrong cells would undercount"
+            )
     h1, h2 = cms_h1(key_col), cms_h2(key_col)
     probe_cells = probes.select(
         key_col,

@@ -182,6 +182,19 @@ def enrich_with_static(
     which is the 100 TB/day answer for dimension lookups (state-store
     stream-stream joins are for two *moving* sides). Works identically
     on a batch DataFrame, so the batch twin is oracle-checkable."""
+    if dim_key not in dim.columns:
+        # withColumnRenamed on a missing column is a silent no-op — the
+        # join would then fail late (or worse, hit a coincidentally
+        # named column). Fail fast instead. (Advice-prevention, r7.)
+        raise ValueError(
+            f"dim_key {dim_key!r} not in dimension columns {dim.columns}"
+        )
+    if stream_key != dim_key and stream_key in dim.columns:
+        raise ValueError(
+            f"dimension already has a column named {stream_key!r}; the "
+            f"rename from {dim_key!r} would create a duplicate — drop "
+            f"or rename it first"
+        )
     d = F.broadcast(dim.withColumnRenamed(dim_key, stream_key))
     return events.join(d, stream_key, how)
 

@@ -33,8 +33,14 @@ __all__ = [
 def encode_batch(
     batch: DataFrame, centroids: np.ndarray, model: "pq.PQModel"
 ) -> DataFrame:
-    """Route + encode one micro-batch: (vec_id, cluster_id, code)."""
-    assigned = ivf.assign_clusters(batch, centroids)
+    """Route + encode one micro-batch: (vec_id, cluster_id, code).
+
+    The assignment is PINNED (localCheckpoint, micro-batch-sized)
+    before fanning into the encode pass and the cluster_id join —
+    left lazy, the BLAS routing mapInPandas runs twice per trigger
+    (Spark does not reuse lineage across the two subtrees); pinned,
+    the join is two batch-sized relations AQE will broadcast."""
+    assigned = ivf.assign_clusters(batch, centroids).localCheckpoint()
     codes = pq.encode(assigned, model)
     return codes.join(
         assigned.select("vec_id", "cluster_id"), "vec_id"
@@ -50,17 +56,27 @@ def incremental_pq_refresh(
     available_now: bool = True,
 ):
     """Start the refresh stream: every micro-batch is encoded and
-    appended to the cell-partitioned index at ``out_dir``. Exactly-once
-    comes from the checkpoint + append-only parquet sink contract."""
+    written to the cell-partitioned index at ``out_dir``.
+
+    EXACTLY-ONCE comes from the checkpoint plus an IDEMPOTENT write —
+    foreachBatch alone is at-least-once (a crash between the parquet
+    write and the checkpoint commit replays the batch), so a plain
+    append would duplicate the replayed rows in the index. The write
+    is therefore partitioned by (cluster_id, batch_id) under dynamic
+    partition overwrite: a replay of batch N rewrites exactly its own
+    (cell, N) partitions instead of appending beside them. cluster_id
+    stays the leading partition key, so cell-level directory pruning
+    on the read side is unchanged."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            encode_batch(batch_df, centroids, model)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.partitionBy("cluster_id")
-            .mode("append")
-            .parquet(out_dir)
-        )
+        with ivf._dynamic_overwrite(batch_df.sparkSession):
+            (
+                encode_batch(batch_df, centroids, model)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("cluster_id", "batch_id")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -123,8 +139,9 @@ def cell_arrival_counts(
     shows up here windows before the cell is oversized on disk.
 
     Shape: one STATELESS Arrow-batched argmin against the broadcast
-    centroid matrix (keeps the event-time column — kmeans.assign drops
-    it, and a streaming window rank is unsupported anyway), then the
+    centroid matrix — kmeans.assign itself, with the event-time column
+    carried through (carry_cols; a streaming window rank is
+    unsupported anyway) — then the
     standard watermarked tumbling-window count. State is bounded by
     (live windows x cells); late vectors beyond ``watermark_delay``
     are dropped exactly as in the other event-time aggregations here.
@@ -134,37 +151,28 @@ def cell_arrival_counts(
     (same code path minus the watermark semantics), which is what the
     stream==batch equality test exploits.
     """
-    import pandas as pd
+    from vector_search_spark.operators import kmeans
 
-    spark = stream.sparkSession
-    bc = spark.sparkContext.broadcast(
-        np.ascontiguousarray(centroids, dtype=np.float64)
-    )
+    # The ONE routing kernel (kmeans.assign) with the event-time column
+    # carried through — a second inline copy of the gemm+argmin would
+    # have to be kept tie-consistent by hand, and a drift would break
+    # the monitor/cell_stats/rebalance "same routing" premise. The
+    # monitor needs no id, so a constant feeds the kernel's id slot
+    # and is dropped immediately (monotonically_increasing_id is
+    # disallowed on streams; the id is never used, so uniqueness is
+    # irrelevant).
     src = stream.select(
+        F.lit(0).cast("long").alias("_mid"),
         F.col(ts_col).alias("_ts"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(vec_col).alias("_vec"),
     )
-
-    def fn(batches):
-        C = bc.value
-        cn2 = (C * C).sum(axis=1)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-            D = (
-                (X * X).sum(axis=1)[:, None]
-                + cn2[None, :]
-                - 2.0 * (X @ C.T)
-            )
-            yield pd.DataFrame(
-                {
-                    "_ts": pdf["_ts"],
-                    "cell": D.argmin(axis=1).astype("int32"),
-                }
-            )
-
-    routed = src.mapInPandas(fn, "_ts timestamp, cell int")
+    routed = kmeans.assign(
+        src,
+        centroids,
+        id_col="_mid",
+        vec_col="_vec",
+        carry_cols=("_ts",),
+    ).select("_ts", F.col("cluster_id").alias("cell"))
     if routed.isStreaming:
         routed = routed.withWatermark("_ts", watermark_delay)
     return (
