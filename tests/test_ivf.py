@@ -635,3 +635,54 @@ def test_index_maintenance_lifecycle(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_search_index_serving_api_with_filter(spark, tmp_path):
+    """One-call serving over the persisted index: search_index ==
+    ivf_topk over the in-memory assignment, and a base_filter reaches
+    the parquet scan as a pushed data filter INSIDE the partition-
+    pruned cell directories (filtered ANN on the pruned path)."""
+    import numpy as np
+
+    from vector_search_spark import tables
+    from tests.conftest import SF_ORACLE
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    C = kmeans.init_first_k(emb, 8)
+    # index rows carry the metadata column the filter needs
+    assigned = ivf.assign_clusters(emb, C).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    path = str(tmp_path / "srv_index")
+    cpath = str(tmp_path / "srv_cents")
+    ivf.write_index(assigned, path)
+    ivf.save_centroids(spark, C, cpath)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivf.search_index(
+        spark, path, cpath, queries, k=5, nprobe=3,
+        base_filter=F.col("label") == 2,
+    )
+    want = ivf.ivf_topk(
+        queries,
+        ivf.assign_clusters(emb.filter(F.col("label") == 2), C),
+        C,
+        k=5,
+        nprobe=3,
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in df.select("query_id", "rank", "vec_id").collect()
+    )
+    assert key(got) == key(want)
+    # every hit satisfies the predicate
+    labs = {
+        r.label
+        for r in got.join(emb.select("vec_id", "label"), "vec_id")
+        .select("label").collect()
+    }
+    assert labs == {2}
+    # plan: predicate pushed to the scan AND cell directories pruned
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "label" in plan.split("PushedFilters", 1)[1][:400]

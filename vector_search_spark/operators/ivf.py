@@ -393,6 +393,38 @@ def ivf_adc_topk(
     return topk_per_query(scored, k)
 
 
+def search_index(
+    spark,
+    index_path: str,
+    centroids_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    base_filter=None,
+    **kwargs,
+) -> DataFrame:
+    """One-call serving API over the PERSISTED index: load the model
+    (:func:`load_centroids`), open the cell-partitioned parquet, route
+    + score only the probed cells (:func:`ivf_topk`). This is the
+    call a query service makes per batch — everything upstream
+    (write_index, upsert, compact, rebalance + save_centroids) exists
+    to keep this one fast and correct.
+
+    ``base_filter`` (optional Column) is a metadata predicate applied
+    to the index relation BEFORE scoring — filtered ANN on the pruned
+    path: the predicate reaches the parquet scan (PushedFilters)
+    INSIDE only the routed cell directories (PartitionFilters), so a
+    filtered search reads exactly (probed cells ∩ predicate pages).
+    Pre-filter semantics: top-k among matching rows (never undersized
+    unless fewer than k rows match in the probed cells).
+    """
+    C = load_centroids(spark, centroids_path)
+    base = spark.read.parquet(index_path)
+    if base_filter is not None:
+        base = base.filter(base_filter)
+    return ivf_topk(queries, base, C, k=k, nprobe=nprobe, **kwargs)
+
+
 def save_centroids(spark, centroids: np.ndarray, path: str) -> None:
     """Persist the coarse-quantizer model beside the cell directories.
     rebalance_index RETURNS a grown centroid table — the index is only

@@ -264,7 +264,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "docs_stratified_sample",
-    "docs_split_assign",
     "text_chunks",
     "text_language_id",
     "text_quality",
@@ -293,8 +292,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q12",
     "tpch_q19",
     "tpch_q22",
+    # NEW round-7: filtered ANN on the pruned path (displaces
+    # docs_split_assign to the r8 queue)
+    "ivf_filtered_knn",
     # ---- tail: green in r5/r6 (or r4 overflow, see above)
     # on code untouched since ----
+    "docs_split_assign",
     "range_join_purchase_follow",
     "events_daily_json",
     "events_approx_distinct",

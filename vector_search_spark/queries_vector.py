@@ -1970,3 +1970,61 @@ def q_bq_rotated_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "hamming", rnd("dist").alias("dist"), "rank"
     )
+
+
+@register(
+    "ivf_filtered_knn",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cluster_id, v AS cv FROM pts WHERE vec_id < {IVF_NC}),
+fpts AS (SELECT vec_id, v FROM pts WHERE label = 2),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT p.vec_id, c.cluster_id, {_L2.format(a="p.v", b="c.cv")} AS d
+    FROM fpts p CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < {IVF_QUERIES}),
+routes AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.query_id, c.cluster_id, {_L2.format(a="q.qv", b="c.cv")} AS d
+    FROM q CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cluster_id) <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT r.query_id, a.vec_id, {_L2.format(a="q.qv", b="p.v")} AS d
+  FROM routes r
+  JOIN assigned a ON a.cluster_id = r.cluster_id
+  JOIN q ON q.query_id = r.query_id
+  JOIN fpts p ON p.vec_id = a.vec_id
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM scored
+QUALIFY "rank" <= 10
+""",
+    "vector",
+    "ivf",
+    "filter",
+)
+def q_ivf_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN on the PRUNED path (round 7): metadata predicate
+    (label = 2) composed with IVF routing — the production shape for
+    "nearest neighbors among rows matching a filter" at 100 TB: the
+    label predicate pushes into the parquet scan (PushedFilters) and
+    the routed-cells IN-filter prunes directories (PartitionFilters),
+    so the scan reads (probed cells ∩ matching pages) only. Pre-filter
+    semantics (top-k among matching rows — never silently undersized),
+    vs the overfetching post-filter strategy in knn_filtered; the
+    oracle replays filter, assignment, routing, pruning, and re-rank.
+    ivf.search_index(base_filter=...) is the persisted-index form of
+    the same composition."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, IVF_NC)
+    filt = emb.filter(F.col("label") == 2)
+    assigned = ivf.assign_clusters(filt, C)
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    out = ivf.ivf_topk(queries, assigned, C, k=10, nprobe=IVF_NPROBE)
+    return out.select(
+        "query_id", "vec_id", rnd("dist").alias("dist"), "rank"
+    )
