@@ -256,3 +256,73 @@ def test_cms_estimate_rejects_mismatched_parameters(spark):
         sketch.cms_estimate(sk, probes, "k", depth=2, width=64)
     with pytest.raises(ValueError, match="undercount"):
         sketch.cms_estimate(sk, probes, "k", depth=4, width=16)
+
+
+def test_multimodal_custom_id_col_and_null_payload(spark):
+    from vector_search_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(10, bytearray(b"abc")), (11, None)],
+        "event_id long, payload binary",
+    )
+    out = mm.byte_histogram(df, id_col="event_id").collect()
+    assert {r.event_id for r in out} == {10}  # NULL payload excluded
+    assert sum(r["count"] for r in out) == 3
+    with pytest.raises(ValueError, match="divide 256"):
+        mm.byte_histogram(df, id_col="event_id", n_buckets=10)
+    # the other stages accept the custom id + NULL policy too
+    assert {
+        r.event_id
+        for r in mm.audio_features(df, id_col="event_id").collect()
+    } <= {10}
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    from vector_search_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 100, "L")], "key long, ts long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 7, "bad"), (1, 50, 8, "ok")],
+        "key long, ts long, rid long, rv string",
+    )
+    out = asof.asof_join_backward(
+        left, right, key="key", left_ts="ts", right_ts="ts",
+        right_id="rid", right_cols=["rv"],
+    ).collect()
+    assert len(out) == 1 and out[0].asof_id == 8  # NULL-ts row ignored
+
+
+def test_shingles_null_text_stays_null(spark):
+    from vector_search_spark.functions import texts as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", T.shingles(T.tokens("text"), 2).alias("sh")
+        ).collect()
+    }
+    assert rows[1] == ["a b", "b c"]
+    assert rows[2] is None  # NULL in, NULL out — DuckDB twin parity
+
+
+def test_pushed_filters_handles_in_lists_and_codegen_helper(spark):
+    from vector_search_spark import plans
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = emb.filter(F.col("vec_id").isin(1, 2, 3) & (F.col("label") == 1))
+    fs = plans.pushed_filters(df)
+    assert any(f.startswith("In(vec_id") for f in fs), fs
+    assert any("EqualTo(label,1)" in f for f in fs), fs
+    # no shredded fragments: every entry is bracket/paren balanced
+    assert all(
+        f.count("(") == f.count(")") and f.count("[") == f.count("]")
+        for f in fs
+    ), fs
+    assert plans.wholestage_codegen_ids(df) >= 1

@@ -204,6 +204,18 @@ class ProductQuantizer:
         ]
 
 
+def _codec_trained(c) -> bool:
+    """Trained-state probe accepting BOTH codec styles: the reference's
+    ``.trained`` attribute and this repo's protocol ``is_trained()``
+    method — getattr(c, 'trained', False) alone silently treated a
+    trained protocol codec as untrained."""
+    t = getattr(c, "trained", None)
+    if t is not None:
+        return bool(t)
+    it = getattr(c, "is_trained", None)
+    return bool(it()) if callable(it) else False
+
+
 class HNSWIndex:
     """Reference py/hnsw.py:147-410: Insert + layered KNNSearch.
 
@@ -224,9 +236,23 @@ class HNSWIndex:
         self._dirty = True
 
     def Insert(self, q: list) -> None:
-        if self.compression is not None and getattr(
-            self.compression, "trained", False
+        if self.compression is not None and _codec_trained(
+            self.compression
         ):
+            if not (
+                hasattr(self.compression, "Encode")
+                and hasattr(self.compression, "Decode")
+            ):
+                # a DataFrame-level codec (functions/compression.py
+                # VectorCompression protocol) plugs into the engine
+                # operators, not this per-vector reference shim —
+                # storing raw silently would break the compressed-
+                # storage contract (advice-prevention, r7)
+                raise TypeError(
+                    "HNSWIndex compression must expose the reference's "
+                    "per-vector Encode/Decode interface; got "
+                    f"{type(self.compression).__name__}"
+                )
             # store the quantized form, like the reference (py/hnsw.py:
             # 345-348); L2-ADC == L2 on decoded vectors, so decoded
             # storage gives bit-identical search distances

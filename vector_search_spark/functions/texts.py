@@ -67,8 +67,13 @@ def shingles(toks: Column, n: int) -> Column:
     joined = F.transform(
         z, lambda s: F.concat_ws(" ", *[s[f"c{i}"] for i in range(n)])
     )
-    return F.when(sz >= n, F.slice(joined, 1, sz - (n - 1))).otherwise(
-        F.array().cast("array<string>")
+    # three-way branch: NULL input stays NULL (size(NULL) = -1 would
+    # otherwise fall into the empty-array branch, diverging from the
+    # DuckDB twin where len(NULL) propagates NULL)
+    return (
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(sz >= n, F.slice(joined, 1, sz - (n - 1)))
+        .otherwise(F.array().cast("array<string>"))
     )
 
 

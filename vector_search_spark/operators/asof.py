@@ -41,7 +41,11 @@ def asof_join_backward(
         F.col(right_id).alias("_id"),
         *[F.col(c) for c in right_cols],
     )
-    r = right.select(
+    # A right row with NULL ts can never satisfy ts <= left.ts, but
+    # ascending-nulls-first ordering would sort it ahead of everything
+    # and forward-fill its payload into rows with no genuine
+    # predecessor — drop such rows up front (advice-prevention, r7).
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),

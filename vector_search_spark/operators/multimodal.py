@@ -68,8 +68,17 @@ def byte_histogram(
     histogram per payload — a real, deterministic, dependency-free
     featurizer with the exact execution shape of an image embedder
     (mapInPandas, numpy over Arrow batches, fixed-width output).
-    Returns (id, bucket, count, frac)."""
-    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
+    Returns (id, bucket, count, frac). Rows whose payload is NULL are
+    EXCLUDED up front with an explicit plan filter (decoding nothing is
+    not a zero histogram); n_buckets must divide 256 exactly or bytes
+    at the top of the range would be silently truncated away."""
+    if not (1 <= n_buckets <= 256) or 256 % n_buckets:
+        raise ValueError(
+            f"n_buckets must divide 256 (1..256), got {n_buckets}"
+        )
+    src = df.filter(F.col(payload_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_p")
+    )
     width = 256 // n_buckets
 
     def fn(batches):
@@ -85,7 +94,11 @@ def byte_histogram(
                 fracs.append(hist[nz] / max(len(b), 1))
             yield pd.DataFrame(
                 {
-                    "doc_id": np.concatenate(ids) if ids else [],
+                    # keyed by the PARAMETERIZED id name: Spark 4
+                    # assigns mapInPandas output columns by schema
+                    # NAME, so hardcoding 'doc_id' broke any
+                    # non-default id_col (advice-prevention, r7)
+                    id_col: np.concatenate(ids) if ids else [],
                     "bucket": np.concatenate(buckets) if buckets else [],
                     "count": np.concatenate(counts) if counts else [],
                     "frac": np.concatenate(fracs) if fracs else [],
@@ -109,8 +122,12 @@ def decode_image(
     raises NotImplementedError (no codec in this environment);
     ``strict=False`` produces a DETERMINISTIC FAKE — bytes tiled/
     truncated into the target shape and scaled to [0,1] — preserving
-    schema, determinism, and batch shape for downstream testing."""
-    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
+    schema, determinism, and batch shape for downstream testing.
+    NULL payloads are excluded up front (plan filter), same policy as
+    byte_histogram."""
+    src = df.filter(F.col(payload_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_p")
+    )
     px = size * size
 
     def fn(batches):
@@ -144,7 +161,7 @@ def decode_image(
                     arr = np.resize(b, px).astype(np.float64) / 255.0
                 ids.append(_id)
                 pixels.append(arr)
-            yield pd.DataFrame({"doc_id": ids, "pixels": pixels})
+            yield pd.DataFrame({id_col: ids, "pixels": pixels})
 
     return src.mapInPandas(fn, f"{id_col} long, pixels array<double>")
 
@@ -165,7 +182,9 @@ def audio_features(
     Same execution contract as the other stages: mapInPandas, numpy
     over Arrow batches, per-row map, no shuffle.
     """
-    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
+    src = df.filter(F.col(payload_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_p")
+    )  # NULL payloads excluded, same policy as byte_histogram
 
     def fn(batches):
         for pdf in batches:
@@ -192,7 +211,7 @@ def audio_features(
                         else 0.0
                     )
             yield pd.DataFrame(
-                {"doc_id": ids, "win_idx": idxs, "rms": rmss, "zcr": zcrs}
+                {id_col: ids, "win_idx": idxs, "rms": rmss, "zcr": zcrs}
             )
 
     return src.mapInPandas(
@@ -211,7 +230,9 @@ def frame_sample(
     payload into fixed-size frames, keep every ``every``-th. The
     chunk/stride plumbing is the real thing; only the frame decode is
     a byte slice. Returns (id, frame_idx, frame binary)."""
-    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_p"))
+    src = df.filter(F.col(payload_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_p")
+    )  # NULL payloads excluded, same policy as byte_histogram
 
     def fn(batches):
         for pdf in batches:
@@ -224,7 +245,7 @@ def frame_sample(
                     idxs.append(fi)
                     frames.append(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+                {id_col: ids, "frame_idx": idxs, "frame": frames}
             )
 
     return src.mapInPandas(fn, f"{id_col} long, frame_idx int, frame binary")

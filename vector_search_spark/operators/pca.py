@@ -58,17 +58,23 @@ def train_pca(
     src = points.select(as_double_array(vec_col).alias("_v"))
 
     def fn(batches):
+        # accumulate across the partition's Arrow batches and yield ONE
+        # statistics row per partition — yielding per batch multiplied
+        # the driver collect by (rows / arrow-batch-size) D^2-sized
+        # rows, exactly the blowup the one-pass design exists to avoid
+        n = 0
+        s = None
+        ss = None
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-            yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0)],
-                    "ss": [(X.T @ X).ravel()],
-                }
-            )
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            g = X.T @ X
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s], "ss": [ss.ravel()]})
 
     parts = src.mapInPandas(
         fn, "n long, s array<double>, ss array<double>"

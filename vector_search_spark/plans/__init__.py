@@ -6,4 +6,5 @@ from vector_search_spark.plans.explain import (  # noqa: F401
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
+    wholestage_codegen_ids,
 )

@@ -25,13 +25,44 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split a filter list on commas at bracket/paren depth 0 — a naive
+    split shreds In(x, [1,2,3]) into fragments."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries across scans in the plan."""
+    """All PushedFilters entries across scans in the plan. Parsing is
+    bracket-aware: the list is matched to its BALANCED closing bracket
+    (a lazy regex stops at the first ']' inside e.g. In(x, [1,2,3]))
+    and split only on top-level commas."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        if m.group(1).strip():
-            out.extend(p.strip() for p in m.group(1).split(","))
+    for m in re.finditer(r"PushedFilters: \[", plan):
+        depth, i = 1, m.end()
+        while i < len(plan) and depth:
+            if plan[i] == "[":
+                depth += 1
+            elif plan[i] == "]":
+                depth -= 1
+            i += 1
+        body = plan[m.end() : i - 1].strip()
+        if body:
+            out.extend(_split_top_level(body))
     return out
 
 
@@ -46,6 +77,14 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 
 def wholestage_codegen_ids(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans in the plan (wider is better)."""
+    """Number of WholeStageCodegen spans in the plan (wider is better).
+
+    Formatted explain marks codegen hosts with ``[codegen id : N]``
+    (the ``WholeStageCodegen (N)`` node label only appears in simple
+    mode — the original regex matched nothing against formatted plans,
+    which is why this helper sat unused); both markers are counted so
+    the helper works on either explain string."""
     plan = formatted_plan(df)
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+    ids = set(re.findall(r"codegen id : (\d+)", plan))
+    ids |= set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(ids)

@@ -62,6 +62,22 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    # If we attached to a pre-existing session, still pin the runtime-settable knobs.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # If we attached to a pre-existing session, builder configs were
+    # ignored — re-apply every RUNTIME-SETTABLE knob from the resolved
+    # conf (not just the timezone: shuffle partitions, AQE, Arrow, and
+    # the broadcast threshold are all session-settable, and an explicit
+    # extra_conf value must win over the engine default — the old
+    # unconditional UTC reset clobbered a caller's timeZone).
+    _RUNTIME_SETTABLE = (
+        "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    for k in _RUNTIME_SETTABLE:
+        if k in conf:
+            spark.conf.set(k, conf[k])
     return spark
