@@ -341,3 +341,78 @@ def test_cms_guarantee_random_streams(session, keys, seed):
     for k, t in truth.items():
         assert est[k] >= t, (k, est[k], t)
         assert est[k] <= len(keys)  # can never exceed the stream size
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    dim=st.sampled_from([4, 8, 16, 32]),
+)
+def test_random_rotation_is_orthogonal_and_isometric(session, seed, dim):
+    """bq.random_rotation properties for arbitrary (dim, seed): exact
+    orthogonality (Q Q^T = I), determinism, and numpy-level isometry —
+    the invariants that make the rotated re-rank exact."""
+    import numpy as np
+
+    from vector_search_spark.operators import bq
+
+    Q = bq.random_rotation(dim, seed)
+    assert Q.shape == (dim, dim)
+    assert np.allclose(Q @ Q.T, np.eye(dim), atol=1e-9)
+    assert np.allclose(Q, bq.random_rotation(dim, seed))
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(6, dim))
+    G0 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    XR = X @ Q.T
+    G1 = ((XR[:, None, :] - XR[None, :, :]) ** 2).sum(-1)
+    assert np.allclose(G0, G1, atol=1e-8)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(6, 18),
+)
+def test_lsh_band_curve_containment_random_corpora(session, seed, n_docs):
+    """The provable band-curve containment chains (r1 | r2 =>
+    candidates(r2) ⊆ candidates(r1), plus r=2 dominance at P=12) must
+    hold on ARBITRARY corpora, not just the oracle fixture — this is
+    the property the round-7 review showed is NOT total (r=3 vs r=4
+    are incomparable), so the chains asserted here are exactly the
+    provable ones."""
+    import random
+
+    from vector_search_spark.operators import dedup
+
+    rnd_ = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = []
+    for i in range(n_docs):
+        base = [rnd_.choice(vocab) for _ in range(rnd_.randint(4, 12))]
+        rows.append((i, " ".join(base)))
+        if rnd_.random() < 0.4:  # planted near-dup
+            j = len(rows)
+            mut = list(base)
+            if mut:
+                mut[rnd_.randrange(len(mut))] = rnd_.choice(vocab)
+            rows.append((1000 + j, " ".join(mut)))
+    docs = session.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.rows_per_band: r.n_candidates
+        for r in dedup.lsh_band_curve(
+            docs, shingle_n=2, num_perms=12, r_values=(2, 3, 4, 6)
+        ).collect()
+    }
+    if not got:  # degenerate corpus: no candidates anywhere — fine
+        return
+    c = {r: got.get(r, 0) for r in (2, 3, 4, 6)}
+    for hi, lo in [(2, 3), (2, 4), (2, 6), (3, 6), (4, 6)]:
+        assert c[hi] >= c[lo], (seed, c)
