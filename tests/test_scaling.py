@@ -315,3 +315,28 @@ def test_hnsw_sharded_recall_under_densification(spark, bases, queries, truths):
         )
         rs[r] = _recall(out, truths[r])
     _gate("hnsw_sharded", rs)
+
+
+def test_minhash_mega_bucket_skew_completes_and_is_exact(spark):
+    """The documented skew risk in the LSH path is a mega-bucket (many
+    identical docs land in ONE band bucket; the self-join is
+    |bucket|^2). AQE skew-join splitting must absorb it: 200 identical
+    docs + 50 distinct ones -> the pipeline completes and returns
+    exactly C(200,2) verified pairs at Jaccard 1.0, with no pair
+    leaking from the distinct tail."""
+    from vector_search_spark.operators import dedup
+
+    n_dup, n_uniq = 200, 50
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(n_dup)]
+    rows += [
+        (1000 + i, f"unique document number {i} with filler tokens {i * 7} {i * 13}")
+        for i in range(n_uniq)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_n=3, num_perms=12, rows_per_band=3, threshold=0.9
+    )
+    got = pairs.collect()
+    assert len(got) == n_dup * (n_dup - 1) // 2
+    assert all(r.jaccard == 1.0 for r in got)
+    assert all(r.a < 1000 and r.b < 1000 for r in got)
