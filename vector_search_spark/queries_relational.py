@@ -429,7 +429,7 @@ def q_setop_converting_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         days("click")
         .intersect(days("purchase"))
-        .exceptAll(days("error").distinct())
+        .subtract(days("error"))
         .select("user_id", F.unix_timestamp("d").alias("day_epoch"))
     )
 
@@ -982,8 +982,6 @@ def q_lineitem_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifts past tolerance the value hash breaks. At 100 TB only the
     sketch pass survives (bounded memory, mergeable); the exact pass
     here is the verification harness."""
-    from pyspark.sql import Window
-
     li = tables.load(spark, sf_dir, "lineitem")
     qs = [0.25, 0.5, 0.75, 0.95]
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
@@ -1072,8 +1070,6 @@ def q_events_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     own baseline). Rows without a full 6-hour history are dropped on
     both engines. One agg + one ordered window; at scale the window
     partitions by stream/tenant key (here: the single global series)."""
-    from pyspark.sql import Window
-
     ev = tables.load(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).alias("cnt")
@@ -1220,8 +1216,6 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     each user's time-ordered stream, then one keyed agg — the window
     partitions by user_id, so no global sort; ties inside a timestamp
     break on event_id for a deterministic sequence."""
-    from pyspark.sql import Window
-
     ev = tables.load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -1263,8 +1257,6 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket assignment deterministic). One keyed agg + three global
     ntile windows over the CUSTOMER-sized relation — the windows sort
     aggregates, never raw orders."""
-    from pyspark.sql import Window
-
     o = tables.load(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
@@ -1410,8 +1402,6 @@ def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     30) — the per-row-gap semantics of F.session_window(gap_col),
     replayed relationally (lag + conditional boundary + running sum)
     so the oracle can value-check it."""
-    from pyspark.sql import Window
-
     ev = tables.load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.when(
@@ -1910,7 +1900,7 @@ SELECT c.c_mktsegment,
        CAST(count(*) AS BIGINT) AS numcust,
        (ROUND(SUM(c.c_acctbal), 2) + 0.0) AS totacctbal
 FROM customer c, pos
-WHERE c.c_acctbal > pos.a
+WHERE c.c_acctbal > ROUND(pos.a, 2)
   AND NOT EXISTS (
     SELECT 1 FROM orders o
     WHERE o.o_custkey = c.c_custkey
@@ -1940,7 +1930,10 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rich = (
         c.crossJoin(F.broadcast(pos))
-        .filter(F.col("c_acctbal") > F.col("_a"))
+        # threshold ROUNDED before the compare on BOTH sides (the
+        # tpch_q15 pattern): raw double averages can differ by an ulp
+        # between engines, flipping membership of a knife-edge customer
+        .filter(F.col("c_acctbal") > F.round(F.col("_a"), 2))
         .select("c_custkey", "c_mktsegment", "c_acctbal")
     )
     idle = rich.join(

@@ -741,11 +741,7 @@ def q_docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable under re-partitioning, appends, and retries). One narrow map
     pass, no shuffle."""
     docs = tables.load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = T.h32(F.col("doc_id").cast("string")) % 100
     return docs.select(
         "doc_id",
         F.when(bucket < 80, F.lit("train"))
@@ -772,16 +768,7 @@ def q_docs_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same rows on every engine and every rerun, unlike sample())."""
     docs = tables.load(spark, sf_dir, "documents")
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
+        T.h32(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))) % 100
     )
     return docs.filter(bucket < 10).select(
         "doc_id", F.length("text").alias("text_len")
@@ -1421,13 +1408,7 @@ def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id")
     )
-    s5 = s4.filter(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
-        % 100
-        < 80
-    )
+    s5 = s4.filter(T.h32(F.col("doc_id").cast("string")) % 100 < 80)
 
     def stage(n: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(

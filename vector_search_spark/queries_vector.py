@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import numpy as np
-
 from vector_search_spark import tables
 from vector_search_spark.operators import ivf, kmeans, pq
 from vector_search_spark.queries import KNN_K, KNN_QUERIES, register, rnd, rnd_sql
@@ -1326,7 +1324,10 @@ truth AS (
   WHERE r <= {KNN_K}
 )
 SELECT t.query_id,
-       (CAST(count(a.vec_id) AS DOUBLE) / {KNN_K}) AS recall
+       -- divide by the PER-QUERY truth size, matching the engine's
+       -- recall_per_query (hits/|truth|); a constant k denominator
+       -- diverges whenever truth lists are short (review r7)
+       (CAST(count(a.vec_id) AS DOUBLE) / count(t.vec_id)) AS recall
 FROM truth t
 LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
 GROUP BY t.query_id
@@ -1621,8 +1622,6 @@ def q_ivf_bq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF index (scan cost: probed fraction x bit width). Deterministic
     first-K centroids, so the oracle replays routing, the in-cell
     Hamming scan, the shortlist, and the re-rank."""
-    import numpy as np
-
     from vector_search_spark.operators import bq
     from vector_search_spark.operators import kmeans as _km
     from vector_search_spark.operators import knn as _knn
