@@ -252,10 +252,38 @@ def test_cms_estimate_rejects_mismatched_parameters(spark):
     probes = spark.createDataFrame([("k0",)], "k string")
     ok = sketch.cms_estimate(sk, probes, "k", depth=4, width=64)
     assert ok.collect()[0].cms_est >= 10
-    with pytest.raises(ValueError, match="undercount"):
-        sketch.cms_estimate(sk, probes, "k", depth=2, width=64)
-    with pytest.raises(ValueError, match="undercount"):
-        sketch.cms_estimate(sk, probes, "k", depth=4, width=16)
+    # The shape check is in-plan (assert_true), so the mismatch
+    # surfaces at action time, not call time.
+    with pytest.raises(Exception, match="undercount"):
+        sketch.cms_estimate(sk, probes, "k", depth=2, width=64).collect()
+    with pytest.raises(Exception, match="undercount"):
+        sketch.cms_estimate(sk, probes, "k", depth=4, width=16).collect()
+
+
+def test_cms_estimate_runs_no_job_at_call_time(spark, monkeypatch):
+    """Regression for the round-7 eager-validate re-scan: composing
+    cms_build |> cms_estimate must stay fully lazy — no action (job)
+    may fire until the caller acts, or an uncached corpus-backed
+    sketch gets its build subtree re-executed per estimate call."""
+    from pyspark.sql import DataFrame
+
+    from vector_search_spark.operators import sketch
+
+    items = spark.createDataFrame(
+        [(f"k{i % 5}",) for i in range(50)], "k string"
+    )
+    sk = sketch.cms_build(items, "k", depth=4, width=64)
+    probes = spark.createDataFrame([("k0",), ("k3",)], "k string")
+
+    def _boom(self, *a, **kw):  # pragma: no cover - should never run
+        raise AssertionError("eager action during cms_estimate()")
+
+    for action in ("first", "collect", "count", "toPandas", "head"):
+        monkeypatch.setattr(DataFrame, action, _boom)
+    est = sketch.cms_estimate(sk, probes, "k", depth=4, width=64)
+    monkeypatch.undo()
+    got = {r.k: r.cms_est for r in est.collect()}
+    assert got["k0"] >= 10 and got["k3"] >= 10
 
 
 def test_multimodal_custom_id_col_and_null_payload(spark):

@@ -23,7 +23,7 @@ estimate bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_search_spark.functions.texts import _col
@@ -99,29 +99,39 @@ def cms_estimate(
     match the build parameters — the sketch DataFrame carries no
     metadata, and a mismatch would silently probe the wrong cells
     (coalesce 0, min 0: an undercount). ``validate`` (default on)
-    runs one sketch-sized aggregate at call time that rejects a probe
-    depth differing from the built rows and a probe width smaller
-    than the built buckets; a probe width LARGER than the build is
+    checks this IN-PLAN: the shape test rides the same sketch rows
+    being broadcast (a global window over the sketch relation, which
+    is <= depth*width rows by construction — never data-sized), so
+    NO job runs at call time and the corpus-sized build subtree
+    behind an uncached sketch executes exactly once per action, not
+    once per ``cms_estimate`` call. A mismatch raises at action time
+    via ``assert_true``. A probe width LARGER than the build is
     undetectable from the sketch alone (buckets all < both widths) —
-    keep the parameters with the sketch. Pass validate=False to skip
-    the eager check in latency-critical paths."""
+    keep the parameters with the sketch."""
     if validate:
-        chk = sketch.agg(
-            F.countDistinct("row").alias("rows"),
-            F.max("row").alias("maxrow"),
-            F.max("bucket").alias("maxb"),
-        ).first()
-        if chk["rows"] and (
-            int(chk["rows"]) != depth
-            or int(chk["maxrow"]) >= depth
-            or int(chk["maxb"]) >= width
-        ):
-            raise ValueError(
-                f"cms_estimate(depth={depth}, width={width}) does not "
-                f"match the sketch (rows={chk['rows']}, "
-                f"max row={chk['maxrow']}, max bucket={chk['maxb']}) — "
-                f"probing the wrong cells would undercount"
-            )
+        # Sketch-sized global window (<= depth*width rows): the check
+        # is fused into the broadcast build, zero extra passes over
+        # the (possibly corpus-backed) sketch subtree.
+        w = Window.partitionBy()
+        shape_ok = (
+            (F.size(F.collect_set("row").over(w)) == F.lit(depth))
+            & (F.max("row").over(w) < F.lit(depth))
+            & (F.max("bucket").over(w) < F.lit(width))
+        )
+        msg = (
+            f"cms_estimate(depth={depth}, width={width}) does not "
+            f"match the built sketch shape — probing the wrong cells "
+            f"would undercount"
+        )
+        # assert_true -> NULL when the shape matches; folding it into
+        # `cnt` keeps the check alive under column pruning.
+        sketch = sketch.withColumn(
+            "cnt",
+            F.col("cnt")
+            + F.coalesce(
+                F.assert_true(shape_ok, F.lit(msg)).cast("long"), F.lit(0)
+            ),
+        )
     h1, h2 = cms_h1(key_col), cms_h2(key_col)
     probe_cells = probes.select(
         key_col,
