@@ -287,6 +287,26 @@ def test_cms_build_has_mapside_partial_agg(spark):
     assert "Exchange" in plan
 
 
+def test_unigram_logprob_no_global_window_and_reuses_vocab(spark):
+    """The corpus token total must be a global AGGREGATE (two-level,
+    one partial row per partition), never an unpartitioned window —
+    a global window would materialize the whole vocab relation on one
+    partition at web scale. And the vocab subtree must execute once:
+    both consumers sit over the same reused exchange."""
+    from vector_search_spark.operators import textstats
+
+    docs = tables.load(spark, SF_ORACLE, "documents")
+    out = textstats.unigram_logprob(docs)
+    static = plans.formatted_plan(out)
+    assert "Window" not in static, "unpartitioned window crept back in"
+    out.collect()  # AQE materializes exchange reuse only at runtime
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, (
+        "vocab subtree executed twice — total computation must reuse "
+        "the vocab hashpartitioning exchange"
+    )
+
+
 def test_filtered_knn_prefilter_predicate_reaches_scan(spark):
     """filtered_knn(strategy='prefilter') must push the metadata
     predicate into the parquet scan (the whole point of prefiltering).

@@ -431,17 +431,20 @@ def unigram_logprob(
         F.col(id_col), F.explode(T.tokens(text_col)).alias("t")
     )
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    # corpus token total = sum of the vocab counts — a GLOBAL WINDOW
-    # over the already-aggregated vocab-sized relation, so the plan is
-    # lazy (no eager action at call time) AND single-pass (a separate
-    # toks.agg subtree would re-tokenize the corpus a second time —
-    # Spark does not reuse the exchange across the two subtrees).
-    probs = vocab.select(
-        "t",
-        (
-            F.col("cnt").cast("double")
-            / F.sum(F.col("cnt").cast("double")).over(Window.partitionBy())
-        ).alias("p"),
+    # corpus token total = global AGGREGATE of the vocab counts, NOT a
+    # global window: an unpartitioned window would materialize the
+    # whole (web-scale, ~1e8-row) vocab relation on ONE partition,
+    # while a global aggregate is two-level by construction (one
+    # partial-sum row per partition -> single-row exchange). The plan
+    # stays lazy (no action at call time) and single-pass: both
+    # consumers of `vocab` sit over the SAME hashpartitioning(t)
+    # exchange, which Spark's ReuseExchange collapses (verified in the
+    # executed plan; a crossJoin pushes no join-key filters that would
+    # de-canonicalize the subtrees). Counts are integer-valued doubles,
+    # so the total is exact regardless of partial-sum order.
+    tot = vocab.agg(F.sum(F.col("cnt").cast("double")).alias("_tot"))
+    probs = vocab.crossJoin(F.broadcast(tot)).select(
+        "t", (F.col("cnt").cast("double") / F.col("_tot")).alias("p")
     )
     return (
         toks.join(probs, "t")
