@@ -37,3 +37,35 @@ def test_query_nonempty(spark, name):
     an empty result would make the driver's value-hash check vacuous."""
     spec = _catalog()[name]
     assert spec.fn(spark, SF_ORACLE).limit(1).count() == 1
+
+
+def test_oracle_snippets_render_canonical():
+    """Round-9 consolidation lock: the five per-module L2/dot oracle
+    snippet copies were replaced by the single queries.l2_sql/dot_sql
+    definitions. These literals are the EXACT pre-consolidation
+    strings (from git history) — if a helper edit changes any rendered
+    oracle, this fails before the driver's hash check does."""
+    from vector_search_spark import queries, queries_text, queries_vector
+    from vector_search_spark.queries import dot_sql, l2_sql
+
+    l2_i = (
+        "list_sum(list_transform(range(1, len({a})+1),"
+        " i -> ({a}[i]-{b}[i])^2))"
+    )
+    dot_i = (
+        "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+    )
+    l2_j = (
+        "list_sum(list_transform(range(1, len({a})+1),"
+        " j -> ({a}[j]-{b}[j])^2))"
+    )
+    dot_j = (
+        "list_sum(list_transform(range(1, len({a})+1), j -> {a}[j]*{b}[j]))"
+    )
+    assert l2_sql("{a}", "{b}") == l2_i
+    assert dot_sql("{a}", "{b}") == dot_i
+    assert queries._L2_SQL == l2_i and queries._DOT_SQL == dot_i
+    assert queries_text._EL2 == l2_i and queries_text._DOT == dot_i
+    assert queries_text._SEM_L2 == l2_i and queries_text._SEM_DOT == dot_i
+    assert queries_text._MDOT == dot_i
+    assert queries_vector._L2 == l2_j and queries_vector._DOT_SQL2 == dot_j

@@ -307,6 +307,42 @@ def test_unigram_logprob_no_global_window_and_reuses_vocab(spark):
     )
 
 
+def test_pack_sequences_no_corpus_sized_global_window(spark):
+    """docs_pack_sequences must compute its global token offsets via
+    the two-pass sharded scan (prefix_sum_offsets), never a
+    corpus-sized unpartitioned window — a packing pass is a 10^9-row
+    job at training scale. The only unpartitioned Window allowed is
+    the shard-count-sized cumulative-base pass, which must sit above
+    an Aggregate on every path to a scan. And the tokenize subtree
+    must execute once: both window consumers reuse one exchange."""
+    from vector_search_spark.queries import get_catalog
+
+    df = get_catalog()["docs_pack_sequences"].fn(spark, SF_ORACLE)
+    wins = plans.unpartitioned_windows(df)
+    assert len(wins) == 1, f"expected only the shard-base window: {wins}"
+    assert plans.unpartitioned_windows_aggregate_bounded(df), (
+        "an unpartitioned Window reads a relation-sized input — the "
+        "global running-sum window crept back in"
+    )
+    df.collect()  # AQE materializes exchange reuse only at runtime
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, (
+        "the tokenize/window subtree executed twice — shard totals "
+        "must ride the window's hashpartitioning(_shard) exchange"
+    )
+
+
+def test_prefix_sum_offsets_gate_catches_global_window(spark):
+    """The plan gate itself must flag the shape it exists to ban
+    (mutation test: a naive global running sum fails the assert)."""
+    from pyspark.sql import Window
+
+    df = spark.range(100).withColumn("n", F.col("id") % 7)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = df.withColumn("off", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    assert not plans.unpartitioned_windows_aggregate_bounded(naive)
+
+
 def test_filtered_knn_prefilter_predicate_reaches_scan(spark):
     """filtered_knn(strategy='prefilter') must push the metadata
     predicate into the parquet scan (the whole point of prefiltering).

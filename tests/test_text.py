@@ -850,3 +850,35 @@ def test_dup_rate_by_source_consistent_with_exact_dedup(spark):
         .count()
     )
     assert n_groups == total_distinct
+
+
+def test_prefix_sum_offsets_equals_naive_global_window(spark):
+    """The two-pass sharded scan must equal the naive global running
+    sum for every shard size (1 = one doc per shard, 7 = misaligned,
+    1<<20 = everything in one shard) including id GAPS — the operator
+    only assumes a non-negative numeric id, not density."""
+    from pyspark.sql import Window
+
+    rows = [(i * 3 + (i % 2), (i * 37) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_toks int")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.doc_id: r.off
+        for r in df.withColumn(
+            "off", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+        ).collect()
+    }
+    for shard_size in (1, 7, 64, 1 << 20):
+        got = {
+            r.doc_id: r.off
+            for r in textstats.prefix_sum_offsets(
+                df, shard_size=shard_size
+            ).collect()
+        }
+        assert got == want, f"shard_size={shard_size}"
+
+
+def test_prefix_sum_offsets_rejects_bad_shard_size(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_toks int")
+    with pytest.raises(ValueError, match="shard_size"):
+        textstats.prefix_sum_offsets(df, shard_size=0)

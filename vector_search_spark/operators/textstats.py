@@ -30,6 +30,7 @@ __all__ = [
     "winnow_fingerprints",
     "repetition_stats",
     "chunk_tokens",
+    "prefix_sum_offsets",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio
@@ -521,4 +522,78 @@ def bigram_logprob(
             F.count(F.lit(1)).cast("int").alias("n_bigrams"),
             F.avg(F.log("p")).alias("avg_logprob"),
         )
+    )
+
+
+def prefix_sum_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_toks",
+    out_col: str = "off",
+    shard_size: int = 1 << 20,
+) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of ``size_col`` in ``id_col``
+    order — the classic two-pass parallel-scan decomposition, never a
+    corpus-sized unpartitioned window.
+
+    ``out_col`` for each row = sum of ``size_col`` over all rows with a
+    smaller ``id_col`` (0 for the first). This is the token-offset
+    kernel behind GPT-style sequence packing: a packing pass runs over
+    the WHOLE training corpus, so the naive single window
+    (``Window.orderBy(id)`` with no partitionBy) would drag 10^9 rows
+    onto one task. Decomposition instead:
+
+    1. shard = id // shard_size (monotone in id, so within-shard order
+       + shard order = global order; requires a non-negative NUMERIC
+       id — dense ids are ideal but gaps are fine);
+    2. within-shard running sums: a window PARTITIONED by shard (each
+       task holds <= shard_size rows);
+    3. shard totals: a groupBy(shard) that rides the SAME
+       hashpartitioning(shard) exchange as the window (no extra
+       shuffle; the executed plan shows a ReusedExchange);
+    4. cumulative shard bases: one unpartitioned window over the
+       SHARD-COUNT-sized aggregate — N/shard_size rows by construction
+       (10^9 docs / 2^20 = ~1000 rows), bounded like the model-sized
+       relations elsewhere, never the corpus;
+    5. broadcast the bases back: off = base + within-shard sum.
+
+    Returns ``df`` + ``out_col`` (bigint). Plan-shape is gated by
+    tests/test_plans.py: every unpartitioned Window must sit strictly
+    above an Aggregate on every path to a scan.
+    """
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    # NULL ids have no position in the global order — drop them HERE so
+    # the inner join's inferred isnotnull(_shard) filter appears in BOTH
+    # window consumers' subtrees (identical subtrees are what lets
+    # ReuseExchange collapse them to one tokenize/shuffle pass).
+    src = df.withColumn(
+        "_shard", F.floor(F.col(id_col) / F.lit(int(shard_size)))
+    ).filter(F.col("_shard").isNotNull())
+    w_in = (
+        Window.partitionBy("_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = src.withColumn(
+        "_inoff",
+        F.coalesce(F.sum(size_col).over(w_in), F.lit(0)).cast("long"),
+    )
+    # Shard total = last row's running sum + its own size; computed off
+    # the window OUTPUT so the aggregate's required distribution is
+    # already satisfied by the window's hashpartitioning(_shard)
+    # exchange — the tokenise/scan subtree executes once (ReusedExchange).
+    shard_tot = within.groupBy("_shard").agg(
+        F.max(F.col("_inoff") + F.col(size_col)).cast("long").alias("_stot")
+    )
+    w_sh = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    shard_base = shard_tot.withColumn(
+        "_base", F.coalesce(F.sum("_stot").over(w_sh), F.lit(0)).cast("long")
+    ).select("_shard", "_base")
+    return (
+        within.join(F.broadcast(shard_base), "_shard")
+        .withColumn(out_col, (F.col("_base") + F.col("_inoff")).cast("long"))
+        .drop("_shard", "_inoff", "_base")
     )

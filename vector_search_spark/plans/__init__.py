@@ -6,5 +6,7 @@ from vector_search_spark.plans.explain import (  # noqa: F401
     has_broadcast_join,
     pushed_filters,
     read_schema_columns,
+    unpartitioned_windows,
+    unpartitioned_windows_aggregate_bounded,
     wholestage_codegen_ids,
 )

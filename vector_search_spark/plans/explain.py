@@ -76,6 +76,46 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return schemas
 
 
+def _logical_children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def unpartitioned_windows(df: DataFrame):
+    """Window nodes with an EMPTY partition spec in the optimized
+    logical plan — each one is a potential single-task bottleneck."""
+    out = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "Window" and n.partitionSpec().size() == 0:
+            out.append(n)
+        stack.extend(_logical_children(n))
+    return out
+
+
+def unpartitioned_windows_aggregate_bounded(df: DataFrame) -> bool:
+    """True iff every unpartitioned Window sits strictly above an
+    Aggregate on EVERY path down to a leaf — i.e. its input cardinality
+    is group-count-sized (bounded), never relation-sized. The gate for
+    'no data-sized single-partition window' (a global window over a
+    tiny aggregate, e.g. per-shard totals or customer-sized RFM rows,
+    is fine; one over a scan is a scale-killer)."""
+
+    def bounded(n) -> bool:
+        if n.nodeName() == "Aggregate":
+            return True
+        kids = _logical_children(n)
+        if not kids:  # reached a leaf without crossing an Aggregate
+            return False
+        return all(bounded(k) for k in kids)
+
+    return all(
+        all(bounded(k) for k in _logical_children(w))
+        for w in unpartitioned_windows(df)
+    )
+
+
 def wholestage_codegen_ids(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans in the plan (wider is better).
 

@@ -40,6 +40,31 @@ def rnd_sql(expr: str, n: int = 6) -> str:
     return f"(ROUND({expr}, {n}) + 0.0)"
 
 
+def l2_sql(a: str, b: str, var: str = "i") -> str:
+    """DuckDB squared-L2 over DOUBLE[] — the ONE definition every
+    oracle renders (was five per-module copies through round 8).
+    ``var`` names the lambda variable: queries_vector's oracles
+    historically rendered with ``j``, and the name is semantically
+    inert, so parameterizing it keeps every rendered oracle
+    byte-identical to its pre-consolidation form (equality locked by
+    tests/test_oracle_gate.py::test_oracle_snippets_render_canonical).
+    Call with literal ``"{a}"``/``"{b}"`` to produce a ``str.format``
+    template (how the per-module aliases are defined)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"{var} -> ({a}[{var}]-{b}[{var}])^2))"
+    )
+
+
+def dot_sql(a: str, b: str, var: str = "i") -> str:
+    """DuckDB dot product over DOUBLE[] — single definition, see
+    :func:`l2_sql`."""
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"{var} -> {a}[{var}]*{b}[{var}]))"
+    )
+
+
 @dataclass
 class QuerySpec:
     fn: SparkQuery
@@ -65,10 +90,10 @@ def register(name: str, oracle: str | None, *tags: str):
 KNN_QUERIES = 100  # query set = embeddings with vec_id < 100
 KNN_K = 10
 
-_L2_SQL = (
-    "list_sum(list_transform(range(1, len({a})+1), i -> ({a}[i]-{b}[i])^2))"
-)
-_DOT_SQL = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+# str.format templates rendered from the single l2_sql/dot_sql
+# definitions above (round-9 consolidation; rendered SQL unchanged).
+_L2_SQL = l2_sql("{a}", "{b}")
+_DOT_SQL = dot_sql("{a}", "{b}")
 
 
 @register(
@@ -218,23 +243,130 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row. Standing rule: queries whose CODE PATHS changed this round stay
 # (or move) IN-window so the driver re-verifies exactly the riskiest
 # changes; only queries untouched since their last green may rotate out.
-# ROUND-7 ROTATION (freshness pass per the round-6 judge: "every
-# oracle-paired entry's most recent green row <= 2 rounds old"). 49
-# entries' last green was r3/r4 — more than one 50-slot window holds —
-# so r7 takes: (a) every entry whose module changed this round
-# (graph.py descent de-broadcast -> the graph family + hnsw_knn
-# rows-only; ivf.py sample-capped rebalance + Hadoop-FS maintenance ->
-# the ivf family; textstats.py lazy-total fix -> the two LM scores),
-# (b) all 8 r3-stale entries, (c) r4-stale entries up to the 50-slot
-# cap. The 7 r4 greens that did NOT fit (events_tumbling_hourly,
-# events_sliding_window, events_session_window, cube_events,
-# grouping_sets_events, rollup_lineitem, promo_revenue_monthly — all
-# static pure-relational window/rollup paths untouched since r4) are
-# the r8 rotation's first picks. Everything rotated OUT was green in
-# r5/r6 on code untouched since.
+# ROUND-9 ROTATION (the r8 window shipped byte-identical to r7's, so
+# the freshness debt grew to 32 oracle-paired entries whose last green
+# row is r4/r5 — the round-8 judge's ask #1). This window takes:
+# (a) ALL 15 r4-stale entries (asof_purchase_view, cube_events,
+#     docs_split_assign, events_approx_distinct, events_daily_json,
+#     events_session_window, events_sliding_window,
+#     events_tumbling_hourly, grouping_sets_events,
+#     promo_revenue_monthly, range_join_purchase_follow,
+#     rollup_lineitem, sessionize_events, setop_converting_days,
+#     window_customer_orders),
+# (b) ALL 17 r5-stale entries (customer_rfm, dedup_edit_distance,
+#     dedup_minhash_lsh, docs_lang_mismatch,
+#     docs_length_percentile_filter, docs_pack_sequences,
+#     events_hll_rollup, events_pivot, events_transitions,
+#     events_value_histogram, knn_quota, lineitem_corr,
+#     prototype_classify, text_hash_embed_knn, text_repetition,
+#     text_token_entropy, tpch_q4),
+# (c) every entry whose code path changed in r9: docs_pack_sequences
+#     (sharded prefix-sum rewrite — in (b)), kmeans_assign +
+#     kmeans_lloyd (carry-cols positional fix), dedup_lsh_band_curve
+#     (empty-r_values guard), bq_rotated_knn (rotate NULL/schema
+#     hardening; rows-only), text_unigram_logprob (long-sum total),
+#     knn_exact (oracle-snippet consolidation; byte-identical render,
+#     kept as the always-first flagship),
+# (d) 12 r6-stale picks for §2/§LLM coverage: pq_sdc_pairs (§2 #4),
+#     ngram_heavy_hitters (CMS hash row post-r8-fix), the dedup
+#     canonicalization family (dedup_groups, dedup_keep_canonical,
+#     dedup_incremental, dedup_member_bloom, dedup_semantic,
+#     docs_decontaminate), text_bm25_search, hybrid_rrf_search,
+#     knn_mips, mmr_rerank.
+# R10 QUEUE (first picks, all r6-stale after this round):
+# ann_recall_eval, ann_lsh_multiprobe, bq_hamming_knn,
+# corpus_pipeline_funnel, docs_quality_weighted_sample,
+# docs_shared_spans, events_funnel, events_hourly_zscore,
+# events_retention, events_variant_stats, knn_classify_vote,
+# knn_filtered, lineitem_quantile_check, multimodal_byte_histogram,
+# pq_adc_knn, pq_refine_knn, purchase_follow_pairs,
+# sessionize_dynamic_gap, tpch_q13/q15/q17/q18/q7/q8 (24 entries —
+# one window holds them all with room for r9 greens whose code
+# changes). Everything rotated OUT was green in r8 on code untouched
+# since.
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
     "knn_exact",
+    # (a) r4-stale
+    "asof_purchase_view",
+    "cube_events",
+    "docs_split_assign",
+    "events_approx_distinct",
+    "events_daily_json",
+    "events_session_window",
+    "events_sliding_window",
+    "events_tumbling_hourly",
+    "grouping_sets_events",
+    "promo_revenue_monthly",
+    "range_join_purchase_follow",
+    "rollup_lineitem",
+    "sessionize_events",
+    "setop_converting_days",
+    "window_customer_orders",
+    # (b) r5-stale
+    "customer_rfm",
+    "dedup_edit_distance",
+    "dedup_minhash_lsh",
+    "docs_lang_mismatch",
+    "docs_length_percentile_filter",
+    "docs_pack_sequences",
+    "events_hll_rollup",
+    "events_pivot",
+    "events_transitions",
+    "events_value_histogram",
+    "knn_quota",
+    "lineitem_corr",
+    "prototype_classify",
+    "text_hash_embed_knn",
+    "text_repetition",
+    "text_token_entropy",
+    "tpch_q4",
+    # (c) r9 code changes
+    "kmeans_assign",
+    "kmeans_lloyd",
+    "dedup_lsh_band_curve",
+    "bq_rotated_knn",  # rows-only (numpy QR rotation); pytest-gated
+    "text_unigram_logprob",
+    # (d) r6-stale coverage picks
+    "pq_sdc_pairs",
+    "ngram_heavy_hitters",
+    "dedup_groups",
+    "dedup_keep_canonical",
+    "dedup_incremental",
+    "dedup_member_bloom",
+    "dedup_semantic",
+    "docs_decontaminate",
+    "text_bm25_search",
+    "hybrid_rrf_search",
+    "knn_mips",
+    "mmr_rerank",
+    # ---- tail: r10 queue first (r6-stale), then r8 greens on code
+    # untouched since ----
+    "ann_recall_eval",
+    "ann_lsh_multiprobe",
+    "bq_hamming_knn",
+    "corpus_pipeline_funnel",
+    "docs_quality_weighted_sample",
+    "docs_shared_spans",
+    "events_funnel",
+    "events_hourly_zscore",
+    "events_retention",
+    "events_variant_stats",
+    "knn_classify_vote",
+    "knn_filtered",
+    "lineitem_quantile_check",
+    "multimodal_byte_histogram",
+    "pq_adc_knn",
+    "pq_refine_knn",
+    "purchase_follow_pairs",
+    "sessionize_dynamic_gap",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q7",
+    "tpch_q8",
+    # r8 greens
     "select_neighbors_pruned",
     "nn_descent_graph",
     "graph_greedy_search",
@@ -246,7 +378,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ivf_adc_knn",
     "ivf_bq_knn",
     "ivf_recall_curve",
-    "text_unigram_logprob",
+    "ivf_cell_stats",
+    "ivf_filtered_knn",
     "text_bigram_logprob",
     "knn_cosine",
     "knn_graph",
@@ -255,6 +388,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_fingerprint",
     "dedup_minhash_signatures",
     "docs_sample_hash",
+    "docs_dup_rate_by_source",
     "pq_encode",
     "pq_decode",
     "sq_encode",
@@ -274,99 +408,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
-    "semi_join_late_orders",
-    "anti_join_idle_customers",
-    # NEW round-7 entries (observability family + rotated BQ) start
-    # in-window per the standing rule, displacing FOUR r4-stale picks
-    # (setop_converting_days, window_customer_orders,
-    # sessionize_events, asof_purchase_view) to the r8 queue
-    "ivf_cell_stats",
-    "dedup_lsh_band_curve",
-    "docs_dup_rate_by_source",
-    "bq_rotated_knn",  # rows-only (numpy QR rotation); pytest-gated
-    # NEW round-7 TPC-H shapes (Q12 conditional agg, Q19 disjunctive
-    # pushdown, Q22 scalar-threshold anti-join), in-window per the
-    # standing rule — displacing three more r4-stale picks
-    # (range_join_purchase_follow, events_daily_json,
-    # events_approx_distinct) to the r8 queue
     "tpch_q12",
     "tpch_q19",
     "tpch_q22",
-    # NEW round-7: filtered ANN on the pruned path (displaces
-    # docs_split_assign to the r8 queue)
-    "ivf_filtered_knn",
-    # ---- tail: green in r5/r6 (or r4 overflow, see above)
-    # on code untouched since ----
-    "docs_split_assign",
-    "range_join_purchase_follow",
-    "events_daily_json",
-    "events_approx_distinct",
-    "setop_converting_days",
-    "window_customer_orders",
-    "sessionize_events",
-    "ann_lsh_multiprobe",
-    "ann_recall_eval",
-    "asof_purchase_view",
-    "bq_hamming_knn",
-    "corpus_pipeline_funnel",
-    "cube_events",
-    "customer_rfm",
-    "dedup_edit_distance",
-    "dedup_groups",
-    "dedup_incremental",
-    "dedup_keep_canonical",
-    "dedup_member_bloom",
-    "dedup_minhash_lsh",
-    "dedup_semantic",
-    "docs_decontaminate",
-    "docs_lang_mismatch",
-    "docs_length_percentile_filter",
-    "docs_pack_sequences",
-    "docs_quality_weighted_sample",
-    "docs_shared_spans",
-    "events_funnel",
-    "events_hll_rollup",
-    "events_hourly_zscore",
-    "events_pivot",
-    "events_retention",
-    "events_session_window",
-    "events_sliding_window",
-    "events_transitions",
-    "events_tumbling_hourly",
-    "events_value_histogram",
-    "events_variant_stats",
-    "grouping_sets_events",
-    "hybrid_rrf_search",
-    "kmeans_assign",
-    "kmeans_lloyd",
-    "knn_classify_vote",
-    "knn_filtered",
-    "knn_mips",
-    "knn_quota",
-    "lineitem_corr",
-    "lineitem_quantile_check",
-    "mmr_rerank",
-    "multimodal_byte_histogram",
-    "ngram_heavy_hitters",
-    "pq_adc_knn",
-    "pq_refine_knn",
-    "pq_sdc_pairs",
-    "promo_revenue_monthly",
-    "prototype_classify",
-    "purchase_follow_pairs",
-    "rollup_lineitem",
-    "sessionize_dynamic_gap",
-    "text_bm25_search",
-    "text_hash_embed_knn",
-    "text_repetition",
-    "text_token_entropy",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
+    "semi_join_late_orders",
+    "anti_join_idle_customers",
     # rows-only (RNG-dependent or engine-specific float
     # reductions; pytest-gated recall/invariants)
     "pca_knn",

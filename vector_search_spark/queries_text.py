@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from vector_search_spark import tables
 from vector_search_spark.functions import texts as T
 from vector_search_spark.operators import dedup, textstats
-from vector_search_spark.queries import register, rnd, rnd_sql
+from vector_search_spark.queries import dot_sql, l2_sql, register, rnd, rnd_sql
 
 # Shared oracle CTEs --------------------------------------------------------
 
@@ -277,8 +277,10 @@ EMB_TAU = 0.4
 EMB_NC = 16      # coarse cells for the blocked candidate generation
 EMB_NPROBE = 3
 
-_DOT = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
-_EL2 = "list_sum(list_transform(range(1, len({a})+1), i -> ({a}[i]-{b}[i])^2))"
+# Rendered from the single l2_sql/dot_sql definitions in queries.py
+# (round-9 consolidation; rendered SQL unchanged).
+_DOT = dot_sql("{a}", "{b}")
+_EL2 = l2_sql("{a}", "{b}")
 
 
 @register(
@@ -1091,8 +1093,8 @@ def q_docs_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFra
 SEM_K = 32          # coarse clusters (deterministic first-K init)
 SEM_TAU = 0.35      # cosine threshold (data max within-cluster ~0.49)
 
-_SEM_L2 = "list_sum(list_transform(range(1, len({a})+1), i -> ({a}[i]-{b}[i])^2))"
-_SEM_DOT = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+_SEM_L2 = _EL2  # single definition: queries.l2_sql/dot_sql
+_SEM_DOT = _DOT
 
 
 @register(
@@ -1228,7 +1230,7 @@ MMR_CAND = 15
 MMR_PICK = 5
 MMR_LAM = 0.7
 
-_MDOT = "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]))"
+_MDOT = _DOT  # single definition: queries.dot_sql
 
 
 def _mmr_oracle() -> str:
@@ -1471,6 +1473,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 PACK_CTX = 256  # tokens per packed training sequence
+# Offset-shard width for the distributed prefix sum. 128 here so the
+# oracle SF (500 docs) exercises the multi-shard path (4 shards); a
+# real packing run keeps textstats.prefix_sum_offsets' default (2^20
+# docs/shard -> ~1000 shard rows per 10^9 docs). Offsets are
+# shard-size-invariant, so the oracle SQL is the plain global window.
+PACK_SHARD = 128
 
 
 @register(
@@ -1496,25 +1504,25 @@ FROM ofs
 )
 def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: concatenate the corpus token stream
-    in doc_id order and cut every PACK_CTX (256) tokens — each doc's global
-    token offset (one running-sum window) determines the packed
-    sequences it lands in (docs straddle pack boundaries, exactly as
-    token-level packing does). The expensive text never moves: packing
-    is metadata (offsets), and the actual assembly can then shuffle by
-    first_pack. At scale the window runs per shard/partition key, not
-    one global order."""
+    in doc_id order and cut every PACK_CTX (256) tokens — each doc's
+    global token offset determines the packed sequences it lands in
+    (docs straddle pack boundaries, exactly as token-level packing
+    does). The expensive text never moves: packing is metadata
+    (offsets), and the actual assembly can then shuffle by first_pack.
+
+    The offsets come from textstats.prefix_sum_offsets — a two-pass
+    distributed scan (per-shard windows + a shard-count-sized
+    cumulative base), NOT a corpus-sized unpartitioned window: a
+    packing pass is exactly the 10^9-row job where a global window
+    would put the whole corpus on one task. Plan-shape gated in
+    tests/test_plans.py."""
     docs = tables.load(spark, sf_dir, "documents")
-    from pyspark.sql import Window
 
     n = docs.select(
         "doc_id", F.size(T.tokens("text")).alias("n_toks")
     ).filter(F.col("n_toks") > 0)
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ofs = n.withColumn(
-        "off", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    ofs = textstats.prefix_sum_offsets(
+        n, id_col="doc_id", size_col="n_toks", shard_size=PACK_SHARD
     )
     return ofs.select(
         "doc_id",

@@ -19,10 +19,22 @@ from pyspark.sql import functions as F
 
 from vector_search_spark import tables
 from vector_search_spark.operators import ivf, kmeans, pq
-from vector_search_spark.queries import KNN_K, KNN_QUERIES, register, rnd, rnd_sql
+from vector_search_spark.queries import (
+    KNN_K,
+    KNN_QUERIES,
+    dot_sql,
+    l2_sql,
+    register,
+    rnd,
+    rnd_sql,
+)
 
-_L2 = "list_sum(list_transform(range(1, len({a})+1), j -> ({a}[j]-{b}[j])^2))"
-_DOT_SQL2 = "list_sum(list_transform(range(1, len({a})+1), j -> {a}[j]*{b}[j]))"
+# Rendered from the single l2_sql/dot_sql definitions in queries.py
+# (round-9 consolidation). This module's oracles historically used
+# lambda variable ``j``; the name is semantically inert, so var="j"
+# keeps every rendered oracle byte-identical to its last green form.
+_L2 = l2_sql("{a}", "{b}", var="j")
+_DOT_SQL2 = dot_sql("{a}", "{b}", var="j")
 
 KM_K = 8
 KM_ITERS = 3
