@@ -278,10 +278,32 @@ def test_cms_estimate_runs_no_job_at_call_time(spark, monkeypatch):
     def _boom(self, *a, **kw):  # pragma: no cover - should never run
         raise AssertionError("eager action during cms_estimate()")
 
-    for action in ("first", "collect", "count", "toPandas", "head"):
+    for action in (
+        "first",
+        "collect",
+        "count",
+        "toPandas",
+        "head",
+        "take",
+        "tail",
+        "show",
+        "isEmpty",
+        "foreach",
+        "foreachPartition",
+        "toLocalIterator",
+    ):
         monkeypatch.setattr(DataFrame, action, _boom)
+    # Patch-proof second net (advice r8): the Spark job counter must
+    # not move across the call — catches eager paths through actions
+    # the monkeypatch list doesn't know about (writes, _jdf-level).
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None))
     est = sketch.cms_estimate(sk, probes, "k", depth=4, width=64)
+    jobs_after = len(tracker.getJobIdsForGroup(None))
     monkeypatch.undo()
+    assert jobs_before == jobs_after, (
+        "cms_estimate() ran a Spark job at call time"
+    )
     got = {r.k: r.cms_est for r in est.collect()}
     assert got["k0"] >= 10 and got["k3"] >= 10
 

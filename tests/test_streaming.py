@@ -561,3 +561,46 @@ def test_incremental_pq_refresh_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert second == first  # not doubled, not reordered
+
+
+def test_incremental_pq_refresh_rejects_old_append_layout(spark, tmp_path):
+    """Layout-break fail-fast (advice r7): batch_id moved from a data
+    column (append mode) to a partition column (dynamic overwrite).
+    Pointing the stream at an out_dir written by the OLD layout —
+    part-files directly under cluster_id=* carrying batch_id as data —
+    must raise up front, before any micro-batch can mix the layouts."""
+    from vector_search_spark.operators import kmeans, pq
+    from vector_search_spark.streaming import index_refresh as ir
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    C = kmeans.init_first_k(emb, 4)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=7, max_iter=2)
+
+    # old append-mode layout: batch_id as a DATA column, partition on
+    # cluster_id only -> part-files sit directly in cluster_id=*/
+    out_dir = str(tmp_path / "old_index")
+    (
+        ir.encode_batch(emb.limit(50), C, model)
+        .withColumn("batch_id", F.lit(0))
+        .write.partitionBy("cluster_id")
+        .parquet(out_dir)
+    )
+
+    src_dir = tmp_path / "emb_stream_ff"
+    emb.limit(20).write.mode("overwrite").parquet(str(src_dir))
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    ).parquet(str(src_dir))
+
+    with pytest.raises(ValueError, match="old append-mode layout"):
+        ir.incremental_pq_refresh(
+            stream, C, model, out_dir, str(tmp_path / "ckpt_ff")
+        )
+
+    # a fresh (or new-layout) out_dir still starts fine
+    q = ir.incremental_pq_refresh(
+        stream, C, model, str(tmp_path / "new_index"),
+        str(tmp_path / "ckpt_ok"),
+    )
+    q.awaitTermination(120)
+    assert not q.isActive

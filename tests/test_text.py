@@ -882,3 +882,8 @@ def test_prefix_sum_offsets_rejects_bad_shard_size(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id long, n_toks int")
     with pytest.raises(ValueError, match="shard_size"):
         textstats.prefix_sum_offsets(df, shard_size=0)
+
+
+def test_lsh_band_curve_rejects_empty_r_values(spark, docs):
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup.lsh_band_curve(docs, r_values=())

@@ -210,6 +210,13 @@ def rotate(
     import numpy as np
     import pandas as pd  # noqa: F401 — mapInPandas batch frames
 
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
     clash = {"_v", out_col} & set(points.columns) - {vec_col}
     if clash:
         raise ValueError(
@@ -220,12 +227,19 @@ def rotate(
     bc = spark.sparkContext.broadcast(
         np.ascontiguousarray(rotation, dtype=np.float64)
     )
-    src = points.withColumn("_v", as_double_array(vec_col))
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in src.schema.fields
-        if f.name != "_v"
-    ) + f", {out_col} array<double>"
+    # NULL vectors have no rotation — exclude them up front (the
+    # multimodal NULL-exclusion policy) instead of letting np.vstack
+    # throw an opaque error deep inside the Arrow batch.
+    src = points.withColumn("_v", as_double_array(vec_col)).filter(
+        F.col("_v").isNotNull()
+    )
+    # Output schema from StructType objects, not simpleString() concat:
+    # exotic field types (nested structs with char/varchar, UDTs) don't
+    # round-trip through DDL strings.
+    schema = StructType(
+        [f for f in src.schema.fields if f.name != "_v"]
+        + [StructField(out_col, ArrayType(DoubleType()))]
+    )
 
     def fn(batches):
         R = bc.value

@@ -277,6 +277,8 @@ def lsh_band_curve(
     curve exists to expose); a candidate pair sharing no shingle at
     all (possible only through md5 collisions) counts with Jaccard 0.
     """
+    if not r_values:
+        raise ValueError("r_values must be non-empty")
     for r in r_values:
         if num_perms % r:
             raise ValueError(

@@ -163,7 +163,10 @@ def assign(
             if with_vec:
                 cols["vec"] = list(X)
             for c in carry_cols:
-                cols[c] = pdf[c]
+                # positional pass-through: a raw Series would align by
+                # pandas index against the numpy columns, which is only
+                # safe while batches carry a default RangeIndex
+                cols[c] = pdf[c].to_numpy()
             yield pd.DataFrame(cols)
 
     return src.mapInPandas(fn, out_schema)

@@ -107,7 +107,16 @@ def cms_estimate(
     once per ``cms_estimate`` call. A mismatch raises at action time
     via ``assert_true``. A probe width LARGER than the build is
     undetectable from the sketch alone (buckets all < both widths) —
-    keep the parameters with the sketch."""
+    keep the parameters with the sketch.
+
+    MISUSE COST: the shape check's unpartitioned window materializes
+    the whole ``sketch`` relation on one task before the assert fires.
+    For a real sketch (<= depth*width rows, about to be broadcast
+    anyway) that is free; passing a data-sized non-sketch DataFrame
+    lands it all on one task before the mismatch error surfaces — the
+    broadcast on the next line has the same failure mode, so the check
+    adds no new hazard, but don't probe relations you wouldn't
+    broadcast."""
     if validate:
         # Sketch-sized global window (<= depth*width rows): the check
         # is fused into the broadcast build, zero extra passes over

@@ -441,11 +441,15 @@ def unigram_logprob(
     # consumers of `vocab` sit over the SAME hashpartitioning(t)
     # exchange, which Spark's ReuseExchange collapses (verified in the
     # executed plan; a crossJoin pushes no join-key filters that would
-    # de-canonicalize the subtrees). Counts are integer-valued doubles,
-    # so the total is exact regardless of partial-sum order.
-    tot = vocab.agg(F.sum(F.col("cnt").cast("double")).alias("_tot"))
+    # de-canonicalize the subtrees). The total is summed as LONG —
+    # exact at any corpus size and partial-sum order (a double sum is
+    # only order-exact below 2^53 tokens) — and cast at the division.
+    tot = vocab.agg(F.sum("cnt").alias("_tot"))
     probs = vocab.crossJoin(F.broadcast(tot)).select(
-        "t", (F.col("cnt").cast("double") / F.col("_tot")).alias("p")
+        "t",
+        (F.col("cnt").cast("double") / F.col("_tot").cast("double")).alias(
+            "p"
+        ),
     )
     return (
         toks.join(probs, "t")

@@ -68,6 +68,29 @@ def incremental_pq_refresh(
     stays the leading partition key, so cell-level directory pruning
     on the read side is unchanged."""
 
+    # FAIL FAST on a pre-(cluster_id, batch_id) layout (batch_id used
+    # to be a data column under append mode): writing the new layout
+    # beside old part-files would leave a directory mixing batch_id as
+    # data and partition column, which misreads on the next scan. New
+    # layout => every cluster_id=* dir holds only batch_id=* subdirs.
+    from vector_search_spark.sources import fsutil
+
+    for cell_dir in fsutil.list_subdirs(stream.sparkSession, out_dir):
+        if not cell_dir.startswith("cluster_id="):
+            continue
+        if fsutil.count_files(
+            stream.sparkSession, f"{out_dir}/{cell_dir}", prefix="part-"
+        ):
+            raise ValueError(
+                f"incremental_pq_refresh: {out_dir}/{cell_dir} contains "
+                f"part-files directly under the cell directory — that is "
+                f"the old append-mode layout (batch_id as a DATA column). "
+                f"This writer partitions by (cluster_id, batch_id); mixing "
+                f"layouts corrupts reads. Migrate the index (rewrite with "
+                f"partitionBy('cluster_id','batch_id')) or point the "
+                f"stream at a fresh out_dir."
+            )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         with ivf._dynamic_overwrite(batch_df.sparkSession):
             (
