@@ -32,11 +32,27 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 @pytest.mark.parametrize("name", _names())
-def test_query_nonempty(spark, name):
-    """Every catalog query should return at least one row at test SF —
-    an empty result would make the driver's value-hash check vacuous."""
+def test_query_nonempty_and_scale_safe(spark, name):
+    """Every catalog query should (a) return at least one row at test SF
+    — an empty result would make the driver's value-hash check vacuous —
+    and (b) contain NO data-sized unpartitioned Window in its optimized
+    plan: every global window must sit above an Aggregate on all paths
+    to a scan (group-count-sized input), per the round-9 gate that
+    de-globalized docs_pack_sequences. This is the catalog-wide version
+    of tests/test_plans.py's per-query gate — a new entry (or a refactor
+    of an old one) that sneaks in a corpus-sized single-task window
+    fails HERE, not at 10^9 rows."""
+    from vector_search_spark.plans.explain import (
+        unpartitioned_windows_aggregate_bounded,
+    )
+
     spec = _catalog()[name]
-    assert spec.fn(spark, SF_ORACLE).limit(1).count() == 1
+    sdf = spec.fn(spark, SF_ORACLE)
+    assert unpartitioned_windows_aggregate_bounded(sdf), (
+        f"{name}: optimized plan has an unpartitioned Window whose input "
+        "is not aggregate-bounded — a single-task bottleneck at scale"
+    )
+    assert sdf.limit(1).count() == 1
 
 
 def test_oracle_snippets_render_canonical():

@@ -887,3 +887,105 @@ def test_prefix_sum_offsets_rejects_bad_shard_size(spark):
 def test_lsh_band_curve_rejects_empty_r_values(spark, docs):
     with pytest.raises(ValueError, match="non-empty"):
         dedup.lsh_band_curve(docs, r_values=())
+
+
+def _mkdocs(spark, rows):
+    """(group, n_tokens) rows -> a documents-shaped frame whose text has
+    exactly n whitespace tokens."""
+    return spark.createDataFrame(
+        [(i, g, "w " * n) for i, (g, n) in enumerate(rows)],
+        "doc_id long, lang string, text string",
+    )
+
+
+def test_value_cume_dist_matches_window_cume_dist(spark):
+    """The aggregate-route exact cume_dist must equal the direct
+    window-function definition, ties included; NULL values pass
+    through with NULL cd (left join, no match)."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([5, 3, 3, 8, 1, 8, 8, None])],
+        "id long, v int",
+    )
+    got = {
+        r["id"]: r["cd"]
+        for r in textstats.value_cume_dist(df, "v", out_col="cd").collect()
+    }
+    want = {
+        r["id"]: r["cd"]
+        for r in df.filter(F.col("v").isNotNull())
+        .withColumn("cd", F.cume_dist().over(W.orderBy("v")))
+        .collect()
+    }
+    assert got[7] is None
+    assert {k: got[k] for k in want} == want
+
+
+def test_waterfill_budget_hand_case(spark):
+    """toks a=2 b=5 c=13 (cap=1, budget 50% -> C=10): ascending, a
+    saturates (2 <= 10/3), b and c clip at the waterline 4.0
+    ((10-2)/2 — frozen by the running max against c's lower raw
+    candidate (10-7)/1=3). Allocations sum exactly to C."""
+    docs = _mkdocs(spark, [("a", 2), ("b", 5), ("c", 13)])
+    out = {
+        r["lang"]: r
+        for r in textstats.waterfill_budget(
+            docs, group_col="lang", epoch_cap=1, budget_pct=50
+        ).collect()
+    }
+    assert out["a"]["alloc"] == 2.0 and out["a"]["epochs"] == 1.0
+    assert out["b"]["alloc"] == 4.0 and out["b"]["epochs"] == 0.8
+    assert out["c"]["alloc"] == 4.0
+    assert sum(r["alloc"] for r in out.values()) == 10.0
+
+
+def test_waterfill_budget_equal_groups_and_full_budget(spark):
+    docs = _mkdocs(spark, [("a", 6), ("b", 6), ("c", 6)])
+    # equal groups: everyone gets C/L
+    out = textstats.waterfill_budget(
+        docs, group_col="lang", epoch_cap=2, budget_pct=50
+    ).collect()
+    assert all(r["alloc"] == 6.0 for r in out)  # (50% of 36) / 3
+    # budget_pct=100: everyone is taken whole at the epoch cap
+    full = textstats.waterfill_budget(
+        docs, group_col="lang", epoch_cap=3, budget_pct=100
+    ).collect()
+    assert all(
+        r["alloc"] == float(r["avail"]) and r["epochs"] == 3.0 for r in full
+    )
+
+
+def test_mixture_weights_alpha_limits(spark):
+    docs = _mkdocs(spark, [("a", 1), ("b", 3), ("c", 12)])
+    # alpha=1: weight == share, boost == 1 (no smoothing)
+    nat = textstats.mixture_weights(
+        docs, group_col="lang", alpha=1.0
+    ).collect()
+    for r in nat:
+        assert r["weight"] == pytest.approx(r["share"], abs=1e-12)
+        assert r["boost"] == pytest.approx(1.0, abs=1e-12)
+    # alpha=0: uniform weights, small groups boosted above 1
+    uni = {
+        r["lang"]: r
+        for r in textstats.mixture_weights(
+            docs, group_col="lang", alpha=0.0
+        ).collect()
+    }
+    assert all(
+        r["weight"] == pytest.approx(1 / 3, abs=1e-12) for r in uni.values()
+    )
+    assert uni["a"]["boost"] > 1.0 > uni["c"]["boost"]
+    # weights always normalize
+    mid = textstats.mixture_weights(docs, group_col="lang", alpha=0.3)
+    assert sum(r["weight"] for r in mid.collect()) == pytest.approx(1.0)
+
+
+def test_mixture_and_waterfill_reject_bad_params(spark):
+    docs = _mkdocs(spark, [("a", 1)])
+    with pytest.raises(ValueError, match="alpha"):
+        textstats.mixture_weights(docs, alpha=1.5)
+    with pytest.raises(ValueError, match="epoch_cap"):
+        textstats.waterfill_budget(docs, epoch_cap=0)
+    with pytest.raises(ValueError, match="budget_pct"):
+        textstats.waterfill_budget(docs, budget_pct=0)

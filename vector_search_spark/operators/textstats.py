@@ -31,6 +31,9 @@ __all__ = [
     "repetition_stats",
     "chunk_tokens",
     "prefix_sum_offsets",
+    "value_cume_dist",
+    "mixture_weights",
+    "waterfill_budget",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio
@@ -600,4 +603,191 @@ def prefix_sum_offsets(
         within.join(F.broadcast(shard_base), "_shard")
         .withColumn(out_col, (F.col("_base") + F.col("_inoff")).cast("long"))
         .drop("_shard", "_inoff", "_base")
+    )
+
+
+def value_cume_dist(
+    df: DataFrame,
+    col: str,
+    out_col: str = "cume_dist",
+) -> DataFrame:
+    """Exact ``cume_dist() OVER (ORDER BY col)`` without a corpus-sized
+    unpartitioned window. cume_dist depends on a row only through its
+    VALUE (fraction of rows <= value; ties share it), so compute it on
+    the distinct-value relation instead of the data:
+
+    1. ``groupBy(col).count()`` — the distinct-VALUE aggregate (token
+       counts, star ratings: bounded by the value domain, never the
+       corpus);
+    2. running-sum window over THAT aggregate for ``rows <= value``,
+       plus an unbounded-frame sum for the total — both unpartitioned
+       windows sit above the Aggregate (catalog-wide plan gate) and
+       share one exchange;
+    3. broadcast the value -> cume_dist table back onto the data
+       (left join: NULL ``col`` rows pass through with NULL
+       ``out_col``, sidestepping the engines' NULLS FIRST/LAST split).
+
+    The exactness trade: valid when the value domain is bounded (ints,
+    bucketed floats). For continuous scores the distinct-value relation
+    IS the corpus — use approx_percentile cutpoints instead.
+    """
+    cnts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w_le = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cd = cnts.select(
+        col,
+        (
+            F.sum("_c").over(w_le).cast("double")
+            / F.sum("_c").over(w_all).cast("double")
+        ).alias(out_col),
+    )
+    return df.join(F.broadcast(cd), on=col, how="left")
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus group — the
+    mixture-construction step of a training-data pipeline (the Pile's
+    per-source weights; the alpha-smoothed multilingual sampling of
+    XLM-R, alpha typically 0.3): ``weight_g proportional to
+    (toks_g / total)**alpha``, normalized to sum to 1. Raising small
+    groups and damping dominant ones (alpha < 1) is what keeps a
+    100 TB web-dominated corpus from drowning its long tail.
+
+    Shape: by homogeneity ``(toks/total)**a / sum((toks/total)**a)
+    == toks**a / sum(toks**a)``, so the normalizer needs NO second
+    corpus pass — one scan to the group-count-sized aggregate, a
+    second-level single-row aggregate over it, and a broadcast
+    crossJoin back (the ``unigram_logprob`` recipe; both consumers of
+    the per-group aggregate share its exchange via ReuseExchange).
+
+    Returns ``(group_col, toks bigint, share double, weight double,
+    boost double)`` — ``share`` is the natural (size-proportional)
+    rate, ``weight`` the smoothed sampling rate, ``boost`` their
+    ratio (>1 = up-sampled).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    per = (
+        docs.select(
+            F.col(group_col).alias("_g"),
+            F.size(T.tokens(text_col)).alias("_n"),
+        )
+        .groupBy("_g")
+        .agg(F.sum("_n").cast("long").alias("toks"))
+    )
+    tot = per.agg(
+        F.sum("toks").cast("long").alias("_tot"),
+        F.sum(F.pow(F.col("toks").cast("double"), F.lit(float(alpha)))).alias(
+            "_z"
+        ),
+    )
+    share = F.col("toks").cast("double") / F.col("_tot").cast("double")
+    weight = F.pow(F.col("toks").cast("double"), F.lit(float(alpha))) / F.col(
+        "_z"
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("_g").alias(group_col),
+        "toks",
+        share.alias("share"),
+        weight.alias("weight"),
+        F.when(F.col("toks") > 0, weight / share)
+        .otherwise(F.lit(0.0))
+        .alias("boost"),
+    )
+
+
+def waterfill_budget(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    epoch_cap: int = 4,
+    budget_pct: int = 60,
+) -> DataFrame:
+    """Epoch-capped token-budget allocation across corpus groups —
+    UniMax-style (Chung et al. 2023): each group may contribute at most
+    ``epoch_cap`` epochs of its own tokens (``avail = epoch_cap *
+    toks``), and a total budget ``C = budget_pct% of sum(avail)`` is
+    waterfilled: small groups are taken whole, large ones are clipped
+    to a common level t with ``sum(min(avail, t)) == C``.
+
+    The level needs no iteration: process groups in ascending
+    ``avail`` order and take ``alloc_i = min(avail_i, running_max_i)``
+    where ``running_max_i = max_{k<=i} (C - P_{k-1}) / (L - k + 1)``
+    and ``P`` is the ascending prefix sum of ``avail``. While groups
+    saturate, the candidate level rises (each saturated group is
+    below the running average of what is left); from the first
+    unsaturated group on, later candidates only fall (their prefix
+    overcounts actual spend), so the running max freezes at the true
+    waterline. One window pass, closed form.
+
+    Every window here is over the GROUP-COUNT-sized aggregate (a few
+    hundred languages/sources at web scale), never the corpus —
+    aggregate-bounded per the catalog-wide plan gate. Budget and
+    prefix arithmetic stay integer (exact at any corpus size); the
+    level is the only double.
+
+    Returns ``(group_col, toks bigint, avail bigint, alloc double,
+    epochs double)`` — ``epochs = alloc / toks``, the realized
+    repetition rate (== epoch_cap for fully-taken groups).
+    """
+    if epoch_cap < 1:
+        raise ValueError(f"epoch_cap must be >= 1, got {epoch_cap}")
+    if not 1 <= budget_pct <= 100:
+        raise ValueError(
+            f"budget_pct must be in [1, 100], got {budget_pct}"
+        )
+    per = (
+        docs.select(
+            F.col(group_col).alias("_g"),
+            F.size(T.tokens(text_col)).alias("_n"),
+        )
+        .groupBy("_g")
+        .agg(F.sum("_n").cast("long").alias("toks"))
+        .withColumn(
+            "avail", (F.lit(int(epoch_cap)) * F.col("toks")).cast("long")
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("_L"),
+        F.sum("avail").cast("long").alias("_atot"),
+    ).select("_L", F.expr(f"({int(budget_pct)} * _atot) div 100").alias("_C"))
+    w_ord = Window.orderBy("avail", "_g")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lvl = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("_i", F.row_number().over(w_ord).cast("long"))
+        .withColumn(
+            "_pprev",
+            F.coalesce(F.sum("avail").over(w_prev), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "_lvl",
+            (F.col("_C") - F.col("_pprev")).cast("double")
+            / (F.col("_L") - F.col("_i") + F.lit(1)).cast("double"),
+        )
+        .withColumn("_t", F.max("_lvl").over(w_run))
+    )
+    alloc = F.least(F.col("avail").cast("double"), F.col("_t"))
+    return lvl.select(
+        F.col("_g").alias(group_col),
+        "toks",
+        "avail",
+        alloc.alias("alloc"),
+        F.when(F.col("toks") > 0, alloc / F.col("toks").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
     )

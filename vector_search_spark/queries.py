@@ -273,7 +273,11 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     dedup_incremental, dedup_member_bloom, dedup_semantic,
 #     docs_decontaminate), text_bm25_search, hybrid_rrf_search,
 #     knn_mips, mmr_rerank.
-# R10 QUEUE (first picks, all r6-stale after this round):
+# (e) NEW in r9 (never adjudicated — take priority over any stale
+#     re-check): docs_mixture_weights, docs_budget_waterfill. To keep
+#     the window at 50, knn_mips + mmr_rerank (both green r5-r6, code
+#     untouched) move from (d) to the head of the r10 queue.
+# R10 QUEUE (first picks): knn_mips, mmr_rerank, then the r6-stale set:
 # ann_recall_eval, ann_lsh_multiprobe, bq_hamming_knn,
 # corpus_pipeline_funnel, docs_quality_weighted_sample,
 # docs_shared_spans, events_funnel, events_hourly_zscore,
@@ -338,10 +342,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_decontaminate",
     "text_bm25_search",
     "hybrid_rrf_search",
+    # (e) new in r9
+    "docs_mixture_weights",
+    "docs_budget_waterfill",
+    # ---- tail: r10 queue first (knn_mips/mmr_rerank displaced by the
+    # r9 adds, then the r6-stale set), then r8 greens on code untouched
+    # since ----
     "knn_mips",
     "mmr_rerank",
-    # ---- tail: r10 queue first (r6-stale), then r8 greens on code
-    # untouched since ----
     "ann_recall_eval",
     "ann_lsh_multiprobe",
     "bq_hamming_knn",

@@ -1063,19 +1063,18 @@ def q_docs_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFra
     at the short end, concatenation junk at the long end). cume_dist
     has the same definition in both engines (fraction of rows <=
     current, ties share a value), so the filter is value-checked
-    exactly. Scale note: a single global sort-free window over one
-    integer column; for truly huge corpora swap in approx_percentile
-    bounds computed map-side (documented trade: approximate cutpoints,
-    zero full-ordering)."""
+    exactly — but the engine side computes it via
+    textstats.value_cume_dist (distinct-token-count aggregate +
+    broadcast join back), NOT the oracle's corpus-sized unpartitioned
+    window: the value domain (integer token counts) is what's bounded,
+    so the exact distribution fits the catalog-wide
+    aggregate-bounded-window gate."""
     docs = tables.load(spark, sf_dir, "documents")
     n = docs.select(
         "doc_id", F.size(T.tokens("text")).alias("n_tokens")
     )
-    from pyspark.sql import Window as W
-
-    cd = F.cume_dist().over(W.orderBy("n_tokens"))
     return (
-        n.withColumn("cd", cd)
+        textstats.value_cume_dist(n, "n_tokens", out_col="cd")
         .filter((F.col("cd") > PCT_LO) & (F.col("cd") <= PCT_HI))
         .select(
             "doc_id",
@@ -1935,3 +1934,129 @@ def q_docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     text hash as dedup_exact, one grouped aggregation, no joins."""
     docs = tables.load(spark, sf_dir, "documents")
     return dedup.dup_rate_by_source(docs)
+
+
+# --------------------------------------------------------------------------
+# Mixture construction: per-group sampling weights + epoch-capped budget
+# --------------------------------------------------------------------------
+
+MIX_ALPHA = 0.3
+WF_EPOCH_CAP = 4
+# 80% of capped supply: with the testdata lang mix (en ~2.5x the rest)
+# this budget SATURATES the small languages and clips the large ones, so
+# the driver's hash adjudicates both branches of the waterfill.
+WF_BUDGET_PCT = 80
+
+
+@register(
+    "docs_mixture_weights",
+    f"""
+WITH t AS (
+  SELECT source, len({T.sql_tokens("text")}) AS n FROM documents
+),
+per AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS toks FROM t GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(toks) AS BIGINT) AS tot,
+         SUM(power(toks, {MIX_ALPHA})) AS z
+  FROM per
+)
+SELECT source, toks,
+  {rnd_sql("CAST(toks AS DOUBLE) / tot", 6)} AS share,
+  {rnd_sql(f"power(toks, {MIX_ALPHA}) / z", 6)} AS weight,
+  CASE WHEN toks > 0
+    THEN {rnd_sql(f"(power(toks, {MIX_ALPHA}) / z) / (CAST(toks AS DOUBLE) / tot)", 6)}
+    ELSE 0.0 END AS boost
+FROM per, tot
+""",
+    "text",
+    "pipeline",
+    "ops",
+)
+def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled per-source sampling weights
+    (textstats.mixture_weights, alpha=0.3): the Pile-style mixture
+    table — share vs smoothed weight vs up-sampling boost per source.
+    One corpus pass; normalizer is a second-level single-row aggregate
+    (no second scan, by homogeneity of x**alpha)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    mw = textstats.mixture_weights(
+        docs, group_col="source", alpha=MIX_ALPHA
+    )
+    return mw.select(
+        "source",
+        "toks",
+        rnd(F.col("share"), 6).alias("share"),
+        rnd(F.col("weight"), 6).alias("weight"),
+        F.when(F.col("toks") > 0, rnd(F.col("boost"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("boost"),
+    )
+
+
+@register(
+    "docs_budget_waterfill",
+    f"""
+WITH t AS (
+  SELECT lang, len({T.sql_tokens("text")}) AS n FROM documents
+),
+per AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS toks,
+         CAST({WF_EPOCH_CAP} * SUM(n) AS BIGINT) AS avail
+  FROM t GROUP BY lang
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS L,
+         ({WF_BUDGET_PCT} * CAST(SUM(avail) AS BIGINT)) // 100 AS C
+  FROM per
+),
+lvl AS (
+  SELECT lang, toks, avail, L, C,
+    CAST(row_number() OVER (ORDER BY avail, lang) AS BIGINT) AS i,
+    CAST(COALESCE(SUM(avail) OVER (ORDER BY avail, lang
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS pprev
+  FROM per, tot
+),
+wl AS (
+  SELECT lang, toks, avail,
+    max(CAST(C - pprev AS DOUBLE) / CAST(L - i + 1 AS DOUBLE))
+      OVER (ORDER BY avail, lang
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_lvl
+  FROM lvl
+)
+SELECT lang, toks, avail,
+  {rnd_sql("LEAST(CAST(avail AS DOUBLE), t_lvl)", 2)} AS alloc,
+  CASE WHEN toks > 0
+    THEN {rnd_sql("LEAST(CAST(avail AS DOUBLE), t_lvl) / CAST(toks AS DOUBLE)", 4)}
+    ELSE 0.0 END AS epochs
+FROM wl
+""",
+    "text",
+    "pipeline",
+    "ops",
+)
+def q_docs_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style epoch-capped budget allocation per language
+    (textstats.waterfill_budget, cap=4 epochs, budget=80% of capped
+    supply): small languages taken whole, large ones clipped to the
+    closed-form waterline — all integer arithmetic except the level
+    itself, so the oracle hash is FP-exact. Every window runs over the
+    language-count-sized aggregate (catalog-wide plan gate applies)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    wf = textstats.waterfill_budget(
+        docs,
+        group_col="lang",
+        epoch_cap=WF_EPOCH_CAP,
+        budget_pct=WF_BUDGET_PCT,
+    )
+    return wf.select(
+        "lang",
+        "toks",
+        "avail",
+        rnd(F.col("alloc"), 2).alias("alloc"),
+        F.when(F.col("toks") > 0, rnd(F.col("epochs"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
+    )
