@@ -274,10 +274,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     docs_decontaminate), text_bm25_search, hybrid_rrf_search,
 #     knn_mips, mmr_rerank.
 # (e) NEW in r9 (never adjudicated — take priority over any stale
-#     re-check): docs_mixture_weights, docs_budget_waterfill. To keep
-#     the window at 50, knn_mips + mmr_rerank (both green r5-r6, code
-#     untouched) move from (d) to the head of the r10 queue.
-# R10 QUEUE (first picks): knn_mips, mmr_rerank, then the r6-stale set:
+#     re-check): docs_mixture_weights, docs_budget_waterfill, tpch_q21.
+#     To keep the window at 50, knn_mips + mmr_rerank + hybrid_rrf_search
+#     (all green r5-r6, code untouched) move from (d) to the head of
+#     the r10 queue.
+# R10 QUEUE (first picks): knn_mips, mmr_rerank, hybrid_rrf_search,
+# then the r6-stale set:
 # ann_recall_eval, ann_lsh_multiprobe, bq_hamming_knn,
 # corpus_pipeline_funnel, docs_quality_weighted_sample,
 # docs_shared_spans, events_funnel, events_hourly_zscore,
@@ -341,15 +343,16 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_semantic",
     "docs_decontaminate",
     "text_bm25_search",
-    "hybrid_rrf_search",
     # (e) new in r9
     "docs_mixture_weights",
     "docs_budget_waterfill",
-    # ---- tail: r10 queue first (knn_mips/mmr_rerank displaced by the
-    # r9 adds, then the r6-stale set), then r8 greens on code untouched
-    # since ----
+    "tpch_q21",
+    # ---- tail: r10 queue first (knn_mips/mmr_rerank/hybrid_rrf_search
+    # displaced by the r9 adds, then the r6-stale set), then r8 greens
+    # on code untouched since ----
     "knn_mips",
     "mmr_rerank",
+    "hybrid_rrf_search",
     "ann_recall_eval",
     "ann_lsh_multiprobe",
     "bq_hamming_knn",

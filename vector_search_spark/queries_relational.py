@@ -1956,3 +1956,97 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("totacctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 (suppliers who kept orders waiting) — adapted to the -ish schema
+# --------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 60
+
+
+@register(
+    "tpch_q21",
+    f"""
+WITH ls AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+po AS (
+  SELECT l_orderkey, count(*) AS nsupp, sum(late) AS nlate
+  FROM ls GROUP BY 1
+)
+SELECT n.n_name, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ls
+JOIN po USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE ls.late = 1 AND po.nsupp > 1 AND po.nlate = 1
+GROUP BY 1, 2
+""",
+    "relational",
+    "join",
+    "agg",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape: the classic
+    EXISTS another-supplier / NOT EXISTS another-LATE-supplier pair
+    over finished orders). Adapted: the -ish lineitem has no
+    l_commitdate/l_receiptdate, so "late" becomes shipped more than
+    Q21_LATE_DAYS (60) days after the order date (non-degenerate at
+    every SF); and with no fixed nation roster across SFs the report groups
+    by (nation, supplier) instead of filtering one nation — the join
+    topology is otherwise verbatim.
+
+    Spark-first rewrite: the two correlated subqueries collapse into
+    per-order counts — no lineitem self-joins, no second fact scan
+    (the oracle keeps the textbook self-join form, so the hash check
+    proves the rewrite). Two key-partitioned exchanges, each strictly
+    shrinking: the (orderkey, suppkey) lateness rollup ships map-side-
+    combined partials, then the per-order window (supplier count +
+    late-supplier count) re-keys the already-rolled-up relation on
+    orderkey alone — per-order groups are lineitems-per-order sized,
+    never skewed. Supplier/nation dims broadcast.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    ls = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate")
+                    + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    sole = (
+        ls.withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn("nlate", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+        )
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
