@@ -981,6 +981,49 @@ def test_mixture_weights_alpha_limits(spark):
     assert sum(r["weight"] for r in mid.collect()) == pytest.approx(1.0)
 
 
+def test_materialize_mixture_copies_and_guards(spark):
+    """Integer epochs -> exactly that many tagged copies of every row;
+    fractional epochs -> floor copies + a deterministic hash-threshold
+    extra on a subset; 0 epochs / absent groups drop entirely (and the
+    0-copies row must NOT hit Spark's descending sequence(1,0));
+    NULL or > max_epochs epochs raise at action time."""
+    from vector_search_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(["a"] * 4 + ["b"] * 40 + ["c"] * 3 + ["d"] * 2)],
+        "doc_id long, lang string",
+    )
+    ep = spark.createDataFrame(
+        [("a", 2.0), ("b", 1.5), ("c", 0.0)], "lang string, epochs double"
+    )
+    out = sampling.materialize_mixture(docs, ep).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], {}).setdefault(r["doc_id"], []).append(r["rep"])
+    # a: every row exactly twice, reps 1..2
+    assert all(sorted(v) == [1, 2] for v in by["a"].values())
+    assert len(by["a"]) == 4
+    # b: every row 1 or 2 times, and the extra-copy subset is a strict
+    # fraction (0 < extras < all) of a 40-row group at rate 0.5
+    counts = [len(v) for v in by["b"].values()]
+    assert len(by["b"]) == 40 and set(counts) <= {1, 2}
+    assert 0 < counts.count(2) < 40
+    # c (0 epochs) and d (absent from the allocation): dropped
+    assert "c" not in by and "d" not in by
+    # determinism
+    assert sorted(map(tuple, out)) == sorted(
+        map(tuple, sampling.materialize_mixture(docs, ep).collect())
+    )
+    bad = spark.createDataFrame([("a", None)], "lang string, epochs double")
+    with pytest.raises(Exception, match="epochs must be in"):
+        sampling.materialize_mixture(docs, bad).collect()
+    huge = spark.createDataFrame([("a", 9.0)], "lang string, epochs double")
+    with pytest.raises(Exception, match="epochs must be in"):
+        sampling.materialize_mixture(docs, huge, max_epochs=4).collect()
+    with pytest.raises(ValueError, match="max_epochs"):
+        sampling.materialize_mixture(docs, ep, max_epochs=0)
+
+
 def test_mixture_and_waterfill_reject_bad_params(spark):
     docs = _mkdocs(spark, [("a", 1)])
     with pytest.raises(ValueError, match="alpha"):

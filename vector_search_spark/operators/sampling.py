@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from vector_search_spark.functions import texts as T
 
-__all__ = ["stratified_sample_hash", "quality_weighted_sample"]
+__all__ = [
+    "stratified_sample_hash",
+    "quality_weighted_sample",
+    "materialize_mixture",
+]
 
 # Rate resolution: rates are applied as integer thresholds out of 1e6,
 # so the smallest expressible rate step is 1e-6 (and the oracle's
@@ -109,3 +113,72 @@ def quality_weighted_sample(
     threshold = F.floor(p * _DENOM).cast("long")
     u = T.h32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     return df.filter(u % _DENOM < threshold)
+
+
+def materialize_mixture(
+    df: DataFrame,
+    epochs_df: DataFrame,
+    group_col: str = "lang",
+    epochs_col: str = "epochs",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    max_epochs: float = 1000.0,
+) -> DataFrame:
+    """Materialize an epoch allocation into the resampled corpus: each
+    row of group g appears ``floor(epochs_g)`` times, plus one more iff
+    ``h32(seed:id) % 1e6 < floor(frac(epochs_g) * 1e6)`` — so a group
+    allocated 2.3 epochs contributes every row twice and a
+    deterministic 30% of rows a third time, realizing the target token
+    budget in expectation per group (exactly, for the integer part).
+    This is the step that turns ``textstats.waterfill_budget`` /
+    ``mixture_weights`` tables into an actual training corpus.
+
+    The copies are distinguished by a ``rep`` column (1..copies) so
+    downstream shuffling/packing can separate them; the fractional
+    draw reuses the module's hash-threshold discipline (stable under
+    re-partitioning, appends, retries, engine swaps — never RNG), and
+    depends only on (seed, id), so nudging a group's allocation up
+    strictly grows which of its rows gain the extra copy.
+
+    Plan shape: the allocation is group-count-sized -> broadcast
+    inner join (groups absent from ``epochs_df`` are EXCLUDED — an
+    allocation of zero rows is an allocation of zero), then a per-row
+    ``sequence`` explode bounded by ``max_epochs`` — no shuffle at any
+    size. NULL/negative epochs raise at action time (an unaudited
+    allocation hole silently dropping a group is the trap); epochs
+    above ``max_epochs`` raise too (a fat-finger 1e9 would explode
+    every row a billion times). ``sequence`` is guarded to the empty
+    array when copies == 0 — Spark's sequence(1, 0) counts DOWN.
+    """
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    ep = epochs_df.select(
+        F.col(group_col).alias("_g"), F.col(epochs_col).alias("_e")
+    )
+    checked = F.when(
+        F.col("_e").isNull()
+        | (F.col("_e") < 0)
+        | (F.col("_e") > F.lit(float(max_epochs))),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "materialize_mixture: epochs must be in "
+                    f"[0, {max_epochs}], got "
+                ),
+                F.coalesce(F.col("_e").cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(F.col("_e"))
+    n_full = F.floor(checked).cast("long")
+    frac_thresh = F.floor((checked - F.floor(checked)) * _DENOM).cast("long")
+    u = T.h32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    copies = n_full + F.when(u % _DENOM < frac_thresh, 1).otherwise(0)
+    reps = F.when(
+        copies >= 1, F.sequence(F.lit(1).cast("long"), copies)
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.join(F.broadcast(ep), df[group_col] == F.col("_g"))
+        .withColumn("rep", F.explode(reps))
+        .withColumn("rep", F.col("rep").cast("int"))
+        .drop("_g", "_e")
+    )

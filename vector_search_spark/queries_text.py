@@ -1995,10 +1995,14 @@ def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_budget_waterfill",
-    f"""
-WITH t AS (
+# Waterfill CTE chain (through `wl`) — shared by the allocation-table
+# oracle (docs_budget_waterfill) and the corpus-materialization oracle
+# (docs_materialize_mixture), which replays the allocation then expands
+# the corpus by it. The level t_lvl stays UNROUNDED here; each consumer
+# rounds only its own display columns, so epochs-derived arithmetic in
+# the materialization is bit-identical to the engine's.
+_WF_CTES = f"""
+t AS (
   SELECT lang, len({T.sql_tokens("text")}) AS n FROM documents
 ),
 per AS (
@@ -2025,7 +2029,13 @@ wl AS (
       OVER (ORDER BY avail, lang
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_lvl
   FROM lvl
-)
+)"""
+
+
+@register(
+    "docs_budget_waterfill",
+    f"""
+WITH {_WF_CTES}
 SELECT lang, toks, avail,
   {rnd_sql("LEAST(CAST(avail AS DOUBLE), t_lvl)", 2)} AS alloc,
   CASE WHEN toks > 0
@@ -2060,3 +2070,64 @@ def q_docs_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("epochs"),
     )
+
+
+@register(
+    "docs_materialize_mixture",
+    f"""
+WITH {_WF_CTES},
+ep AS (
+  SELECT lang,
+         LEAST(CAST(avail AS DOUBLE), t_lvl) / CAST(toks AS DOUBLE)
+           AS epochs
+  FROM wl WHERE toks > 0
+),
+m AS (
+  SELECT d.doc_id, d.lang, ep.epochs,
+         {T.sql_h32("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000 AS u
+  FROM documents d JOIN ep USING (lang)
+),
+c AS (
+  SELECT doc_id, lang,
+         CAST(floor(epochs) AS BIGINT)
+         + CASE WHEN u < CAST(floor((epochs - floor(epochs)) * 1000000)
+                            AS BIGINT)
+                THEN 1 ELSE 0 END AS copies
+  FROM m
+)
+SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS INT) AS rep
+FROM c
+""",
+    "text",
+    "pipeline",
+    "ops",
+)
+def q_docs_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mixture materialization: waterfill_budget's epoch
+    allocation (cap=4, budget=80%) expanded into the resampled corpus
+    by sampling.materialize_mixture — floor(epochs) copies of every
+    doc plus a deterministic hash-threshold draw for the fraction,
+    each copy tagged with its rep number. The oracle replays the
+    UNROUNDED waterline (shared _WF_CTES), the md5 threshold, and the
+    range expansion, so the driver hash adjudicates allocation,
+    Bernoulli membership, and copy counts at once. Plan: broadcast
+    group-count-sized allocation + per-row sequence explode — zero
+    shuffles beyond the allocation's own aggregate."""
+    from vector_search_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    wf = textstats.waterfill_budget(
+        docs,
+        group_col="lang",
+        epoch_cap=WF_EPOCH_CAP,
+        budget_pct=WF_BUDGET_PCT,
+    )
+    mat = sampling.materialize_mixture(
+        docs.select("doc_id", "lang"),
+        wf,
+        group_col="lang",
+        epochs_col="epochs",
+        id_col="doc_id",
+        seed="mix",
+    )
+    return mat.select("doc_id", "lang", "rep")
