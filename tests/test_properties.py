@@ -416,3 +416,119 @@ def test_lsh_band_curve_containment_random_corpora(session, seed, n_docs):
     c = {r: got.get(r, 0) for r in (2, 3, 4, 6)}
     for hi, lo in [(2, 3), (2, 4), (2, 6), (3, 6), (4, 6)]:
         assert c[hi] >= c[lo], (seed, c)
+
+
+# --------------------------------------------------------------------------
+# Mixture-construction invariants (round 9): waterfill conservation /
+# clipping, temperature-weight normalization / monotonicity, and
+# materialization nestedness. Small generated corpora — one operator
+# call is one Spark job, so examples are few and tiny.
+# --------------------------------------------------------------------------
+
+
+def _mix_docs(session, groups):
+    """groups: list of (name, [n_tokens per doc]) -> documents frame."""
+    rows = []
+    i = 0
+    for g, sizes in groups:
+        for n in sizes:
+            rows.append((i, g, "w " * n))
+            i += 1
+    return session.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+_group_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        st.lists(st.integers(1, 20), min_size=1, max_size=4),
+    ),
+    min_size=2,
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=_group_strategy,
+    cap=st.integers(1, 4),
+    pct=st.integers(10, 100),
+)
+def test_waterfill_conserves_budget_and_clips(session, groups, cap, pct):
+    """For ANY group sizes/cap/budget: (1) 0 <= alloc <= avail,
+    (2) sum(alloc) == C exactly (the closed-form waterline is not
+    approximate), (3) all clipped groups sit at one common level."""
+    from vector_search_spark.operators import textstats
+
+    docs = _mix_docs(session, groups)
+    out = textstats.waterfill_budget(
+        docs, group_col="lang", epoch_cap=cap, budget_pct=pct
+    ).collect()
+    avail_tot = sum(r["avail"] for r in out)
+    C = (pct * avail_tot) // 100
+    for r in out:
+        assert 0.0 <= r["alloc"] <= float(r["avail"]) + 1e-9, r
+    assert math.isclose(
+        sum(r["alloc"] for r in out), float(C), rel_tol=1e-12, abs_tol=1e-6
+    ), (groups, cap, pct)
+    clipped = [r["alloc"] for r in out if r["alloc"] < float(r["avail"]) - 1e-9]
+    for x in clipped:
+        assert math.isclose(x, clipped[0], rel_tol=1e-12, abs_tol=1e-9)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=_group_strategy,
+    alpha=st.floats(0.0, 1.0, allow_nan=False),
+)
+def test_mixture_weights_normalized_and_monotone(session, groups, alpha):
+    """Weights sum to 1; a bigger group never gets a smaller weight;
+    the up-sampling boost is non-increasing in group size (the whole
+    point of temperature smoothing)."""
+    from vector_search_spark.operators import textstats
+
+    out = textstats.mixture_weights(
+        _mix_docs(session, groups), group_col="lang", alpha=alpha
+    ).collect()
+    assert math.isclose(sum(r["weight"] for r in out), 1.0, rel_tol=1e-9)
+    by_size = sorted(out, key=lambda r: r["toks"])
+    for lo, hi in zip(by_size, by_size[1:]):
+        assert hi["weight"] >= lo["weight"] - 1e-12
+        if lo["toks"] < hi["toks"]:
+            assert lo["boost"] >= hi["boost"] - 1e-12
+
+
+def test_materialize_mixture_nested_under_allocation_growth(session):
+    """Same seed, larger epochs -> the materialized multiset only
+    GROWS: every (doc_id, rep) pair at the lower allocation survives
+    at the higher one (floor copies only add; the fractional draw's
+    threshold rises while each row's hash stays fixed)."""
+    from vector_search_spark.operators import sampling
+
+    docs = session.createDataFrame(
+        [(i, "a") for i in range(30)] + [(100 + i, "b") for i in range(30)],
+        "doc_id long, lang string",
+    )
+    lo_ep = session.createDataFrame(
+        [("a", 0.3), ("b", 1.6)], "lang string, epochs double"
+    )
+    hi_ep = session.createDataFrame(
+        [("a", 1.4), ("b", 2.9)], "lang string, epochs double"
+    )
+    lo = {
+        (r["doc_id"], r["rep"])
+        for r in sampling.materialize_mixture(docs, lo_ep).collect()
+    }
+    hi = {
+        (r["doc_id"], r["rep"])
+        for r in sampling.materialize_mixture(docs, hi_ep).collect()
+    }
+    assert lo and lo < hi

@@ -1024,6 +1024,49 @@ def test_materialize_mixture_copies_and_guards(spark):
         sampling.materialize_mixture(docs, ep, max_epochs=0)
 
 
+def test_shuffle_order_is_a_dense_deterministic_permutation(spark):
+    """Every input row appears exactly once; shard in [0, n); pos is
+    dense 1..n within each shard; the whole assignment is
+    deterministic; a different seed gives a different order; NULL id
+    components raise instead of silently aliasing."""
+    from vector_search_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, r) for i in range(40) for r in (1, 2)], "doc_id long, rep int"
+    )
+    out = sampling.shuffle_order(
+        df, n_shards=4, id_cols=("doc_id", "rep")
+    ).collect()
+    assert sorted((r["doc_id"], r["rep"]) for r in out) == sorted(
+        (i, r) for i in range(40) for r in (1, 2)
+    )
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = sampling.shuffle_order(
+        df, n_shards=4, id_cols=("doc_id", "rep")
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = sampling.shuffle_order(
+        df, n_shards=4, id_cols=("doc_id", "rep"), seed="ord2"
+    ).collect()
+    assert {(r["doc_id"], r["rep"], r["shard"], r["pos"]) for r in out} != {
+        (r["doc_id"], r["rep"], r["shard"], r["pos"]) for r in other
+    }
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.shuffle_order(df, n_shards=0)
+    withnull = spark.createDataFrame(
+        [(1, None)], "doc_id long, rep int"
+    )
+    with pytest.raises(Exception, match="NULL in id_cols"):
+        sampling.shuffle_order(
+            withnull, n_shards=2, id_cols=("doc_id", "rep")
+        ).collect()
+
+
 def test_mixture_and_waterfill_reject_bad_params(spark):
     docs = _mkdocs(spark, [("a", 1)])
     with pytest.raises(ValueError, match="alpha"):

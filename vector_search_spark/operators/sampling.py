@@ -24,6 +24,7 @@ __all__ = [
     "stratified_sample_hash",
     "quality_weighted_sample",
     "materialize_mixture",
+    "shuffle_order",
 ]
 
 # Rate resolution: rates are applied as integer thresholds out of 1e6,
@@ -181,4 +182,61 @@ def materialize_mixture(
         .withColumn("rep", F.explode(reps))
         .withColumn("rep", F.col("rep").cast("int"))
         .drop("_g", "_e")
+    )
+
+
+def shuffle_order(
+    df: DataFrame,
+    n_shards: int,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    seed: str = "ord",
+) -> DataFrame:
+    """Deterministic global training order: shard + within-shard
+    position, derived from a hash so the 'shuffle' is reproducible
+    bit-for-bit under re-partitioning, retries, and engine swaps —
+    the step after mixture materialization that fixes the order
+    examples are consumed in (and which shard file each lands in).
+
+    ``u = h32(seed:id...)`` gives every row a pseudo-random rank;
+    ``shard = u % n_shards`` spreads rows uniformly; ``pos`` is the
+    row's rank within its shard (ordered by u, ties broken by the id
+    columns — h32 is 32-bit, collisions are expected at corpus size
+    and must break the same way in every engine). Reading shards in
+    any interleaving yields a uniformly shuffled corpus; a different
+    ``seed`` is a fresh shuffle.
+
+    Plan shape: one map-side hash projection, then a row_number window
+    PARTITIONED by shard — per-task sort of N/n_shards rows, so
+    ``n_shards`` is the scale knob (pick >= corpus/10^7: 10^9 docs at
+    1024 shards sorts ~10^6-row partitions, never the corpus). NULL
+    id components raise in-plan (concat_ws would silently skip them,
+    silently aliasing distinct keys)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    null_any = None
+    for c in id_cols:
+        cond = F.col(c).isNull()
+        null_any = cond if null_any is None else (null_any | cond)
+    key = F.when(
+        null_any,
+        F.raise_error(
+            F.lit(
+                f"shuffle_order: NULL in id_cols {tuple(id_cols)} — "
+                "distinct keys would alias"
+            )
+        ),
+    ).otherwise(
+        F.concat_ws(
+            ":", F.lit(seed), *[F.col(c).cast("string") for c in id_cols]
+        )
+    )
+    u = T.h32(key)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_u", *id_cols)
+    return (
+        df.withColumn("_u", u)
+        .withColumn("shard", (F.col("_u") % F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_u")
     )

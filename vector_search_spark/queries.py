@@ -275,12 +275,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     knn_mips, mmr_rerank.
 # (e) NEW in r9 (never adjudicated — take priority over any stale
 #     re-check): docs_mixture_weights, docs_budget_waterfill,
-#     docs_materialize_mixture, tpch_q21. To keep the window at 50,
-#     knn_mips + mmr_rerank + hybrid_rrf_search + text_bm25_search
-#     (all green r5-r6, code untouched) move from (d) to the head of
-#     the r10 queue.
+#     docs_materialize_mixture, docs_shuffle_shards, tpch_q21. To keep
+#     the window at 50, knn_mips + mmr_rerank + hybrid_rrf_search +
+#     text_bm25_search + docs_decontaminate (all green r5-r6, code
+#     untouched; the dedup family keeps five other in-window rows)
+#     move from (d) to the head of the r10 queue.
 # R10 QUEUE (first picks): knn_mips, mmr_rerank, hybrid_rrf_search,
-# text_bm25_search, then the r6-stale set:
+# text_bm25_search, docs_decontaminate, then the r6-stale set:
 # ann_recall_eval, ann_lsh_multiprobe, bq_hamming_knn,
 # corpus_pipeline_funnel, docs_quality_weighted_sample,
 # docs_shared_spans, events_funnel, events_hourly_zscore,
@@ -342,19 +343,20 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_member_bloom",
     "dedup_semantic",
-    "docs_decontaminate",
     # (e) new in r9
     "docs_mixture_weights",
     "docs_budget_waterfill",
     "docs_materialize_mixture",
+    "docs_shuffle_shards",
     "tpch_q21",
     # ---- tail: r10 queue first (knn_mips/mmr_rerank/hybrid_rrf_search/
-    # text_bm25_search displaced by the r9 adds, then the r6-stale
-    # set), then r8 greens on code untouched since ----
+    # text_bm25_search/docs_decontaminate displaced by the r9 adds,
+    # then the r6-stale set), then r8 greens on code untouched since ----
     "knn_mips",
     "mmr_rerank",
     "hybrid_rrf_search",
     "text_bm25_search",
+    "docs_decontaminate",
     "ann_recall_eval",
     "ann_lsh_multiprobe",
     "bq_hamming_knn",

@@ -2072,10 +2072,10 @@ def q_docs_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_materialize_mixture",
-    f"""
-WITH {_WF_CTES},
+# Materialization CTE chain on top of _WF_CTES: unrounded epochs ->
+# per-doc hash draw -> copy counts -> range expansion. Shared by
+# docs_materialize_mixture and the downstream docs_shuffle_shards.
+_MAT_CTES = f"""
 ep AS (
   SELECT lang,
          LEAST(CAST(avail AS DOUBLE), t_lvl) / CAST(toks AS DOUBLE)
@@ -2094,9 +2094,20 @@ c AS (
                             AS BIGINT)
                 THEN 1 ELSE 0 END AS copies
   FROM m
-)
-SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS INT) AS rep
-FROM c
+),
+mat AS (
+  SELECT doc_id, lang,
+         CAST(unnest(range(1, copies + 1)) AS INT) AS rep
+  FROM c
+)"""
+
+
+@register(
+    "docs_materialize_mixture",
+    f"""
+WITH {_WF_CTES},
+{_MAT_CTES}
+SELECT doc_id, lang, rep FROM mat
 """,
     "text",
     "pipeline",
@@ -2131,3 +2142,59 @@ def q_docs_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="mix",
     )
     return mat.select("doc_id", "lang", "rep")
+
+
+SHUF_SHARDS = 8
+
+
+@register(
+    "docs_shuffle_shards",
+    f"""
+WITH {_WF_CTES},
+{_MAT_CTES},
+keyed AS (
+  SELECT doc_id, lang, rep,
+         {T.sql_h32("'ord:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")}
+           AS u
+  FROM mat
+)
+SELECT doc_id, lang, rep,
+       CAST(u % {SHUF_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY u % {SHUF_SHARDS}
+                               ORDER BY u, doc_id, rep) AS BIGINT) AS pos
+FROM keyed
+""",
+    "text",
+    "pipeline",
+    "ops",
+)
+def q_docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mixture pipeline, last stage: waterfill allocation ->
+    materialized resampled corpus -> deterministic shuffled training
+    order (sampling.shuffle_order over (doc_id, rep)): shard = hash
+    mod SHUF_SHARDS, pos = rank within shard. The oracle replays all
+    three stages end-to-end, so the driver hash adjudicates the whole
+    chain — allocation arithmetic, Bernoulli membership, copy counts,
+    shard assignment, and every within-shard rank. The rank window is
+    PARTITIONED by shard (per-task sort of N/n_shards rows — n_shards
+    is the scale knob), never global."""
+    from vector_search_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    wf = textstats.waterfill_budget(
+        docs,
+        group_col="lang",
+        epoch_cap=WF_EPOCH_CAP,
+        budget_pct=WF_BUDGET_PCT,
+    )
+    mat = sampling.materialize_mixture(
+        docs.select("doc_id", "lang"),
+        wf,
+        group_col="lang",
+        epochs_col="epochs",
+        id_col="doc_id",
+        seed="mix",
+    )
+    return sampling.shuffle_order(
+        mat, n_shards=SHUF_SHARDS, id_cols=("doc_id", "rep"), seed="ord"
+    ).select("doc_id", "lang", "rep", "shard", "pos")
