@@ -1067,6 +1067,39 @@ def test_shuffle_order_is_a_dense_deterministic_permutation(spark):
         ).collect()
 
 
+def test_dsir_logratio_ranks_target_like_docs_higher(spark):
+    """Docs sharing the target's n-grams must outscore off-domain
+    docs; too-short docs (no bigram) are absent; bad params raise."""
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat today"),
+            (1, "cat sat on the mat"),
+            (2, "quantum flux capacitor array driver"),
+            (3, "flux driver quantum capacitor module"),
+            (4, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in textstats.dsir_logratio(
+            raw, target, n_buckets=256, ngram_n=2
+        ).collect()
+    }
+    assert 4 not in got  # one token -> no bigram -> no score
+    assert min(got[0], got[1]) > max(got[2], got[3])
+    with pytest.raises(ValueError, match="n_buckets"):
+        textstats.dsir_logratio(raw, target, n_buckets=1)
+    with pytest.raises(ValueError, match="smoothing"):
+        textstats.dsir_logratio(raw, target, smoothing=0)
+    with pytest.raises(ValueError, match="ngram_n"):
+        textstats.dsir_logratio(raw, target, ngram_n=0)
+
+
 def test_mixture_and_waterfill_reject_bad_params(spark):
     docs = _mkdocs(spark, [("a", 1)])
     with pytest.raises(ValueError, match="alpha"):

@@ -34,6 +34,7 @@ __all__ = [
     "value_cume_dist",
     "mixture_weights",
     "waterfill_budget",
+    "dsir_logratio",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio
@@ -790,4 +791,95 @@ def waterfill_budget(
         F.when(F.col("toks") > 0, alloc / F.col("toks").cast("double"))
         .otherwise(F.lit(0.0))
         .alias("epochs"),
+    )
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    ngram_n: int = 2,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw-corpus document by how target-like
+    its hashed n-gram profile is — ``avg over grams of
+    ln p_target(bucket) - ln p_raw(bucket)`` with add-k smoothing —
+    then feed the scores to ``sampling.quality_weighted_sample`` (or
+    rank-and-take) to select a target-domain-like subset of a web
+    crawl. Hashing n-grams into ``n_buckets`` features is what makes
+    the estimator model-sized at any corpus size.
+
+    Plan shape: both corpora reduce to bucket-count tables
+    (<= n_buckets rows — model-sized); totals are second-level
+    single-row aggregates broadcast back (never a second corpus
+    pass); the per-bucket log-ratio table full-outer-joins the two
+    tiny aggregates and BROADCASTS onto the raw gram stream, so
+    scoring is one map-side join + a per-doc aggregate whose shuffle
+    carries one partial row per document. The raw corpus is read
+    twice (bucket stats, then scoring) — at selection scale the stats
+    pass is usually run on a hash-sample instead; compose with
+    ``sampling.stratified_sample_hash`` upstream for that.
+
+    Returns ``(id_col, n_grams bigint, dsir_score double)`` — docs
+    with fewer than ``ngram_n`` tokens have no grams and are absent
+    (no profile, no score).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if ngram_n < 1:
+        raise ValueError(f"ngram_n must be >= 1, got {ngram_n}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(T.shingles(T.tokens(text_col), ngram_n)).alias(
+                "_gram"
+            ),
+        ).select(
+            id_col, (T.h32(F.col("_gram")) % n_buckets).alias("_bkt")
+        )
+
+    raw_grams = grams(docs)
+    tgt_cnt = (
+        grams(target)
+        .groupBy("_bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ct"))
+    )
+    raw_cnt = raw_grams.groupBy("_bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("_cr")
+    )
+    tt = tgt_cnt.agg(
+        F.coalesce(F.sum("_ct"), F.lit(0)).cast("long").alias("_tt")
+    )
+    rt = raw_cnt.agg(
+        F.coalesce(F.sum("_cr"), F.lit(0)).cast("long").alias("_tr")
+    )
+    s = float(smoothing)
+    sb = s * n_buckets
+    lw = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(s))
+        / (F.col("_tt") + F.lit(sb))
+    ) - F.log(
+        (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(s))
+        / (F.col("_tr") + F.lit(sb))
+    )
+    lr = (
+        tgt_cnt.join(raw_cnt, "_bkt", "full_outer")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select("_bkt", lw.alias("_lw"))
+    )
+    return (
+        raw_grams.join(F.broadcast(lr), "_bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.avg("_lw").alias("dsir_score"),
+        )
     )

@@ -274,14 +274,16 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     docs_decontaminate), text_bm25_search, hybrid_rrf_search,
 #     knn_mips, mmr_rerank.
 # (e) NEW in r9 (never adjudicated — take priority over any stale
-#     re-check): docs_mixture_weights, docs_budget_waterfill,
-#     docs_materialize_mixture, docs_shuffle_shards, tpch_q21. To keep
-#     the window at 50, knn_mips + mmr_rerank + hybrid_rrf_search +
-#     text_bm25_search + docs_decontaminate (all green r5-r6, code
-#     untouched; the dedup family keeps five other in-window rows)
+#     re-check): docs_dsir_weights, docs_mixture_weights,
+#     docs_budget_waterfill, docs_materialize_mixture,
+#     docs_shuffle_shards, tpch_q21. To keep the window at 50,
+#     knn_mips + mmr_rerank + hybrid_rrf_search + text_bm25_search +
+#     docs_decontaminate + dedup_member_bloom (all green r5-r6, code
+#     untouched; the dedup family keeps four other in-window rows)
 #     move from (d) to the head of the r10 queue.
 # R10 QUEUE (first picks): knn_mips, mmr_rerank, hybrid_rrf_search,
-# text_bm25_search, docs_decontaminate, then the r6-stale set:
+# text_bm25_search, docs_decontaminate, dedup_member_bloom, then the
+# r6-stale set:
 # ann_recall_eval, ann_lsh_multiprobe, bq_hamming_knn,
 # corpus_pipeline_funnel, docs_quality_weighted_sample,
 # docs_shared_spans, events_funnel, events_hourly_zscore,
@@ -341,9 +343,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_groups",
     "dedup_keep_canonical",
     "dedup_incremental",
-    "dedup_member_bloom",
     "dedup_semantic",
     # (e) new in r9
+    "docs_dsir_weights",
     "docs_mixture_weights",
     "docs_budget_waterfill",
     "docs_materialize_mixture",
@@ -357,6 +359,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "hybrid_rrf_search",
     "text_bm25_search",
     "docs_decontaminate",
+    "dedup_member_bloom",
     "ann_recall_eval",
     "ann_lsh_multiprobe",
     "bq_hamming_knn",

@@ -2198,3 +2198,64 @@ def q_docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.shuffle_order(
         mat, n_shards=SHUF_SHARDS, id_cols=("doc_id", "rep"), seed="ord"
     ).select("doc_id", "lang", "rep", "shard", "pos")
+
+
+DSIR_BUCKETS = 1024
+
+
+@register(
+    "docs_dsir_weights",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, {T.sql_tokens("text")} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, lang, unnest({T.sql_shingles("t", 2)}) AS gram FROM toks
+),
+b AS (
+  SELECT doc_id, lang, {T.sql_h32("gram")} % {DSIR_BUCKETS} AS bkt FROM g
+),
+tc AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS ct
+  FROM b WHERE lang = 'en' GROUP BY bkt
+),
+rc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr FROM b GROUP BY bkt),
+tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS t_tot FROM tc),
+rt AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS r_tot FROM rc),
+lr AS (
+  SELECT COALESCE(tc.bkt, rc.bkt) AS bkt,
+         ln((COALESCE(ct, 0) + 1.0) / (t_tot + {DSIR_BUCKETS}.0))
+         - ln((COALESCE(cr, 0) + 1.0) / (r_tot + {DSIR_BUCKETS}.0)) AS lw
+  FROM tc FULL OUTER JOIN rc ON tc.bkt = rc.bkt, tt, rt
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       {rnd_sql("avg(lw)", 6)} AS dsir_score
+FROM b JOIN lr ON b.bkt = lr.bkt
+GROUP BY b.doc_id
+""",
+    "text",
+    "pipeline",
+    "ops",
+)
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (textstats.dsir_logratio, Xie et al.
+    2023): every document scored by how English-target-like its hashed
+    bigram profile is — avg log-ratio of smoothed target vs raw bucket
+    probabilities over 1024 hashed features. The selection signal a
+    100 TB crawl-filtering recipe feeds into quality_weighted_sample.
+    Bucket tables are model-sized aggregates; the log-ratio table
+    broadcasts onto the raw gram stream, so scoring is map-side + one
+    per-doc aggregate."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = textstats.dsir_logratio(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n_buckets=DSIR_BUCKETS,
+        ngram_n=2,
+        smoothing=1.0,
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        rnd(F.col("dsir_score"), 6).alias("dsir_score"),
+    )
