@@ -404,3 +404,24 @@ def test_tpch_q8_dimension_hops_broadcast(spark):
         "expected >=5 broadcast joins\n" + p[:3000]
     )
     assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
+
+
+def test_dsir_totals_reuse_bucket_exchanges(spark):
+    """dsir_logratio's corpus totals must ride the bucket-count
+    exchanges (two-level aggregate + broadcast, the unigram_logprob
+    recipe) — NOT re-tokenize the corpora: at runtime the raw corpus
+    is scanned exactly twice (stats + scoring) and the target once,
+    so both totals show up as ReusedExchange. No window anywhere."""
+    from vector_search_spark.operators import textstats
+
+    docs = tables.load(spark, SF_ORACLE, "documents")
+    out = textstats.dsir_logratio(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=64
+    )
+    assert "Window" not in plans.formatted_plan(out)
+    out.collect()  # AQE materializes exchange reuse only at runtime
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 2, (
+        "a corpus total re-tokenized its corpus instead of reusing "
+        "the bucket-count exchange"
+    )

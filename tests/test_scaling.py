@@ -340,3 +340,56 @@ def test_minhash_mega_bucket_skew_completes_and_is_exact(spark):
     assert len(got) == n_dup * (n_dup - 1) // 2
     assert all(r.jaccard == 1.0 for r in got)
     assert all(r.a < 1000 and r.b < 1000 for r in got)
+
+
+def test_mixture_chain_scale_invariance(spark):
+    """The mixture-construction chain must be SCALE-FREE: replicating
+    the corpus Rx (re-keyed ids, same text) leaves temperature weights
+    bit-identical (weight = toks^a / sum(toks^a) is homogeneous) and
+    waterfill epochs unchanged up to the integer budget floor (C uses
+    //100, so the Rx budget differs from R*C by < 100 tokens). This is
+    the 'would the answer survive 1000x the data' check, run as an
+    exact algebraic identity instead of a benchmark."""
+    from vector_search_spark.operators import textstats
+
+    docs = tables.load(spark, "/root/testdata/sf0.01", "documents")
+    R = 16
+    big = docs.crossJoin(
+        spark.range(R).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * R + F.col("_c")).alias("doc_id"),
+        "lang",
+        "source",
+        "text",
+    )
+    w1 = {
+        r["source"]: r["weight"]
+        for r in textstats.mixture_weights(
+            docs, group_col="source", alpha=0.3
+        ).collect()
+    }
+    wR = {
+        r["source"]: r["weight"]
+        for r in textstats.mixture_weights(
+            big, group_col="source", alpha=0.3
+        ).collect()
+    }
+    assert set(w1) == set(wR)
+    for s in w1:
+        assert abs(w1[s] - wR[s]) < 1e-9, (s, w1[s], wR[s])
+    e1 = {
+        r["lang"]: (r["epochs"], r["alloc"])
+        for r in textstats.waterfill_budget(
+            docs, group_col="lang", epoch_cap=4, budget_pct=60
+        ).collect()
+    }
+    eR = {
+        r["lang"]: (r["epochs"], r["alloc"])
+        for r in textstats.waterfill_budget(
+            big, group_col="lang", epoch_cap=4, budget_pct=60
+        ).collect()
+    }
+    assert set(e1) == set(eR)
+    for g in e1:
+        assert abs(e1[g][0] - eR[g][0]) < 1e-2, (g, e1[g], eR[g])
+        assert abs(eR[g][1] - R * e1[g][1]) <= 100.0 * R, (g, e1[g], eR[g])
