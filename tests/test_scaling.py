@@ -38,6 +38,7 @@ from vector_search_spark import tables
 from vector_search_spark.operators import bq, ivf, kmeans, knn, pq
 
 SF_DIR = "/root/testdata/sf0.1"  # 2k vectors -> 32k at 16x, 128k at 64x
+SF_SMALL = "/root/testdata/sf0.01"  # 500-doc corpus for the text chain
 
 K = 10
 NQ = 20
@@ -352,7 +353,7 @@ def test_mixture_chain_scale_invariance(spark):
     exact algebraic identity instead of a benchmark."""
     from vector_search_spark.operators import textstats
 
-    docs = tables.load(spark, "/root/testdata/sf0.01", "documents")
+    docs = tables.load(spark, SF_SMALL, "documents")
     R = 16
     big = docs.crossJoin(
         spark.range(R).select(F.col("id").alias("_c"))

@@ -1022,6 +1022,18 @@ def test_materialize_mixture_copies_and_guards(spark):
         sampling.materialize_mixture(docs, huge, max_epochs=4).collect()
     with pytest.raises(ValueError, match="max_epochs"):
         sampling.materialize_mixture(docs, ep, max_epochs=0)
+    # silent-divergence guards: duplicate allocation rows fan the join
+    # out; NULL group/id rows would silently drop / lose their draw
+    dup = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "lang string, epochs double"
+    )
+    with pytest.raises(Exception, match="duplicate allocation"):
+        sampling.materialize_mixture(docs, dup).collect()
+    holey = spark.createDataFrame(
+        [(1, "a"), (2, None)], "doc_id long, lang string"
+    )
+    with pytest.raises(Exception, match="silently diverge"):
+        sampling.materialize_mixture(holey, ep).collect()
 
 
 def test_shuffle_order_is_a_dense_deterministic_permutation(spark):
@@ -1058,6 +1070,8 @@ def test_shuffle_order_is_a_dense_deterministic_permutation(spark):
     }
     with pytest.raises(ValueError, match="n_shards"):
         sampling.shuffle_order(df, n_shards=0)
+    with pytest.raises(ValueError, match="id_cols"):
+        sampling.shuffle_order(df, n_shards=2, id_cols=())
     withnull = spark.createDataFrame(
         [(1, None)], "doc_id long, rep int"
     )

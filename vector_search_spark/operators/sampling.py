@@ -145,18 +145,35 @@ def materialize_mixture(
     inner join (groups absent from ``epochs_df`` are EXCLUDED — an
     allocation of zero rows is an allocation of zero), then a per-row
     ``sequence`` explode bounded by ``max_epochs`` — no shuffle at any
-    size. NULL/negative epochs raise at action time (an unaudited
-    allocation hole silently dropping a group is the trap); epochs
-    above ``max_epochs`` raise too (a fat-finger 1e9 would explode
-    every row a billion times). ``sequence`` is guarded to the empty
-    array when copies == 0 — Spark's sequence(1, 0) counts DOWN.
+    size. Silent divergence from the allocation is the trap, so every
+    hole raises at action time: NULL/negative/``> max_epochs`` epochs
+    (a fat-finger 1e9 would explode every row a billion times),
+    DUPLICATE group keys in ``epochs_df`` (the inner join would fan
+    out identical (id, rep) rows), and NULL ``group_col``/``id_col``
+    on the data side (a NULL group can never match its allocation; a
+    NULL id silently loses its fractional draw). ``sequence`` is
+    guarded to the empty array when copies == 0 — Spark's
+    sequence(1, 0) counts DOWN.
     """
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    from pyspark.sql import Window
+
     ep = epochs_df.select(
         F.col(group_col).alias("_g"), F.col(epochs_col).alias("_e")
+    ).withColumn(
+        "_dup", F.count(F.lit(1)).over(Window.partitionBy("_g"))
     )
     checked = F.when(
+        F.col("_dup") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("materialize_mixture: duplicate allocation rows "
+                      "for group "),
+                F.col("_g").cast("string"),
+            )
+        ).cast("double"),
+    ).when(
         F.col("_e").isNull()
         | (F.col("_e") < 0)
         | (F.col("_e") > F.lit(float(max_epochs))),
@@ -170,6 +187,22 @@ def materialize_mixture(
             )
         ).cast("double"),
     ).otherwise(F.col("_e"))
+    # NULL-hole guard rides the JOIN KEY so it fires for every data
+    # row (a guard on the joined side would never see the NULL-group
+    # rows the join drops).
+    df = df.withColumn(
+        group_col,
+        F.when(
+            F.col(group_col).isNull() | F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"materialize_mixture: NULL {group_col!r}/"
+                    f"{id_col!r} — the row would silently diverge "
+                    "from the allocation"
+                )
+            ).cast(df.schema[group_col].dataType),
+        ).otherwise(F.col(group_col)),
+    )
     n_full = F.floor(checked).cast("long")
     frac_thresh = F.floor((checked - F.floor(checked)) * _DENOM).cast("long")
     u = T.h32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
@@ -213,6 +246,8 @@ def shuffle_order(
     silently aliasing distinct keys)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if not id_cols:
+        raise ValueError("id_cols must name at least one column")
     null_any = None
     for c in id_cols:
         cond = F.col(c).isNull()

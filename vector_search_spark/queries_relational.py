@@ -1975,17 +1975,23 @@ WITH ls AS (
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
   WHERE o.o_orderstatus = 'F'
   GROUP BY 1, 2
-),
-po AS (
-  SELECT l_orderkey, count(*) AS nsupp, sum(late) AS nlate
-  FROM ls GROUP BY 1
 )
 SELECT n.n_name, s.s_name, CAST(count(*) AS BIGINT) AS numwait
-FROM ls
-JOIN po USING (l_orderkey)
-JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+FROM ls l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
-WHERE ls.late = 1 AND po.nsupp > 1 AND po.nlate = 1
+WHERE l1.late = 1
+  AND EXISTS (
+    SELECT 1 FROM ls l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM ls l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late = 1
+  )
 GROUP BY 1, 2
 """,
     "relational",
@@ -1998,19 +2004,23 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     over finished orders). Adapted: the -ish lineitem has no
     l_commitdate/l_receiptdate, so "late" becomes shipped more than
     Q21_LATE_DAYS (60) days after the order date (non-degenerate at
-    every SF); and with no fixed nation roster across SFs the report groups
-    by (nation, supplier) instead of filtering one nation — the join
-    topology is otherwise verbatim.
+    every SF); with no fixed nation roster across SFs the report
+    groups by (nation, supplier) instead of filtering one nation; and
+    "kept an order waiting" counts each (order, supplier) pair once
+    (the per-pair lateness rollup, shared by engine and oracle) where
+    the textbook counts each late lineitem row.
 
-    Spark-first rewrite: the two correlated subqueries collapse into
-    per-order counts — no lineitem self-joins, no second fact scan
-    (the oracle keeps the textbook self-join form, so the hash check
-    proves the rewrite). Two key-partitioned exchanges, each strictly
+    Spark-first rewrite: above that shared rollup, the oracle keeps
+    the textbook CORRELATED form — EXISTS another-supplier / NOT
+    EXISTS another-late-supplier subqueries — while the engine
+    collapses both into per-order supplier/late-supplier counts from
+    ONE keyed window, so the driver hash proves counts ==
+    exists/not-exists. Two key-partitioned exchanges, each strictly
     shrinking: the (orderkey, suppkey) lateness rollup ships map-side-
-    combined partials, then the per-order window (supplier count +
-    late-supplier count) re-keys the already-rolled-up relation on
-    orderkey alone — per-order groups are lineitems-per-order sized,
-    never skewed. Supplier/nation dims broadcast.
+    combined partials, then the per-order window re-keys the already-
+    rolled-up relation on orderkey alone — per-order groups are
+    lineitems-per-order sized, never skewed. Supplier/nation dims
+    broadcast; no lineitem self-joins anywhere in the engine plan.
     """
     li = tables.load(spark, sf_dir, "lineitem")
     o = tables.load(spark, sf_dir, "orders")
