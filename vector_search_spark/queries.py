@@ -276,14 +276,15 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (e) NEW in r9 (never adjudicated — take priority over any stale
 #     re-check): docs_dsir_weights, docs_mixture_weights,
 #     docs_budget_waterfill, docs_materialize_mixture,
-#     docs_shuffle_shards, tpch_q21. To keep the window at 50,
-#     knn_mips + mmr_rerank + hybrid_rrf_search + text_bm25_search +
-#     docs_decontaminate + dedup_member_bloom (all green r5-r6, code
-#     untouched; the dedup family keeps four other in-window rows)
-#     move from (d) to the head of the r10 queue.
+#     docs_shuffle_shards, tpch_q21, tpch_q16. To keep the window at
+#     50, knn_mips + mmr_rerank + hybrid_rrf_search + text_bm25_search
+#     + docs_decontaminate + dedup_member_bloom + dedup_incremental
+#     (all green r5-r6, code untouched; the dedup family keeps
+#     dedup_groups/keep_canonical/semantic in-window) move from (d)
+#     to the head of the r10 queue.
 # R10 QUEUE (first picks): knn_mips, mmr_rerank, hybrid_rrf_search,
-# text_bm25_search, docs_decontaminate, dedup_member_bloom, then the
-# r6-stale set:
+# text_bm25_search, docs_decontaminate, dedup_member_bloom,
+# dedup_incremental, then the r6-stale set:
 # ann_recall_eval, ann_lsh_multiprobe, bq_hamming_knn,
 # corpus_pipeline_funnel, docs_quality_weighted_sample,
 # docs_shared_spans, events_funnel, events_hourly_zscore,
@@ -342,7 +343,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ngram_heavy_hitters",
     "dedup_groups",
     "dedup_keep_canonical",
-    "dedup_incremental",
     "dedup_semantic",
     # (e) new in r9
     "docs_dsir_weights",
@@ -351,6 +351,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_materialize_mixture",
     "docs_shuffle_shards",
     "tpch_q21",
+    "tpch_q16",
     # ---- tail: r10 queue first (knn_mips/mmr_rerank/hybrid_rrf_search/
     # text_bm25_search/docs_decontaminate displaced by the r9 adds,
     # then the r6-stale set), then r8 greens on code untouched since ----
@@ -360,6 +361,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "text_bm25_search",
     "docs_decontaminate",
     "dedup_member_bloom",
+    "dedup_incremental",
     "ann_recall_eval",
     "ann_lsh_multiprobe",
     "bq_hamming_knn",

@@ -2060,3 +2060,63 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 (parts/supplier relationship) — partsupp derived from lineitem
+# --------------------------------------------------------------------------
+
+Q16_SIZES = (1, 4, 9, 14, 19, 24, 29, 34)
+
+
+@register(
+    "tpch_q16",
+    f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_type <> 'MEDIUM'
+  AND p.p_size IN {Q16_SIZES}
+  AND ps.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    "relational",
+    "join",
+    "agg",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship report (TPC-H Q16 shape: how many
+    suppliers can serve each qualifying part class, excluding
+    complaint suppliers). Adapted: the -ish schema has no partsupp
+    table, so the part-supplier relation is DERIVED as the distinct
+    (l_partkey, l_suppkey) pairs actually shipped in lineitem; with
+    no comment text, 'customer complaints' becomes negative account
+    balance (6 suppliers at sf0.01 — non-degenerate). Filter trio
+    (brand/type exclusion + size list) and the NOT IN exclusion are
+    the textbook topology.
+
+    Spark shape: one map-side-combinable DISTINCT shuffle on the fact
+    pair; part dim broadcast with the type/size predicates pushed to
+    its scan; the complaint list is a broadcast LEFT ANTI join (NOT IN
+    over a non-null key); count(DISTINCT) per small attribute group.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part")
+    s = tables.load(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    pf = p.filter(
+        (F.col("p_type") != "MEDIUM") & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = s.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(complaints), "l_suppkey", "left_anti")
+        .join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+    )
