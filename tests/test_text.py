@@ -884,6 +884,18 @@ def test_prefix_sum_offsets_rejects_bad_shard_size(spark):
         textstats.prefix_sum_offsets(df, shard_size=0)
 
 
+def test_prefix_sum_offsets_raises_on_null_id(spark):
+    """A NULL id has no position in the global order; dropping it
+    silently would be silent row loss in a packing pass — the _shard
+    projection raises in-plan instead (module discipline, same as
+    shuffle_order / materialize_mixture)."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3)], "doc_id long, n_toks int"
+    )
+    with pytest.raises(Exception, match="no position in the global"):
+        textstats.prefix_sum_offsets(df).collect()
+
+
 def test_lsh_band_curve_rejects_empty_r_values(spark, docs):
     with pytest.raises(ValueError, match="non-empty"):
         dedup.lsh_band_curve(docs, r_values=())
@@ -1034,6 +1046,28 @@ def test_materialize_mixture_copies_and_guards(spark):
     )
     with pytest.raises(Exception, match="silently diverge"):
         sampling.materialize_mixture(holey, ep).collect()
+    # output contract: input columns + rep, NOTHING internal (_g/_e/
+    # _dup once leaked into SELECT * downstream)
+    assert sampling.materialize_mixture(docs, ep).columns == [
+        "doc_id",
+        "lang",
+        "rep",
+    ]
+    # reserved-name clash raises up front instead of silently
+    # overwriting caller data
+    with pytest.raises(ValueError, match="reserved"):
+        sampling.materialize_mixture(
+            docs.withColumn("rep", F.lit(1)), ep
+        )
+    # duplicate allocation rows raise EVEN when the duplicated group
+    # matches no data rows (the guard is evaluated building the
+    # broadcast allocation, not post-join)
+    dup_unmatched = spark.createDataFrame(
+        [("a", 1.0), ("zz", 1.0), ("zz", 2.0)],
+        "lang string, epochs double",
+    )
+    with pytest.raises(Exception, match="duplicate allocation"):
+        sampling.materialize_mixture(docs, dup_unmatched).collect()
 
 
 def test_shuffle_order_is_a_dense_deterministic_permutation(spark):
@@ -1079,6 +1113,12 @@ def test_shuffle_order_is_a_dense_deterministic_permutation(spark):
         sampling.shuffle_order(
             withnull, n_shards=2, id_cols=("doc_id", "rep")
         ).collect()
+    # reserved output names (_u/shard/pos) on the input would be
+    # silently overwritten by withColumn — raise up front instead
+    with pytest.raises(ValueError, match="reserved"):
+        sampling.shuffle_order(
+            df.withColumn("pos", F.lit(0)), n_shards=2
+        )
 
 
 def test_dsir_logratio_ranks_target_like_docs_higher(spark):
@@ -1112,6 +1152,73 @@ def test_dsir_logratio_ranks_target_like_docs_higher(spark):
         textstats.dsir_logratio(raw, target, smoothing=0)
     with pytest.raises(ValueError, match="ngram_n"):
         textstats.dsir_logratio(raw, target, ngram_n=0)
+
+
+def test_dsir_logratio_sampled_stats_converge(spark):
+    """stats_fraction: the raw bucket table on a deterministic
+    hash-sample instead of the full corpus (the at-scale default — the
+    second full read is the operator's cost and the paper estimates on
+    samples). fraction=1.0 must be BIT-identical to the exact path
+    (threshold keeps every row); at 0.5 the scores still separate
+    target-like from off-domain docs and every doc is still scored
+    (scoring covers the full corpus, only p_raw is estimated); bad
+    fractions raise."""
+    target = spark.createDataFrame(
+        [(1000 + i, "the cat sat on the mat") for i in range(4)],
+        "doc_id long, text string",
+    )
+    like = [(i, "the cat sat on the mat again") for i in range(20)]
+    off = [
+        (100 + i, "quantum flux capacitor array driver module")
+        for i in range(20)
+    ]
+    raw = spark.createDataFrame(like + off, "doc_id long, text string")
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in textstats.dsir_logratio(
+            raw, target, n_buckets=256, ngram_n=2
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: (r["n_grams"], r["dsir_score"])
+        for r in textstats.dsir_logratio(
+            raw, target, n_buckets=256, ngram_n=2, stats_fraction=1.0
+        ).collect()
+    }
+    assert full == exact  # fraction 1.0 == exact path, bitwise
+    sampled = {
+        r["doc_id"]: r["dsir_score"]
+        for r in textstats.dsir_logratio(
+            raw, target, n_buckets=256, ngram_n=2, stats_fraction=0.5
+        ).collect()
+    }
+    assert set(sampled) == set(exact)  # every doc still scored
+    assert min(sampled[i] for i, _ in like) > max(
+        sampled[i] for i, _ in off
+    )
+    # determinism: the hash-sample is stable across invocations
+    again = {
+        r["doc_id"]: r["dsir_score"]
+        for r in textstats.dsir_logratio(
+            raw, target, n_buckets=256, ngram_n=2, stats_fraction=0.5
+        ).collect()
+    }
+    assert again == sampled
+    # unseen-bucket hole: at fraction 1e-6 the sample is (almost
+    # surely) empty, so every off-target gram hits a bucket unseen by
+    # both count tables — the LEFT join + pure-smoothing default must
+    # keep every gram scored (same doc set, same n_grams as exact;
+    # an inner join would silently drop grams / whole docs)
+    tiny = {
+        r["doc_id"]: r["n_grams"]
+        for r in textstats.dsir_logratio(
+            raw, target, n_buckets=256, ngram_n=2, stats_fraction=1e-6
+        ).collect()
+    }
+    assert tiny == {k: v[0] for k, v in exact.items()}
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="stats_fraction"):
+            textstats.dsir_logratio(raw, target, stats_fraction=bad)
 
 
 def test_mixture_and_waterfill_reject_bad_params(spark):

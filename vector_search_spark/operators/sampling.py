@@ -149,14 +149,27 @@ def materialize_mixture(
     hole raises at action time: NULL/negative/``> max_epochs`` epochs
     (a fat-finger 1e9 would explode every row a billion times),
     DUPLICATE group keys in ``epochs_df`` (the inner join would fan
-    out identical (id, rep) rows), and NULL ``group_col``/``id_col``
-    on the data side (a NULL group can never match its allocation; a
-    NULL id silently loses its fractional draw). ``sequence`` is
-    guarded to the empty array when copies == 0 — Spark's
-    sequence(1, 0) counts DOWN.
+    out identical (id, rep) rows — checked in the allocation-side
+    projection BELOW the join, so it fires even for a duplicated
+    group that matches no data rows), and NULL
+    ``group_col``/``id_col`` on the data side (a NULL group can never
+    match its allocation; a NULL id silently loses its fractional
+    draw). ``sequence`` is guarded to the empty array when
+    copies == 0 — Spark's sequence(1, 0) counts DOWN.
+
+    Output = the input columns plus ``rep`` (int) — nothing internal
+    leaks; ``df`` must not already carry a ``rep`` column (or the
+    internal ``_g``/``_e``/``_dup``), which would otherwise be
+    silently overwritten / ambiguous — that raises up front.
     """
     if max_epochs <= 0:
         raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    clash = {"_g", "_e", "_dup", "rep"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            "materialize_mixture: input df already has reserved "
+            f"column(s) {sorted(clash)} — rename them first"
+        )
     from pyspark.sql import Window
 
     ep = epochs_df.select(
@@ -187,6 +200,12 @@ def materialize_mixture(
             )
         ).cast("double"),
     ).otherwise(F.col("_e"))
+    # Fold the guards into the allocation projection so building the
+    # broadcast table evaluates them for EVERY allocation row — a
+    # duplicate/out-of-range allocation raises even when its group
+    # matches no data rows (a post-join guard would stay silent until
+    # data for the group appeared).
+    ep = ep.select("_g", checked.alias("_e"))
     # NULL-hole guard rides the JOIN KEY so it fires for every data
     # row (a guard on the joined side would never see the NULL-group
     # rows the join drops).
@@ -203,8 +222,9 @@ def materialize_mixture(
             ).cast(df.schema[group_col].dataType),
         ).otherwise(F.col(group_col)),
     )
-    n_full = F.floor(checked).cast("long")
-    frac_thresh = F.floor((checked - F.floor(checked)) * _DENOM).cast("long")
+    e = F.col("_e")
+    n_full = F.floor(e).cast("long")
+    frac_thresh = F.floor((e - F.floor(e)) * _DENOM).cast("long")
     u = T.h32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     copies = n_full + F.when(u % _DENOM < frac_thresh, 1).otherwise(0)
     reps = F.when(
@@ -243,11 +263,20 @@ def shuffle_order(
     ``n_shards`` is the scale knob (pick >= corpus/10^7: 10^9 docs at
     1024 shards sorts ~10^6-row partitions, never the corpus). NULL
     id components raise in-plan (concat_ws would silently skip them,
-    silently aliasing distinct keys)."""
+    silently aliasing distinct keys). The output adds ``shard`` +
+    ``pos`` (and ``_u`` internally); an input already carrying any of
+    those names would be silently overwritten by ``withColumn``, so
+    that raises up front instead."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if not id_cols:
         raise ValueError("id_cols must name at least one column")
+    clash = {"_u", "shard", "pos"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            "shuffle_order: input df already has reserved column(s) "
+            f"{sorted(clash)} — rename them first"
+        )
     null_any = None
     for c in id_cols:
         cond = F.col(c).isNull()

@@ -553,7 +553,8 @@ def prefix_sum_offsets(
 
     1. shard = id // shard_size (monotone in id, so within-shard order
        + shard order = global order; requires a non-negative NUMERIC
-       id — dense ids are ideal but gaps are fine);
+       id — dense ids are ideal but gaps are fine; a NULL id raises
+       in-plan rather than silently losing the row from the pack);
     2. within-shard running sums: a window PARTITIONED by shard (each
        task holds <= shard_size rows);
     3. shard totals: a groupBy(shard) that rides the SAME
@@ -571,12 +572,25 @@ def prefix_sum_offsets(
     """
     if shard_size < 1:
         raise ValueError(f"shard_size must be >= 1, got {shard_size}")
-    # NULL ids have no position in the global order — drop them HERE so
-    # the inner join's inferred isnotnull(_shard) filter appears in BOTH
+    # A NULL id has no position in the global order; silently dropping
+    # it would be silent row loss in a PACKING pass (the module's
+    # raise-on-silent-divergence discipline, like shuffle_order), so
+    # the _shard projection raises in-plan instead. The isNotNull
+    # filter stays: its inferred isnotnull(_shard) appears in BOTH
     # window consumers' subtrees (identical subtrees are what lets
-    # ReuseExchange collapse them to one tokenize/shuffle pass).
+    # ReuseExchange collapse them to one tokenize/shuffle pass), and
+    # evaluating it is what fires the guard for every row.
     src = df.withColumn(
-        "_shard", F.floor(F.col(id_col) / F.lit(int(shard_size)))
+        "_shard",
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"prefix_sum_offsets: NULL {id_col!r} — the row "
+                    "has no position in the global order"
+                )
+            ).cast("long"),
+        ).otherwise(F.floor(F.col(id_col) / F.lit(int(shard_size)))),
     ).filter(F.col("_shard").isNotNull())
     w_in = (
         Window.partitionBy("_shard")
@@ -802,6 +816,8 @@ def dsir_logratio(
     n_buckets: int = 4096,
     ngram_n: int = 2,
     smoothing: float = 1.0,
+    stats_fraction: float | None = None,
+    stats_seed: str = "dsirstats",
 ) -> DataFrame:
     """DSIR-style importance weights for data selection (Xie et al.
     2023, "Data Selection for Language Models via Importance
@@ -819,10 +835,23 @@ def dsir_logratio(
     pass); the per-bucket log-ratio table full-outer-joins the two
     tiny aggregates and BROADCASTS onto the raw gram stream, so
     scoring is one map-side join + a per-doc aggregate whose shuffle
-    carries one partial row per document. The raw corpus is read
-    twice (bucket stats, then scoring) — at selection scale the stats
-    pass is usually run on a hash-sample instead; compose with
-    ``sampling.stratified_sample_hash`` upstream for that.
+    carries one partial row per document.
+
+    The raw corpus is read twice (bucket stats, then scoring). At
+    selection scale the second full read is the cost of the operator
+    — and the paper itself estimates the raw feature distribution on
+    a sample — so ``stats_fraction`` makes the cheap path built-in:
+    when set (0 < f <= 1), the RAW bucket table is computed on a
+    deterministic hash-sample of ``docs`` — keep iff
+    ``h32(stats_seed:id) % 1e6 < floor(f * 1e6)``, the module-wide
+    threshold discipline of ``sampling.stratified_sample_hash``, so
+    the sample (hence every score) is stable under re-partitioning,
+    appends, retries, and engine swaps. Scoring still covers EVERY
+    raw doc; only the p_raw estimate is sampled (its own total rides
+    the sampled table, so normalization stays consistent). The
+    TARGET table is never sampled — it is the small side by
+    definition. Default ``None`` = exact full-corpus stats,
+    bit-identical to round 9.
 
     Returns ``(id_col, n_grams bigint, dsir_score double)`` — docs
     with fewer than ``ngram_n`` tokens have no grams and are absent
@@ -834,6 +863,10 @@ def dsir_logratio(
         raise ValueError(f"ngram_n must be >= 1, got {ngram_n}")
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if stats_fraction is not None and not 0.0 < stats_fraction <= 1.0:
+        raise ValueError(
+            f"stats_fraction must be in (0, 1], got {stats_fraction}"
+        )
 
     def grams(df: DataFrame) -> DataFrame:
         return df.select(
@@ -851,7 +884,25 @@ def dsir_logratio(
         .groupBy("_bkt")
         .agg(F.count(F.lit(1)).cast("long").alias("_ct"))
     )
-    raw_cnt = raw_grams.groupBy("_bkt").agg(
+    if stats_fraction is None:
+        stats_grams = raw_grams
+    else:
+        from vector_search_spark.operators.sampling import _DENOM
+
+        thr = int(stats_fraction * _DENOM)
+        stats_grams = grams(
+            docs.filter(
+                T.h32(
+                    F.concat(
+                        F.lit(f"{stats_seed}:"),
+                        F.col(id_col).cast("string"),
+                    )
+                )
+                % _DENOM
+                < thr
+            )
+        )
+    raw_cnt = stats_grams.groupBy("_bkt").agg(
         F.count(F.lit(1)).cast("long").alias("_cr")
     )
     tt = tgt_cnt.agg(
@@ -875,8 +926,21 @@ def dsir_logratio(
         .crossJoin(F.broadcast(rt))
         .select("_bkt", lw.alias("_lw"))
     )
+    # With SAMPLED stats a gram can hit a bucket unseen by BOTH count
+    # tables; an inner join would silently drop it from its doc's
+    # score (a doc could even vanish). LEFT join + the pure-smoothing
+    # default — exactly the lw formula at ct = cr = 0 — keeps every
+    # gram scored; on the exact-stats path every raw bucket is seen,
+    # so the default never fires and values are unchanged. The totals
+    # ride the same 1-row broadcasts lr already consumes.
+    default_lw = F.log(
+        F.lit(s) / (F.col("_tt") + F.lit(sb))
+    ) - F.log(F.lit(s) / (F.col("_tr") + F.lit(sb)))
     return (
-        raw_grams.join(F.broadcast(lr), "_bkt")
+        raw_grams.join(F.broadcast(lr), "_bkt", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .withColumn("_lw", F.coalesce(F.col("_lw"), default_lw))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
