@@ -37,20 +37,29 @@ def test_query_nonempty_and_scale_safe(spark, name):
     — an empty result would make the driver's value-hash check vacuous —
     and (b) contain NO data-sized unpartitioned Window in its optimized
     plan: every global window must sit above an Aggregate on all paths
-    to a scan (group-count-sized input), per the round-9 gate that
-    de-globalized docs_pack_sequences. This is the catalog-wide version
+    to a scan AND that Aggregate must group only on bounded-domain keys
+    (operator-internal _shard/_g, or the query's declared
+    QuerySpec.bounded_keys) — round-10 tightening: 'sits above an
+    Aggregate' alone let groupBy(doc_id)+global window pass, and a
+    doc_id group count IS the corpus. This is the catalog-wide version
     of tests/test_plans.py's per-query gate — a new entry (or a refactor
     of an old one) that sneaks in a corpus-sized single-task window
-    fails HERE, not at 10^9 rows."""
+    fails HERE, not at 10^9 rows (undeclared grouping keys fail too:
+    every exemption is an explicit bounded_keys claim at the register
+    site)."""
     from vector_search_spark.plans.explain import (
         unpartitioned_windows_aggregate_bounded,
     )
 
     spec = _catalog()[name]
     sdf = spec.fn(spark, SF_ORACLE)
-    assert unpartitioned_windows_aggregate_bounded(sdf), (
+    assert unpartitioned_windows_aggregate_bounded(
+        sdf, bounded_keys=spec.bounded_keys
+    ), (
         f"{name}: optimized plan has an unpartitioned Window whose input "
-        "is not aggregate-bounded — a single-task bottleneck at scale"
+        "is not a bounded-domain Aggregate (group keys must be "
+        "operator-bounded or declared in QuerySpec.bounded_keys) — a "
+        "single-task bottleneck at scale"
     )
     assert sdf.limit(1).count() == 1
 

@@ -94,17 +94,48 @@ def unpartitioned_windows(df: DataFrame):
     return out
 
 
-def unpartitioned_windows_aggregate_bounded(df: DataFrame) -> bool:
+# Grouping keys that are bounded BY CONSTRUCTION of the operator that
+# emits them (never corpus-cardinality): `_shard` is prefix_sum_offsets'
+# shard index (N/shard_size rows), `_g` is the mixture family's group
+# key (languages/sources — a declared bounded domain). Everything else
+# must be declared per call site via ``bounded_keys`` — an Aggregate is
+# NOT automatically small (groupBy(doc_id) is itself data-sized).
+OPERATOR_BOUNDED_KEYS = frozenset({"_shard", "_g"})
+
+
+def unpartitioned_windows_aggregate_bounded(
+    df: DataFrame, bounded_keys: tuple[str, ...] = ()
+) -> bool:
     """True iff every unpartitioned Window sits strictly above an
-    Aggregate on EVERY path down to a leaf — i.e. its input cardinality
-    is group-count-sized (bounded), never relation-sized. The gate for
-    'no data-sized single-partition window' (a global window over a
-    tiny aggregate, e.g. per-shard totals or customer-sized RFM rows,
-    is fine; one over a scan is a scale-killer)."""
+    Aggregate on EVERY path down to a leaf AND the first Aggregate
+    crossed on each path groups only on bounded-domain keys — i.e. the
+    window's input cardinality is group-count-sized, never
+    relation-sized. The gate for 'no data-sized single-partition
+    window' (a global window over a tiny aggregate, e.g. per-shard
+    totals, is fine; one over a scan — or over a ``groupBy(doc_id)``
+    whose group count IS the corpus — is a scale-killer).
+
+    An Aggregate qualifies when its grouping expressions reference no
+    attributes outside ``OPERATOR_BOUNDED_KEYS | bounded_keys`` (a
+    grouping-free Aggregate is one row — always bounded).
+    ``bounded_keys`` is the per-query declaration: the caller asserts
+    those columns draw from a bounded domain (value histograms,
+    sketch cells, a capped entity table), which makes every exception
+    an explicit, auditable claim rather than a silent pass."""
+    allowed = OPERATOR_BOUNDED_KEYS | set(bounded_keys)
+
+    def grouping_refs(agg) -> set[str]:
+        names: set[str] = set()
+        ges = agg.groupingExpressions()
+        for i in range(ges.size()):
+            it = ges.apply(i).references().iterator()
+            while it.hasNext():
+                names.add(it.next().name())
+        return names
 
     def bounded(n) -> bool:
         if n.nodeName() == "Aggregate":
-            return True
+            return grouping_refs(n) <= allowed
         kids = _logical_children(n)
         if not kids:  # reached a leaf without crossing an Aggregate
             return False

@@ -1945,6 +1945,9 @@ FROM per
     "vector",
     "ivf",
     "ops",
+    # IVF cells: cluster_id ranges over the model's NC centroids —
+    # model-sized by construction, never the vector count
+    bounded_keys=("cluster_id",),
 )
 def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell occupancy/skew dashboard (operators/ivf.py cell_stats):
