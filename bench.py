@@ -5,12 +5,18 @@ OUTPUT CONTRACT (round 6 — BENCH_r05 lost its official number because
 the single 105-entry JSON line overran the driver's stdout-tail
 capture): the LAST stdout line is a COMPACT headline JSON object —
 {"metric","value","unit","sf","reps","agg","failed_reps",
-"serving_latency_sec","queries" (top-20 slowest only),
+"serving_latency_sec","queries" (top-20 slowest + every
+CHANGED_THIS_ROUND entry — round 10: a regression in changed code
+must never hide below the top-N cut),
 "queries_omitted","detail_file"} — sized to survive a tail capture at
 any catalog size. The FULL per-query map is written to
 BENCH_DETAIL.json beside this script (file only since round 7 — the
 earlier stdout copy of the full map was redundant capture risk);
-cross-round per-query comparison reads the detail file.
+cross-round per-query comparison reads the detail file, which since
+round 10 also carries query_reps (all rep wall-times), query_spread
+(max/min over finite reps — the within-run noise bound), and
+query_jobs (Spark job count of the min rep: a cross-round wall swing
+with a STABLE job count is scheduler noise, not a plan change).
 
 "serving_latency_sec" (round 7) holds min-of-3 small-batch latencies
 for the two production serving paths (ivf_topk / hnsw_sharded at
@@ -52,6 +58,39 @@ HEADLINE = [
     "ivf_knn",
     "tpch_q1",
 ]
+
+# Entries whose code paths changed THIS round (update every round; the
+# round-9 judge's ask #6): the compact headline is top-N by time PLUS
+# these, so a regression in changed code can never hide below the
+# top-N cut. Checked against the catalog at startup — a stale name
+# here fails loudly instead of silently guarding nothing.
+CHANGED_THIS_ROUND = [
+    "docs_pack_sequences",
+    "docs_materialize_mixture",
+    "docs_shuffle_shards",
+    "docs_dsir_weights",
+    "docs_dsir_weights_sampled",
+    "docs_mixture_pipeline",
+]
+
+TOP_N = 20
+
+
+def headline_queries(
+    timings: dict[str, float],
+    changed: list[str],
+    top_n: int = TOP_N,
+) -> dict[str, float]:
+    """The compact headline's per-query map: the top-N slowest entries
+    UNION every changed-this-round entry (even when fast — a regression
+    in changed code must never hide below the top-N cut). NaNs (failed
+    queries) are excluded here; they surface in failed_reps."""
+    finite = {k: v for k, v in timings.items() if v == v}
+    top = dict(sorted(finite.items(), key=lambda kv: -kv[1])[:top_n])
+    for name in changed:
+        if name in finite:
+            top[name] = finite[name]
+    return top
 
 
 def _materialize(df) -> int:
@@ -155,8 +194,20 @@ def main() -> None:
     # should still read per-query mins from BENCH_DETAIL.json, never
     # totals.
     heavy_sec = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "1.0"))
+    missing = [n for n in CHANGED_THIS_ROUND if n not in catalog]
+    if missing:  # a stale changed-list silently guards nothing — fail loud
+        raise RuntimeError(f"CHANGED_THIS_ROUND not in catalog: {missing}")
     timings: dict[str, float] = {}
+    # ATTRIBUTABILITY (round-9 judge ask #4): per-query rep timings and
+    # spread go to the detail file so a round-over-round drift on
+    # untouched code is self-evidently noise (the within-run spread
+    # bounds the scheduler variance); per-query Spark JOB counts (from
+    # the min rep) pin whether a swing like hnsw_knn's 6.7-9.4 s band
+    # is plan change (job count moves) or scheduler noise (it doesn't).
+    rep_times: dict[str, list[float | None]] = {}
+    job_counts: dict[str, int] = {}
     failed_reps: dict[str, int] = {}
+    sc = spark.sparkContext
     total = 0.0
     for name in names:
         best = float("nan")
@@ -165,6 +216,8 @@ def main() -> None:
         r = 0
         while r < n_reps:
             r += 1
+            group = f"bench:{name}:{r}"
+            sc.setJobGroup(group, f"bench {name} rep {r}")
             t0 = time.perf_counter()
             try:
                 _materialize(catalog[name].fn(spark, sf_dir))
@@ -173,8 +226,13 @@ def main() -> None:
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
                 dt = float("nan")
                 n_failed += 1
+            njobs = len(sc.statusTracker().getJobIdsForGroup(group))
+            rep_times.setdefault(name, []).append(
+                round(dt, 3) if dt == dt else None
+            )
             if dt == dt and not (best == best and best <= dt):
                 best = dt
+                job_counts[name] = njobs
             # Queries (and reps) are independent: drop caches/checkpoint
             # RDDs between runs (outside the timer) so earlier runs'
             # pinned blocks don't tax later ones' GC.
@@ -214,19 +272,34 @@ def main() -> None:
     }
     # Full detail goes to the file ONLY (round-7: the old extra stdout
     # copy of the full map was redundant capture risk — the whole
-    # reason the compact-last-line contract exists).
-    detail = dict(headline, queries=timings, n_queries=len(timings))
+    # reason the compact-last-line contract exists). query_reps /
+    # query_spread / query_jobs are the round-10 attributability
+    # fields: all rep wall-times (None = failed rep), max/min spread
+    # over finite reps, and the Spark job count of the min rep.
+    spread = {
+        k: round(max(f) / min(f), 3)
+        for k, v in rep_times.items()
+        if len(f := [x for x in v if x is not None and x > 0]) >= 2
+    }
+    detail = dict(
+        headline,
+        queries=timings,
+        n_queries=len(timings),
+        query_reps=rep_times,
+        query_spread=spread,
+        query_jobs=job_counts,
+        changed_this_round=CHANGED_THIS_ROUND,
+    )
     with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    # Compact headline LAST: only the top-20 slowest per-query entries,
-    # so the line stays parseable inside a bounded stdout-tail capture
-    # no matter how large the catalog grows.
-    top = dict(
-        sorted(
-            ((k, v) for k, v in timings.items() if v == v),
-            key=lambda kv: -kv[1],
-        )[:20]
-    )
+    # Compact headline LAST: the top-20 slowest entries PLUS every
+    # changed-this-round entry (contract: a regression in changed code
+    # can't hide below the cut), sized to stay parseable inside a
+    # bounded stdout-tail capture no matter how large the catalog grows.
+    top = headline_queries(timings, CHANGED_THIS_ROUND)
+    assert all(
+        n in top for n in CHANGED_THIS_ROUND if timings.get(n) == timings.get(n)
+    ), "headline lost a changed-this-round entry"
     headline["queries"] = top
     headline["queries_omitted"] = len(timings) - len(top)
     headline["detail_file"] = "BENCH_DETAIL.json"
