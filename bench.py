@@ -66,6 +66,7 @@ HEADLINE = [
 # here fails loudly instead of silently guarding nothing.
 CHANGED_THIS_ROUND = [
     "docs_pack_sequences",
+    "docs_assemble_packs",
     "docs_materialize_mixture",
     "docs_shuffle_shards",
     "docs_dsir_weights",

@@ -884,6 +884,40 @@ def test_prefix_sum_offsets_rejects_bad_shard_size(spark):
         textstats.prefix_sum_offsets(df, shard_size=0)
 
 
+def test_assemble_packs_partitions_the_token_stream(spark):
+    """Every pack except the last holds exactly ctx tokens, the pack
+    totals conserve the corpus token count, straddling docs appear in
+    both packs' doc spans, and the ordered fingerprint equals the one
+    computed from the naive single-task concatenation."""
+    import hashlib
+
+    rows = [(i, [f"w{i}_{j}" for j in range((i % 5) + 1)]) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, t array<string>"
+    ).withColumn("n_toks", F.size("t"))
+    out = sorted(
+        textstats.assemble_packs(df, ctx=7, shard_size=8).collect(),
+        key=lambda r: r["pack_id"],
+    )
+    total = sum(len(t) for _, t in rows)
+    assert sum(r["n_toks"] for r in out) == total
+    assert [r["pack_id"] for r in out] == list(range(len(out)))
+    assert all(r["n_toks"] == 7 for r in out[:-1])
+    assert out[-1]["n_toks"] == total - 7 * (len(out) - 1)
+    # naive reference: flatten in doc order, cut every 7
+    stream = [tk for _, t in rows for tk in t]
+    for r in out:
+        seq = stream[r["pack_id"] * 7 : r["pack_id"] * 7 + 7]
+        want = hashlib.md5(" ".join(seq).encode()).hexdigest()
+        assert r["pack_md5"] == want, r["pack_id"]
+    # doc spans: a doc straddling a boundary is first_doc of one pack
+    # and last_doc of the previous
+    for a, b in zip(out, out[1:]):
+        assert a["last_doc"] >= b["first_doc"] - 1
+    with pytest.raises(ValueError, match="ctx"):
+        textstats.assemble_packs(df, ctx=0)
+
+
 def test_prefix_sum_offsets_raises_on_null_id(spark):
     """A NULL id has no position in the global order; dropping it
     silently would be silent row loss in a packing pass — the _shard

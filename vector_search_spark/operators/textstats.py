@@ -621,6 +621,71 @@ def prefix_sum_offsets(
     )
 
 
+def assemble_packs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "t",
+    size_col: str = "n_toks",
+    ctx: int = 2048,
+    shard_size: int = 1 << 20,
+) -> DataFrame:
+    """GPT-style pack ASSEMBLY — the step after
+    :func:`prefix_sum_offsets`: concatenate the corpus token stream in
+    ``id_col`` order, cut every ``ctx`` tokens, and emit one row per
+    packed sequence. ``df`` must carry the token array
+    (``tokens_col``) and its length (``size_col``); rows with zero
+    tokens should be filtered upstream (they own no slots).
+
+    Pipeline: offsets via the two-pass sharded scan (never a
+    corpus-sized window), then a token-level ``posexplode`` — the
+    assembly's inherent cost: the token stream is materialized exactly
+    once — with each token's global position ``off + idx``; pack_id =
+    gpos div ctx; one shuffle keyed by pack_id. Every group holds at
+    most ``ctx`` rows by construction, so the per-group state
+    (including the ordered collect for the fingerprint) is
+    model-sized; pack_id is contiguous, so the shuffle is
+    range-friendly and skew-free.
+
+    Returns ``(pack_id int, n_toks bigint, n_docs bigint, first_doc,
+    last_doc, pack_md5 string)`` — ``pack_md5`` fingerprints the
+    pack's tokens in slot order (md5 of the space-joined sequence),
+    the cross-engine way to assert two assemblies produced identical
+    training data without moving the text twice. The final pack is
+    the only one that may hold fewer than ``ctx`` tokens.
+    """
+    if ctx < 1:
+        raise ValueError(f"ctx must be >= 1, got {ctx}")
+    ofs = prefix_sum_offsets(
+        df, id_col=id_col, size_col=size_col, shard_size=shard_size
+    )
+    tok = ofs.select(
+        F.col(id_col),
+        F.col("off"),
+        F.posexplode(F.col(tokens_col)).alias("_idx", "_tk"),
+    ).select(
+        F.col(id_col),
+        (F.col("off") + F.col("_idx")).alias("_gpos"),
+        F.col("_tk"),
+    )
+    # Ordered fingerprint: collect_list order is not deterministic in
+    # a distributed agg, so sort the (gpos, token) structs — gpos is
+    # unique within a pack — before joining (bit-parity discipline,
+    # same as ranking.py's ordered contribution folds).
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("_gpos"), F.col("_tk")))),
+        lambda x: x["_tk"],
+    )
+    return tok.groupBy(
+        F.floor(F.col("_gpos") / F.lit(int(ctx))).cast("int").alias("pack_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+        F.md5(F.concat_ws(" ", ordered)).alias("pack_md5"),
+    )
+
+
 def value_cume_dist(
     df: DataFrame,
     col: str,

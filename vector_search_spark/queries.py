@@ -272,7 +272,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     shuffle -> pack in ONE plan; new queries start in-window) and
 #     docs_dsir_weights_sampled (NEW: the sampled-stats DSIR path,
 #     oracle-paired — it displaced dedup_exact from (d) to the tail
-#     head),
+#     head) and docs_assemble_packs (NEW: pack assembly with the
+#     order-sensitive per-pack md5 — displaced pq_decode likewise),
 # (c) the ENTIRE documented r10 queue — all 31 entries whose last
 #     green was r5/r6: knn_mips, mmr_rerank, hybrid_rrf_search,
 #     text_bm25_search, docs_decontaminate, dedup_member_bloom,
@@ -285,12 +286,14 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     purchase_follow_pairs, sessionize_dynamic_gap,
 #     tpch_q13/q15/q17/q18/q7/q8 — after this round NO oracle-paired
 #     entry's last green is older than r8,
-# (d) 13 r8-green §2-coverage picks rotated EARLY (they would all go
+# (d) 11 r8-green §2-coverage picks rotated EARLY (they would all go
 #     stale together at r11; taking the graph/IVF/PQ §2 gating set now
-#     halves that bulge): graph_greedy_search, select_neighbors_pruned,
+#     shrinks that bulge): graph_greedy_search, select_neighbors_pruned,
 #     graph_symmetrize, nng_blocked, knn_graph_degree,
 #     nn_descent_graph, ivf_knn, ivf_adc_knn, ivf_filtered_knn,
-#     pq_encode, pq_decode, multimodal_metadata, dedup_exact.
+#     pq_encode, multimodal_metadata (dedup_exact and pq_decode were
+#     displaced to the tail head by the late adds
+#     docs_dsir_weights_sampled and docs_assemble_packs).
 # Rotated OUT: all 45 r9-green entries whose code is untouched since
 # (incl. the rows-only bq_rotated_knn — window slots go to
 # oracle-paired rows).
@@ -306,8 +309,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
     "knn_exact",
-    # (b) r10 code changes (+ the new composed entry)
+    # (b) r10 code changes (+ the new composed entries)
     "docs_pack_sequences",
+    "docs_assemble_packs",
     "docs_materialize_mixture",
     "docs_shuffle_shards",
     "docs_dsir_weights",
@@ -356,11 +360,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ivf_adc_knn",
     "ivf_filtered_knn",
     "pq_encode",
-    "pq_decode",
     "multimodal_metadata",
-    # ---- tail: r11 queue first (remaining r8 greens; dedup_exact
-    # displaced from the window by docs_dsir_weights_sampled) ----
+    # ---- tail: r11 queue first (remaining r8 greens; dedup_exact and
+    # pq_decode displaced from the window by docs_dsir_weights_sampled
+    # and docs_assemble_packs) ----
     "dedup_exact",
+    "pq_decode",
     "hnsw_knn",
     "ivf_bq_knn",
     "ivf_recall_curve",

@@ -1542,6 +1542,58 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_assemble_packs",
+    f"""
+WITH {_TOKS},
+n AS (SELECT doc_id, t, len(t) AS n_toks FROM toks WHERE len(t) > 0),
+ofs AS (
+  SELECT doc_id, t, n_toks,
+         COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS off
+  FROM n
+),
+tok AS (
+  SELECT doc_id, off + i - 1 AS gpos, t[i] AS tk
+  FROM (SELECT doc_id, t, off, unnest(range(1, len(t)+1)) AS i FROM ofs) z
+)
+SELECT CAST(gpos // {PACK_CTX} AS INT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       md5(string_agg(tk, ' ' ORDER BY gpos)) AS pack_md5
+FROM tok GROUP BY 1
+""",
+    "text",
+    "pipeline",
+    "ops",
+)
+def q_docs_assemble_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack ASSEMBLY (textstats.assemble_packs) — the step
+    docs_pack_sequences stops short of: actually cut the concatenated
+    corpus token stream into PACK_CTX-token training sequences and
+    emit one row per pack with its doc span and an ORDER-SENSITIVE
+    md5 fingerprint of the packed tokens. The fingerprint is the
+    strong check: the driver hash only matches if every token landed
+    in the right pack in the right slot on both engines — offsets,
+    the token-level explode, and within-pack order all at once.
+    Plan: two-pass sharded offsets + one token-level shuffle keyed by
+    pack_id (groups bounded by PACK_CTX, contiguous ids, skew-free);
+    the oracle replays the global running sum + unnest textbook-style."""
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", T.tokens("text").alias("t")
+    ).withColumn("n_toks", F.size("t")).filter(F.col("n_toks") > 0)
+    out = textstats.assemble_packs(
+        n, id_col="doc_id", tokens_col="t", size_col="n_toks",
+        ctx=PACK_CTX, shard_size=PACK_SHARD,
+    )
+    return out.select(
+        "pack_id", "n_toks", "n_docs", "first_doc", "last_doc", "pack_md5"
+    )
+
+
+@register(
     "text_token_entropy",
     f"""
 WITH {_TOKS},
