@@ -532,3 +532,52 @@ def test_materialize_mixture_nested_under_allocation_growth(session):
         for r in sampling.materialize_mixture(docs, hi_ep).collect()
     }
     assert lo and lo < hi
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(1, 9), min_size=1, max_size=25),
+    ctx=st.integers(1, 10),
+    shard_size=st.integers(1, 6),
+)
+def test_assemble_packs_partitions_any_corpus(session, sizes, ctx, shard_size):
+    """For ANY doc sizes / ctx / shard size: packs conserve the token
+    count, every pack but the last holds exactly ctx tokens, pack ids
+    are dense from 0, doc spans tile the id order, and every ordered
+    fingerprint equals the naive single-process cut of the
+    concatenated stream."""
+    import hashlib
+
+    from vector_search_spark.operators import textstats
+
+    rows = [(i, [f"t{i}x{j}" for j in range(n)]) for i, n in enumerate(sizes)]
+    df = session.createDataFrame(
+        rows, "doc_id long, t array<string>"
+    ).withColumn("n_toks", F.size("t"))
+    out = sorted(
+        textstats.assemble_packs(
+            df, ctx=ctx, shard_size=shard_size
+        ).collect(),
+        key=lambda r: r["pack_id"],
+    )
+    total = sum(sizes)
+    assert sum(r["n_toks"] for r in out) == total
+    assert [r["pack_id"] for r in out] == list(range(len(out)))
+    assert all(r["n_toks"] == ctx for r in out[:-1])
+    assert 1 <= out[-1]["n_toks"] <= ctx
+    stream = [tk for _, t in rows for tk in t]
+    for r in out:
+        seq = stream[r["pack_id"] * ctx : (r["pack_id"] + 1) * ctx]
+        assert (
+            r["pack_md5"]
+            == hashlib.md5(" ".join(seq).encode()).hexdigest()
+        ), (sizes, ctx, shard_size, r["pack_id"])
+        assert r["first_doc"] <= r["last_doc"]
+    for a, b in zip(out, out[1:]):
+        # consecutive packs: the boundary doc either straddles
+        # (a.last == b.first) or the cut fell exactly between docs
+        assert b["first_doc"] - a["last_doc"] in (0, 1)
