@@ -428,6 +428,66 @@ def test_round6_queries_partition_invariant(spark):
         assert a == b, f"{name} differs across partition counts"
 
 
+def test_round10_queries_partition_invariant(spark):
+    """Partition-invariance gate extended to the round-10 additions:
+    the composed mixture pipeline (every stage hash-derived — the
+    whole point is that the training corpus, order, and offsets are
+    identical under any partitioning), the pack assembly, and the
+    sampled-stats DSIR scores."""
+    from vector_search_spark.queries import get_catalog
+
+    cat = get_catalog()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in (prev, "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in (
+                "docs_mixture_pipeline",
+                "docs_assemble_packs",
+                "docs_dsir_weights_sampled",
+            ):
+                df = cat[name].fn(spark, SF_ORACLE)
+                rows = sorted(tuple(r) for r in df.collect())
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} differs across partition counts"
+
+
+def test_mixture_pipeline_plan_shape(spark):
+    """The composed pipeline must keep each stage's physical contract
+    when fused into one plan: the group-count-sized allocation and
+    weights tables join by BROADCAST (never a fact-fact shuffle of the
+    corpus against a 5-row table), and the only unpartitioned windows
+    are the aggregate-bounded waterfill/base ones (catalog gate), with
+    the shuffled-rank window partitioned by shard."""
+    from vector_search_spark.queries import get_catalog
+
+    df = get_catalog()["docs_mixture_pipeline"].fn(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert p.count("BroadcastHashJoin") >= 2, (
+        "allocation/boost joins must broadcast\n" + p[:2000]
+    )
+    assert "SortMergeJoin" not in p, (
+        "a group-count-sized table shuffled the corpus\n" + p[:2000]
+    )
+
+
+def test_assemble_packs_single_bounded_global_window(spark):
+    """Pack assembly's only unpartitioned window must be the
+    shard-count-sized cumulative base from prefix_sum_offsets — the
+    token-level stage itself is a plain keyed shuffle, never a global
+    sort/window over the token stream."""
+    from vector_search_spark.queries import get_catalog
+
+    df = get_catalog()["docs_assemble_packs"].fn(spark, SF_ORACLE)
+    wins = plans.unpartitioned_windows(df)
+    assert len(wins) == 1, f"expected only the shard-base window: {wins}"
+    assert plans.unpartitioned_windows_aggregate_bounded(df)
+
+
 def test_tpch_q7_top20_is_take_ordered_not_full_sort(spark):
     """Q7's LIMIT 20 over the ordered lanes must plan as
     TakeOrderedAndProject (per-partition top-k + merge), never a global
