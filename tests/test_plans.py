@@ -473,6 +473,17 @@ def test_mixture_pipeline_plan_shape(spark):
     assert "SortMergeJoin" not in p, (
         "a group-count-sized table shuffled the corpus\n" + p[:2000]
     )
+    # The corpus is tokenized exactly twice, both times INSIDE the
+    # checkpoint jobs (the 5-row allocation table, reused as
+    # mixture_weights' per_tokens, and the row stream). The main plan
+    # must therefore contain NO parquet scan at all — if one appears,
+    # a stage regained its own corpus pass (the shape the r10 fusion
+    # audit caught: the pack stage re-executing the whole
+    # materialize->shuffle chain).
+    assert "Scan parquet" not in p and "FileScan parquet" not in p, (
+        "the fused pipeline re-reads the corpus outside the "
+        "checkpoint boundary\n" + p[:2000]
+    )
 
 
 def test_assemble_packs_single_bounded_global_window(spark):
@@ -486,6 +497,16 @@ def test_assemble_packs_single_bounded_global_window(spark):
     wins = plans.unpartitioned_windows(df)
     assert len(wins) == 1, f"expected only the shard-base window: {wins}"
     assert plans.unpartitioned_windows_aggregate_bounded(df)
+    # The tokenized input is checkpointed once (the packing artifact
+    # boundary): the offset pass's two window consumers prune the
+    # token array differently so their exchanges cannot unify, and
+    # without the boundary the scan+tokenize subtree executes twice.
+    # The main plan must read the checkpoint, not parquet.
+    p = plans.formatted_plan(df)
+    assert "Scan parquet" not in p and "FileScan parquet" not in p, (
+        "assemble_packs re-reads the corpus outside the checkpoint "
+        "boundary\n" + p[:2000]
+    )
 
 
 def test_tpch_q7_top20_is_take_ordered_not_full_sort(spark):

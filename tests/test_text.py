@@ -1255,6 +1255,38 @@ def test_dsir_logratio_sampled_stats_converge(spark):
             textstats.dsir_logratio(raw, target, stats_fraction=bad)
 
 
+def test_mixture_weights_per_tokens_equals_corpus_pass(spark):
+    """mixture_weights(per_tokens=...) must be bit-identical to the
+    corpus-pass path when fed the same per-group sums (e.g. the
+    waterfill_budget output) — the composition shortcut that keeps a
+    fused mixture pipeline at ONE tokenize pass must not change a
+    single value."""
+    docs = _mkdocs(spark, [("a", 2), ("b", 5), ("c", 13), ("b", 4)])
+    full = sorted(
+        map(
+            tuple,
+            textstats.mixture_weights(
+                docs, group_col="lang", alpha=0.3
+            ).collect(),
+        )
+    )
+    wf = textstats.waterfill_budget(
+        docs, group_col="lang", epoch_cap=2, budget_pct=70
+    )
+    via = sorted(
+        map(
+            tuple,
+            textstats.mixture_weights(
+                docs,
+                group_col="lang",
+                alpha=0.3,
+                per_tokens=wf.select("lang", "toks"),
+            ).collect(),
+        )
+    )
+    assert via == full
+
+
 def test_mixture_and_waterfill_reject_bad_params(spark):
     docs = _mkdocs(spark, [("a", 1)])
     with pytest.raises(ValueError, match="alpha"):

@@ -628,6 +628,7 @@ def assemble_packs(
     size_col: str = "n_toks",
     ctx: int = 2048,
     shard_size: int = 1 << 20,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """GPT-style pack ASSEMBLY — the step after
     :func:`prefix_sum_offsets`: concatenate the corpus token stream in
@@ -652,9 +653,22 @@ def assemble_packs(
     the cross-engine way to assert two assemblies produced identical
     training data without moving the text twice. The final pack is
     the only one that may hold fewer than ``ctx`` tokens.
+
+    ``checkpoint`` (default True) materializes the tokenized input
+    once before the offset pass: the offset computation has two
+    window consumers, and because the shard-total side prunes the
+    heavy token array their exchanges cannot unify — without the
+    boundary the input subtree (scan + tokenize) executes TWICE.
+    The checkpoint is the packing job's natural artifact boundary
+    (at corpus scale you would persist the tokenized stream to
+    parquet and pack from that — same shape, durable storage); pass
+    ``checkpoint=False`` when ``df`` is already a materialized
+    artifact.
     """
     if ctx < 1:
         raise ValueError(f"ctx must be >= 1, got {ctx}")
+    if checkpoint:
+        df = df.localCheckpoint()
     ofs = prefix_sum_offsets(
         df, id_col=id_col, size_col=size_col, shard_size=shard_size
     )
@@ -737,6 +751,7 @@ def mixture_weights(
     group_col: str = "source",
     text_col: str = "text",
     alpha: float = 0.3,
+    per_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-scaled sampling weights per corpus group — the
     mixture-construction step of a training-data pipeline (the Pile's
@@ -757,17 +772,30 @@ def mixture_weights(
     boost double)`` — ``share`` is the natural (size-proportional)
     rate, ``weight`` the smoothed sampling rate, ``boost`` their
     ratio (>1 = up-sampled).
+
+    ``per_tokens``: an already-computed ``(group_col, toks)`` table
+    (e.g. :func:`waterfill_budget` output, which carries the SAME
+    per-group token sums) to use instead of a fresh corpus pass —
+    composing the two mixture operators should tokenize the corpus
+    once, not once per operator. When given, ``docs``/``text_col``
+    are not read at all.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    per = (
-        docs.select(
+    if per_tokens is not None:
+        per = per_tokens.select(
             F.col(group_col).alias("_g"),
-            F.size(T.tokens(text_col)).alias("_n"),
+            F.col("toks").cast("long").alias("toks"),
         )
-        .groupBy("_g")
-        .agg(F.sum("_n").cast("long").alias("toks"))
-    )
+    else:
+        per = (
+            docs.select(
+                F.col(group_col).alias("_g"),
+                F.size(T.tokens(text_col)).alias("_n"),
+            )
+            .groupBy("_g")
+            .agg(F.sum("_n").cast("long").alias("toks"))
+        )
     tot = per.agg(
         F.sum("toks").cast("long").alias("_tot"),
         F.sum(F.pow(F.col("toks").cast("double"), F.lit(float(alpha)))).alias(

@@ -2344,19 +2344,37 @@ def q_docs_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-count-sized (pack; shard_size=UID_STRIDE makes the
     prefix-shards coincide with the training shards), boost joined
     back as a broadcast of the group-count-sized weights table. The
-    oracle replays all five stages textbook-style, so one driver hash
-    adjudicates the full composition: allocation arithmetic, Bernoulli
-    membership, copy counts, shard ranks, offsets, and weights."""
+    ordered corpus is localCheckpoint()ed between shuffle and pack —
+    the materialization boundary a production pipeline has anyway
+    (the shard files ARE the artifact): without it, the packing
+    pass's two window consumers cannot share the shuffle-order
+    exchange (the allocation broadcast inside the subtree defeats
+    ReuseExchange when the chain is fused) and the whole
+    materialize->shuffle chain executes twice. With it, the chain
+    runs once and both consumers read the checkpointed shards
+    (plan-gated in tests/test_plans.py). The oracle replays all five
+    stages textbook-style, so one driver hash adjudicates the full
+    composition: allocation arithmetic, Bernoulli membership, copy
+    counts, shard ranks, offsets, and weights."""
     from vector_search_spark.operators import sampling
 
     docs = tables.load(spark, sf_dir, "documents")
+    # The group-count-sized allocation table is checkpointed once and
+    # REUSED as mixture_weights' per-group token sums (per_tokens) —
+    # the corpus is tokenized exactly twice in the whole pipeline:
+    # once for this 5-row table, once for the per-row stream below.
     wf = textstats.waterfill_budget(
         docs,
         group_col="lang",
         epoch_cap=WF_EPOCH_CAP,
         budget_pct=WF_BUDGET_PCT,
+    ).localCheckpoint()
+    mw = textstats.mixture_weights(
+        docs,
+        group_col="lang",
+        alpha=MIX_ALPHA,
+        per_tokens=wf.select("lang", "toks"),
     )
-    mw = textstats.mixture_weights(docs, group_col="lang", alpha=MIX_ALPHA)
     base = docs.select(
         "doc_id", "lang", F.size(T.tokens("text")).alias("n_toks")
     )
@@ -2368,11 +2386,16 @@ def q_docs_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         seed="mix",
     )
-    ordd = sampling.shuffle_order(
-        mat, n_shards=SHUF_SHARDS, id_cols=("doc_id", "rep"), seed="ord"
-    ).withColumn(
-        "uid",
-        F.col("shard").cast("bigint") * F.lit(UID_STRIDE) + F.col("pos"),
+    ordd = (
+        sampling.shuffle_order(
+            mat, n_shards=SHUF_SHARDS, id_cols=("doc_id", "rep"), seed="ord"
+        )
+        .withColumn(
+            "uid",
+            F.col("shard").cast("bigint") * F.lit(UID_STRIDE)
+            + F.col("pos"),
+        )
+        .localCheckpoint()
     )
     ofs = textstats.prefix_sum_offsets(
         ordd, id_col="uid", size_col="n_toks", shard_size=UID_STRIDE
