@@ -72,6 +72,8 @@ CHANGED_THIS_ROUND = [
     "docs_dsir_weights",
     "docs_dsir_weights_sampled",
     "docs_mixture_pipeline",
+    "lineitem_corr",
+    "events_hll_rollup",
 ]
 
 TOP_N = 20

@@ -509,6 +509,34 @@ def test_assemble_packs_single_bounded_global_window(spark):
     )
 
 
+def test_lineitem_corr_single_scan(spark):
+    """All four correlations must come from ONE pass over lineitem
+    (single multi-agg + explode reshape) — through r9 this ran one
+    full fact-table scan per pair, caught by the r10 catalog-wide
+    scan audit."""
+    from vector_search_spark.queries import get_catalog
+
+    df = get_catalog()["lineitem_corr"].fn(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert p.count("lineitem.parquet") == 1, (
+        "lineitem scanned more than once\n" + p[:2000]
+    )
+
+
+def test_hll_rollup_day_sketches_materialize_once(spark):
+    """The day-sized sketch table must materialize ONCE (it is the
+    'stored sketches' artifact): the main plan's only events scan is
+    the exact-total adjudication gate; the daily rows and the
+    union-merge read the checkpoint."""
+    from vector_search_spark.queries import get_catalog
+
+    df = get_catalog()["events_hll_rollup"].fn(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert p.count("events.parquet") == 1, (
+        "the day-sketch aggregate re-reads events\n" + p[:2000]
+    )
+
+
 def test_tpch_q7_top20_is_take_ordered_not_full_sort(spark):
     """Q7's LIMIT 20 over the ordered lanes must plan as
     TakeOrderedAndProject (per-partition top-k + merge), never a global

@@ -317,6 +317,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_dsir_weights",
     "docs_dsir_weights_sampled",
     "docs_mixture_pipeline",
+    # late r10 scan-audit fixes (single-pass corr; checkpointed day
+    # sketches) — code changed, so they move back IN-window,
+    # displacing nn_descent_graph + knn_graph_degree to the tail head
+    "lineitem_corr",
+    "events_hll_rollup",
     # (c) the full r10 queue: r5/r6-stale oracle-paired entries
     "knn_mips",
     "mmr_rerank",
@@ -354,8 +359,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "select_neighbors_pruned",
     "graph_symmetrize",
     "nng_blocked",
-    "knn_graph_degree",
-    "nn_descent_graph",
     "ivf_knn",
     "ivf_adc_knn",
     "ivf_filtered_knn",
@@ -363,9 +366,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "multimodal_metadata",
     # ---- tail: r11 queue first (remaining r8 greens; dedup_exact and
     # pq_decode displaced from the window by docs_dsir_weights_sampled
-    # and docs_assemble_packs) ----
+    # and docs_assemble_packs; knn_graph_degree + nn_descent_graph by
+    # the late scan-audit re-entries lineitem_corr + events_hll_rollup) ----
     "dedup_exact",
     "pq_decode",
+    "knn_graph_degree",
+    "nn_descent_graph",
     "hnsw_knn",
     "ivf_bq_knn",
     "ivf_recall_curve",
@@ -420,12 +426,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "docs_lang_mismatch",
     "docs_length_percentile_filter",
-    "events_hll_rollup",
     "events_pivot",
     "events_transitions",
     "events_value_histogram",
     "knn_quota",
-    "lineitem_corr",
     "prototype_classify",
     "text_hash_embed_knn",
     "text_repetition",

@@ -1124,12 +1124,21 @@ def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events (approx_count_distinct can't merge; sketch columns can).
     Gate pattern as events_approx_distinct: Spark also computes exact
     distincts and surfaces a 5%-tolerance boolean; the oracle recomputes
-    the exacts and asserts TRUE, so estimator drift breaks the hash."""
+    the exacts and asserts TRUE, so estimator drift breaks the hash.
+
+    The day-sized sketch table is localCheckpoint()ed — it IS the
+    'stored sketches' artifact this shape is about, and without the
+    boundary its two consumers (the daily rows and the union-merge)
+    prune different columns, split the exchange, and re-run the
+    events scan+agg twice (r10 scan audit; gated in
+    tests/test_plans.py). The remaining second events scan is the
+    exact-total gate itself — the adjudication device, not the
+    production read path."""
     ev = tables.load(spark, sf_dir, "events")
     day = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
-    )
+    ).localCheckpoint()
     ok = (
         F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("exact_users"))
         <= 0.05 * F.col("exact_users")
@@ -1177,24 +1186,38 @@ FROM (
     "stats",
 )
 def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: pairwise Pearson correlations in one
-    scan per pair (map-side moment sums; at scale all four fold into a
-    single multi-agg pass — kept separate here to mirror the oracle's
-    UNION shape exactly)."""
+    """Statistical aggregates: all four pairwise Pearson correlations
+    in ONE multi-agg pass over lineitem (map-side moment sums), then
+    an explode reshape to the oracle's 4-row UNION shape. Through r9
+    this ran one scan PER PAIR 'to mirror the oracle' — but only the
+    VALUES must match the oracle, not the plan, and at 100 TB four
+    full fact-table scans for four scalars is pure waste (caught by
+    the r10 catalog-wide scan audit; gated in tests/test_plans.py)."""
     li = tables.load(spark, sf_dir, "lineitem")
-
-    def one(x: str, y: str, cx: str, cy: str) -> DataFrame:
-        return li.agg(
-            F.lit(x).alias("x"),
-            F.lit(y).alias("y"),
-            rnd(F.corr(cx, cy)).alias("pearson"),
-        )
-
-    return (
-        one("quantity_price", "extendedprice", "l_quantity", "l_extendedprice")
-        .unionAll(one("quantity_discount", "discount", "l_quantity", "l_discount"))
-        .unionAll(one("discount_tax", "tax", "l_discount", "l_tax"))
-        .unionAll(one("price_tax", "tax", "l_extendedprice", "l_tax"))
+    pairs = [
+        ("quantity_price", "extendedprice", "l_quantity", "l_extendedprice"),
+        ("quantity_discount", "discount", "l_quantity", "l_discount"),
+        ("discount_tax", "tax", "l_discount", "l_tax"),
+        ("price_tax", "tax", "l_extendedprice", "l_tax"),
+    ]
+    agg = li.agg(
+        *[
+            rnd(F.corr(cx, cy)).alias(f"_c{i}")
+            for i, (_, _, cx, cy) in enumerate(pairs)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("x"),
+                F.lit(y).alias("y"),
+                F.col(f"_c{i}").alias("pearson"),
+            )
+            for i, (x, y, _, _) in enumerate(pairs)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("_r")).select(
+        "_r.x", "_r.y", "_r.pearson"
     )
 
 
