@@ -208,6 +208,11 @@ def main() -> None:
     # the min rep) pin whether a swing like hnsw_knn's 6.7-9.4 s band
     # is plan change (job count moves) or scheduler noise (it doesn't).
     rep_times: dict[str, list[float | None]] = {}
+    # Unrounded rep walls, kept ONLY for the spread computation: spread
+    # from the display-rounded values silently dropped sub-millisecond
+    # reps (x > 0 after round(dt, 3)) — exactly the fast queries where
+    # noise ratios are largest (r10 advice).
+    raw_times: dict[str, list[float]] = {}
     job_counts: dict[str, int] = {}
     failed_reps: dict[str, int] = {}
     sc = spark.sparkContext
@@ -233,6 +238,8 @@ def main() -> None:
             rep_times.setdefault(name, []).append(
                 round(dt, 3) if dt == dt else None
             )
+            if dt == dt:
+                raw_times.setdefault(name, []).append(dt)
             if dt == dt and not (best == best and best <= dt):
                 best = dt
                 job_counts[name] = njobs
@@ -279,10 +286,13 @@ def main() -> None:
     # query_spread / query_jobs are the round-10 attributability
     # fields: all rep wall-times (None = failed rep), max/min spread
     # over finite reps, and the Spark job count of the min rep.
+    # Spread over UNROUNDED walls (rounded values are display-only);
+    # min(f) > 0 is the only guard — perf_counter deltas are never
+    # negative and a literal 0.0 wall means the clock failed anyway.
     spread = {
         k: round(max(f) / min(f), 3)
-        for k, v in rep_times.items()
-        if len(f := [x for x in v if x is not None and x > 0]) >= 2
+        for k, f in raw_times.items()
+        if len(f) >= 2 and min(f) > 0
     }
     detail = dict(
         headline,
@@ -300,9 +310,16 @@ def main() -> None:
     # can't hide below the cut), sized to stay parseable inside a
     # bounded stdout-tail capture no matter how large the catalog grows.
     top = headline_queries(timings, CHANGED_THIS_ROUND)
-    assert all(
-        n in top for n in CHANGED_THIS_ROUND if timings.get(n) == timings.get(n)
-    ), "headline lost a changed-this-round entry"
+    # RuntimeError, not assert: the stale-name startup check above and
+    # this are two halves of one contract, and assert is stripped under
+    # python -O (r10 advice).
+    lost = [
+        n
+        for n in CHANGED_THIS_ROUND
+        if timings.get(n) == timings.get(n) and n not in top
+    ]
+    if lost:
+        raise RuntimeError(f"headline lost changed-this-round entries: {lost}")
     headline["queries"] = top
     headline["queries_omitted"] = len(timings) - len(top)
     headline["detail_file"] = "BENCH_DETAIL.json"

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_search_spark import plans
 from vector_search_spark.functions import texts as T
 
 __all__ = [
@@ -235,6 +236,83 @@ def hashing_embed(
         )
         .select(F.col(id_col), dense.alias(out_col))
     )
+
+
+def token_trigram_embed(
+    tokens: DataFrame,
+    dim: int = 16,
+    token_col: str = "token",
+    out_col: str = "tvec",
+    norm_col: str = "tnorm",
+) -> DataFrame:
+    """Per-TOKEN hashing embedding from character trigrams — the
+    token-level twin of :func:`hashing_embed` (fastText's subword
+    idea, Bojanowski et al. 2017, §3.2, reduced to the signed hashing
+    trick): each char 3-gram of the token votes ±1 into bucket
+    ``h32(gram) % dim``; tokens sharing surface trigrams land near
+    each other, giving late-interaction retrieval (MaxSim) a
+    deterministic, vocabulary-free token embedding both engines can
+    replay bit-for-bit. Tokens shorter than 3 chars embed their whole
+    surface as the single gram, so every token gets a vector.
+
+    Input: any DataFrame with a ``token_col`` of DISTINCT tokens (the
+    vocabulary — dedupe upstream; per-occurrence input inflates the
+    gram explode for no value). Output: ``(token_col, out_col
+    array<double>, norm_col double)`` — vote sums are exact small
+    integers in float64 (order-independent across engines) and
+    ``norm_col`` is their L2 norm (0.0 only if every bucket's votes
+    cancel; consumers must zero-guard the cosine). Pure Catalyst:
+    explode + one groupBy + map assembly, vocabulary-sized end to end.
+
+    DuckDB twin of the gram expansion:
+    ``CASE WHEN length(tok) < 3 THEN [tok] ELSE
+    list_transform(range(1, length(tok)-1), i -> substr(tok, i, 3))
+    END`` (then the hashing_embed bucket/sign/assembly recipe keyed
+    on token).
+    """
+    tcol = F.col(token_col)
+    grams = F.when(F.length(tcol) < 3, F.array(tcol)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(tcol) - 2),
+            lambda i: F.substr(tcol, i, F.lit(3)),
+        )
+    )
+    g = tokens.select(tcol, F.explode(grams).alias("_gram"))
+    h = T.h32("_gram")
+    vals = (
+        g.select(
+            token_col,
+            F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+            F.when(
+                F.floor(h / F.lit(dim)).cast("bigint") % 2 == 0, F.lit(1.0)
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("sign"),
+        )
+        .groupBy(token_col, "bucket")
+        .agg(F.sum("sign").alias("v"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0.0)
+        ),
+    )
+    out = (
+        vals.groupBy(token_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "v"))
+            ).alias("_m")
+        )
+        .select(tcol, dense.alias(out_col))
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(out_col), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return out.withColumn(norm_col, norm)
 
 
 def repetition_stats(
@@ -580,17 +658,23 @@ def prefix_sum_offsets(
     # window consumers' subtrees (identical subtrees are what lets
     # ReuseExchange collapse them to one tokenize/shuffle pass), and
     # evaluating it is what fires the guard for every row.
-    src = df.withColumn(
-        "_shard",
-        F.when(
-            F.col(id_col).isNull(),
-            F.raise_error(
-                F.lit(
-                    f"prefix_sum_offsets: NULL {id_col!r} — the row "
-                    "has no position in the global order"
-                )
-            ).cast("long"),
-        ).otherwise(F.floor(F.col(id_col) / F.lit(int(shard_size)))),
+    # bounded_alias, not a bare name: the plan gate trusts the
+    # provenance marker on the attribute, never the `_shard` name —
+    # N/shard_size values by construction.
+    src = df.select(
+        "*",
+        plans.bounded_alias(
+            F.when(
+                F.col(id_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"prefix_sum_offsets: NULL {id_col!r} — the row "
+                        "has no position in the global order"
+                    )
+                ).cast("long"),
+            ).otherwise(F.floor(F.col(id_col) / F.lit(int(shard_size)))),
+            "_shard",
+        ),
     ).filter(F.col("_shard").isNotNull())
     w_in = (
         Window.partitionBy("_shard")
@@ -782,15 +866,20 @@ def mixture_weights(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    # bounded_alias: the operator's documented domain contract — the
+    # mixture group key is languages/sources, a bounded domain — goes
+    # on the attribute as a provenance marker so downstream global
+    # windows (waterfill, the composed pipeline) pass the plan gate on
+    # provenance, not on the `_g` name.
     if per_tokens is not None:
         per = per_tokens.select(
-            F.col(group_col).alias("_g"),
+            plans.bounded_alias(F.col(group_col), "_g"),
             F.col("toks").cast("long").alias("toks"),
         )
     else:
         per = (
             docs.select(
-                F.col(group_col).alias("_g"),
+                plans.bounded_alias(F.col(group_col), "_g"),
                 F.size(T.tokens(text_col)).alias("_n"),
             )
             .groupBy("_g")
@@ -857,9 +946,12 @@ def waterfill_budget(
         raise ValueError(
             f"budget_pct must be in [1, 100], got {budget_pct}"
         )
+    # bounded_alias: provenance marker for the plan gate (see
+    # mixture_weights) — the waterfill windows below are global BY
+    # DESIGN over this group-count-sized aggregate.
     per = (
         docs.select(
-            F.col(group_col).alias("_g"),
+            plans.bounded_alias(F.col(group_col), "_g"),
             F.size(T.tokens(text_col)).alias("_n"),
         )
         .groupBy("_g")

@@ -2,6 +2,8 @@
 plans: pushdown, pruning, broadcast, codegen)."""
 
 from vector_search_spark.plans.explain import (  # noqa: F401
+    BOUNDED_META_KEY,
+    bounded_alias,
     formatted_plan,
     has_broadcast_join,
     pushed_filters,

@@ -72,7 +72,7 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default=())
     # Per-query bounded-domain declaration for the catalog-wide
     # unpartitioned-window plan gate: grouping keys (beyond the
-    # operator-internal plans.OPERATOR_BOUNDED_KEYS) that the query
+    # operator-attached plans.bounded_alias provenance markers) that the query
     # author asserts draw from a BOUNDED domain (value histograms,
     # sketch cells, a capped entity table), so a global window above
     # that aggregate is group-count-sized. groupBy(doc_id) + global
