@@ -174,3 +174,140 @@ def test_mmr_negative_max_sim_raises_score(spark):
     assert (p1.vec_id, p2.vec_id) == (1, 2)
     # mmr2 = .5*.1 - .5*(-1) = 0.55 > lam*rel = 0.05
     assert abs(p2.mmr - 0.55) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# MaxSim late-interaction re-ranking
+# ---------------------------------------------------------------------------
+
+
+def _maxsim_fixture(spark):
+    """Tiny corpus + shortlist + token vecs for maxsim tests."""
+    from vector_search_spark.functions import texts as T
+    from vector_search_spark.operators import textstats
+
+    corpus = [
+        (0, "red apple pie with red apples"),
+        (1, "green apple tart"),
+        (2, "blue whale ocean deep water"),
+        (3, "red apple pie with red apples extra crust"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    d_tok = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    ).distinct()
+    q_tok = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(T.tokens("text")).alias("token"),
+        )
+        .distinct()
+    )
+    tvecs = textstats.token_trigram_embed(
+        d_tok.select("token").distinct(), dim=8
+    )
+    return docs, q_tok, d_tok, tvecs
+
+
+def test_maxsim_scores_only_shortlist_pairs(spark):
+    """The re-rank is BLOCKED on the candidate shortlist: a doc absent
+    from `pairs` must never appear, however similar (doc 3 is a
+    near-dup of the query but is excluded from the shortlist)."""
+    docs, q_tok, d_tok, tvecs = _maxsim_fixture(spark)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id long, doc_id long"
+    )
+    out = ranking.maxsim_rerank(pairs, q_tok, d_tok, tvecs, k=10).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+
+
+def test_maxsim_self_and_duplicate_score_full_marks(spark):
+    """Every NONZERO-norm query token finds itself (cos=1) in the
+    query's own doc and in a superset near-duplicate, so both score
+    exactly the count of such tokens (zero-norm tokens — trigram votes
+    fully cancelled — contribute 0 everywhere by the cosine guard);
+    rank ties break to the lower doc_id. The whale doc shares no
+    tokens and must rank below both."""
+    docs, q_tok, d_tok, tvecs = _maxsim_fixture(spark)
+    pairs = spark.createDataFrame(
+        [(0, 0), (0, 2), (0, 3)], "query_id long, doc_id long"
+    )
+    out = {
+        r.doc_id: r
+        for r in ranking.maxsim_rerank(
+            pairs, q_tok, d_tok, tvecs, k=10
+        ).collect()
+    }
+    n_eff = (
+        q_tok.join(tvecs, "token").filter(F.col("tnorm") > 0).count()
+    )  # query tokens that can score at all
+    assert out[0].score == pytest.approx(n_eff, abs=1e-9)
+    assert out[3].score == pytest.approx(n_eff, abs=1e-9)  # superset doc
+    assert out[0].rank == 1 and out[3].rank == 2  # tie -> lower doc_id
+    assert out[2].score < n_eff and out[2].rank == 3
+
+
+def test_maxsim_matches_numpy_reference(spark):
+    """Operator score == brute-force numpy MaxSim over the same token
+    embeddings (Σ_t max_u cos), for every (query, candidate) pair."""
+    import numpy as np
+
+    docs, q_tok, d_tok, tvecs = _maxsim_fixture(spark)
+    pairs = spark.createDataFrame(
+        [(0, d) for d in range(4)], "query_id long, doc_id long"
+    )
+    tv = {r.token: np.array(r.tvec) for r in tvecs.collect()}
+    qts = sorted(r.token for r in q_tok.collect())
+    dts = {}
+    for r in d_tok.collect():
+        dts.setdefault(r.doc_id, []).append(r.token)
+
+    def cos(a, b):
+        na, nb = np.sqrt(a @ a), np.sqrt(b @ b)
+        return 0.0 if na * nb == 0 else (a @ b) / (na * nb)
+
+    expected = {
+        d: sum(max(cos(tv[t], tv[u]) for u in dts[d]) for t in qts)
+        for d in range(4)
+    }
+    out = ranking.maxsim_rerank(pairs, q_tok, d_tok, tvecs, k=10).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.score == pytest.approx(expected[r.doc_id], abs=1e-9), r
+
+
+def test_maxsim_plan_has_no_cartesian(spark):
+    """Blocked-path plan gate: the token-pair work is assembled by
+    equi-joins against the shortlist — no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the re-rank plan."""
+    from vector_search_spark import plans
+
+    docs, q_tok, d_tok, tvecs = _maxsim_fixture(spark)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id long, doc_id long"
+    )
+    out = ranking.maxsim_rerank(pairs, q_tok, d_tok, tvecs, k=10)
+    plan = plans.formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_maxsim_zero_norm_token_scores_zero(spark):
+    """A token whose trigram votes fully cancel has norm 0; the cosine
+    guard must score it 0 against everything instead of NaN-poisoning
+    the fold (synthesized by zeroing a vector directly)."""
+    q_tok = spark.createDataFrame(
+        [(0, "aa"), (0, "bb")], "query_id long, token string"
+    )
+    d_tok = spark.createDataFrame(
+        [(5, "aa"), (5, "bb")], "doc_id long, token string"
+    )
+    tvecs = spark.createDataFrame(
+        [("aa", [1.0, 2.0], float(5 ** 0.5)), ("bb", [0.0, 0.0], 0.0)],
+        "token string, tvec array<double>, tnorm double",
+    )
+    pairs = spark.createDataFrame([(0, 5)], "query_id long, doc_id long")
+    [r] = ranking.maxsim_rerank(pairs, q_tok, d_tok, tvecs, k=10).collect()
+    # 'aa' matches itself (cos 1); 'bb' is zero-norm -> contributes 0
+    assert r.score == pytest.approx(1.0, abs=1e-12)

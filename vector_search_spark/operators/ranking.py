@@ -266,3 +266,119 @@ def mmr_rerank(
     return cand.groupBy(query_id).applyInPandas(
         per_query, f"{query_id} long, {item_id} long, mmr double, pick int"
     )
+
+
+def maxsim_rerank(
+    pairs: DataFrame,
+    q_tokens: DataFrame,
+    d_tokens: DataFrame,
+    token_vecs: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Multi-vector late-interaction re-ranking (ColBERT MaxSim,
+    Khattab & Zaharia, SIGIR'20): score(q, d) = Σ_{t∈q} max_{u∈d}
+    cos(t, u) over per-TOKEN embeddings — the quality step above
+    single-vector ANN in modern retrieval stacks, and the set-of-
+    vectors generalization of the reference's query-set×dataset
+    scoring (py/bruteforce.py:11-19: one vector per item there, a bag
+    of token vectors per item here).
+
+    Candidate-generator-agnostic BY DESIGN: ``pairs`` (query_id,
+    doc_id) is the shortlist to re-rank, from ANY first-stage
+    retriever — pooled-vector brute cosine in the catalog entry
+    (DuckDB-replayable), ``ivf.ivf_topk`` on pooled vectors at scale.
+    MaxSim itself never goes near all-pairs: the token-level work is
+    |pairs| × (q_len + d_len) rows, assembled by two equi-joins
+    (pairs⋈q_tokens on query_id, pairs⋈d_tokens on doc_id), and each
+    (query, doc) group is one small gemm — query and doc token counts
+    are capped upstream (ColBERT's own protocol: 32 query tokens,
+    ~128 doc tokens), so per-group state is model-sized. Same
+    applyInPandas justification as mmr_rerank / SelectNeighbors:
+    bounded groups, numpy-batched, work scales with |pairs|,
+    independent of corpus size.
+
+    Inputs: ``q_tokens`` (query_id, token) and ``d_tokens`` (doc_id,
+    token), both DISTINCT per owner; ``token_vecs`` (token, tvec
+    array<double>, tnorm double) from
+    :func:`textstats.token_trigram_embed`. Zero-norm tokens score
+    cos = 0 against everything (guard, not NaN).
+
+    Determinism (oracle parity): vote-sum vectors are exact small
+    integers in float64, so the gemm dots are exact and
+    order-independent; cos = dot/(tnorm·tnorm') is one multiply + one
+    divide of identical doubles on both engines; the per-query-token
+    maxima are order-free; and the final Σ over query tokens folds in
+    ascending token order (sort_array + F.aggregate — the bm25_topk
+    recipe, DuckDB ``list_sum(list(ms ORDER BY qt))``).
+
+    Returns (query_id, doc_id, score double, rank int) with rank ≤ k
+    per query (score desc, doc_id tie-break).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qv = q_tokens.join(token_vecs, "token").select(
+        "query_id",
+        F.col("token"),
+        F.lit("q").alias("role"),
+        F.col("tvec").alias("vec"),
+        F.col("tnorm").alias("nrm"),
+    )
+    dv = d_tokens.join(token_vecs, "token").select(
+        "doc_id",
+        F.col("token"),
+        F.lit("d").alias("role"),
+        F.col("tvec").alias("vec"),
+        F.col("tnorm").alias("nrm"),
+    )
+    both = pairs.join(qv, "query_id").select(
+        "query_id", "doc_id", "role", "token", "vec", "nrm"
+    ).unionByName(
+        pairs.join(dv, "doc_id").select(
+            "query_id", "doc_id", "role", "token", "vec", "nrm"
+        )
+    )
+
+    def per_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        qm = pdf[pdf["role"] == "q"]
+        dm = pdf[pdf["role"] == "d"]
+        if len(qm) == 0 or len(dm) == 0:  # defensive: join-built groups
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "qt": [], "ms": []}
+            )
+        Q = np.vstack(qm["vec"].to_numpy()).astype(np.float64)
+        D = np.vstack(dm["vec"].to_numpy()).astype(np.float64)
+        qn = qm["nrm"].to_numpy(dtype=np.float64)
+        dn = dm["nrm"].to_numpy(dtype=np.float64)
+        dots = Q @ D.T  # exact: integer-valued float64 entries
+        denom = np.outer(qn, dn)
+        cos = np.divide(
+            dots, denom, out=np.zeros_like(dots), where=denom > 0
+        )
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "doc_id": pdf["doc_id"].iloc[0],
+                "qt": qm["token"].to_numpy(),
+                "ms": cos.max(axis=1),
+            }
+        )
+
+    per_qtoken = both.groupBy("query_id", "doc_id").applyInPandas(
+        per_pair, "query_id long, doc_id long, qt string, ms double"
+    )
+    scored = per_qtoken.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("qt", "ms"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["ms"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -309,6 +309,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
     "knn_exact",
+    "text_maxsim_search",
     # (b) r10 code changes (+ the new composed entries)
     "docs_pack_sequences",
     "docs_assemble_packs",

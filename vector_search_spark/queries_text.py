@@ -407,6 +407,174 @@ def q_text_hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multi-vector late-interaction retrieval (ColBERT MaxSim)
+# --------------------------------------------------------------------------
+
+MS_Q = 4  # query docs: doc_id < 4
+MS_QTOK = 32  # ColBERT query-token cap (first 32 token positions)
+MS_DTOK = 128  # doc-token cap (first 128 positions; testdata docs <= 100)
+MS_C = 20  # first-stage pooled-cosine shortlist size
+MS_K = 5  # final re-ranked top-k
+TE_DIM = 16  # token trigram-embedding dim
+
+
+@register(
+    "text_maxsim_search",
+    f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+hh AS (SELECT doc_id, {T.sql_h32("token")} AS h FROM tok),
+vals AS (
+  SELECT doc_id, CAST(h % {HE_DIM} AS INT) AS bucket,
+         SUM(CASE WHEN (h // {HE_DIM}) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM hh GROUP BY doc_id, bucket
+),
+spine AS (
+  SELECT d.doc_id, r.i
+  FROM (SELECT DISTINCT doc_id FROM vals) d
+  CROSS JOIN (SELECT CAST(unnest(range(0, {HE_DIM})) AS INT) AS i) r
+),
+vecs AS (
+  SELECT s.doc_id, list(coalesce(v.v, 0.0) ORDER BY s.i) AS vec
+  FROM spine s LEFT JOIN vals v ON v.doc_id = s.doc_id AND v.bucket = s.i
+  GROUP BY s.doc_id
+),
+q AS (SELECT doc_id AS query_id, vec AS qv FROM vecs WHERE doc_id < {MS_Q}),
+sc AS (
+  SELECT q.query_id, b.doc_id,
+         1.0 - CASE WHEN sqrt({_DOT.format(a="q.qv", b="q.qv")})
+                       * sqrt({_DOT.format(a="b.vec", b="b.vec")}) = 0
+                    THEN 0.0
+                    ELSE {_DOT.format(a="q.qv", b="b.vec")}
+                         / (sqrt({_DOT.format(a="q.qv", b="q.qv")})
+                            * sqrt({_DOT.format(a="b.vec", b="b.vec")}))
+               END AS d
+  FROM vecs b CROSS JOIN q
+),
+short AS (
+  SELECT query_id, doc_id
+  FROM sc
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id)
+          <= {MS_C}
+),
+dt AS (SELECT DISTINCT doc_id, unnest(t[1:{MS_DTOK}]) AS token FROM toks),
+qt AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(t[1:{MS_QTOK}]) AS token
+  FROM toks WHERE doc_id < {MS_Q}
+),
+gr AS (
+  SELECT token,
+         unnest(CASE WHEN length(token) < 3 THEN [token]
+                     ELSE list_transform(range(1, length(token)-1),
+                                         i -> substr(token, i, 3))
+                END) AS gram
+  FROM (SELECT DISTINCT token FROM dt)
+),
+gh AS (SELECT token, {T.sql_h32("gram")} AS h FROM gr),
+gv AS (
+  SELECT token, CAST(h % {TE_DIM} AS INT) AS bucket,
+         SUM(CASE WHEN (h // {TE_DIM}) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM gh GROUP BY token, bucket
+),
+tspine AS (
+  SELECT t.token, r.i
+  FROM (SELECT DISTINCT token FROM gv) t
+  CROSS JOIN (SELECT CAST(unnest(range(0, {TE_DIM})) AS INT) AS i) r
+),
+tv AS (
+  SELECT s.token, list(coalesce(g.v, 0.0) ORDER BY s.i) AS tvec
+  FROM tspine s LEFT JOIN gv g ON g.token = s.token AND g.bucket = s.i
+  GROUP BY s.token
+),
+tvn AS (
+  SELECT token, tvec,
+         sqrt({_DOT.format(a="tvec", b="tvec")}) AS tnorm
+  FROM tv
+),
+ps AS (
+  SELECT s.query_id, s.doc_id, qk.token AS qt,
+         CASE WHEN qv.tnorm * dv.tnorm = 0 THEN 0.0
+              ELSE {_DOT.format(a="qv.tvec", b="dv.tvec")}
+                   / (qv.tnorm * dv.tnorm)
+         END AS c
+  FROM short s
+  JOIN qt qk ON qk.query_id = s.query_id
+  JOIN dt dk ON dk.doc_id = s.doc_id
+  JOIN tvn qv ON qv.token = qk.token
+  JOIN tvn dv ON dv.token = dk.token
+),
+msim AS (
+  SELECT query_id, doc_id, qt, max(c) AS ms
+  FROM ps GROUP BY query_id, doc_id, qt
+),
+scored AS (
+  SELECT query_id, doc_id, list_sum(list(ms ORDER BY qt)) AS score
+  FROM msim GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, (ROUND(score, 6) + 0.0) AS score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT) AS "rank"
+FROM scored
+QUALIFY "rank" <= {MS_K}
+""",
+    "text",
+    "vector",
+    "retrieval",
+)
+def q_text_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval, end to end: pooled
+    hashing-trick embeddings give a first-stage cosine shortlist
+    (top-{MS_C} per query, the text_hash_embed_knn pipeline), then
+    MaxSim re-ranks the shortlist on per-TOKEN trigram embeddings —
+    score(q,d) = Σ over the query's (capped, distinct) tokens of the
+    max cosine against the doc's tokens. Two-level agg over a
+    token-pair join, never all-pairs: re-rank work is
+    |shortlist| × (32 + 128) token rows.
+
+    The oracle replays the WHOLE stack — tokenize → pooled hash-embed
+    → cosine shortlist → token trigram-embed → pair cos → max → ordered
+    sum → rank — so the driver hash checks every stage. At 100 TB the
+    first stage swaps to ivf_topk on the pooled vectors (maxsim_rerank
+    is candidate-generator-agnostic); the documents scan appears twice
+    in the main plan (full-corpus token stream + the doc_id<{MS_Q}
+    query-token slice — the second is partition-pruned to the query
+    set)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    from vector_search_spark.operators import knn as _knn
+    from vector_search_spark.operators import ranking
+
+    vecs = textstats.hashing_embed(docs, dim=HE_DIM).localCheckpoint()
+    queries = vecs.filter(F.col("doc_id") < MS_Q)
+    short = _knn.brute_force_knn(
+        queries, vecs, k=MS_C, metric="cosine",
+        query_id_col="doc_id", query_vec_col="vec",
+        base_id_col="doc_id", base_vec_col="vec",
+    )
+    pairs = short.select("query_id", F.col("vec_id").alias("doc_id"))
+    capped = docs.select(
+        "doc_id", F.slice(T.tokens("text"), 1, MS_DTOK).alias("t")
+    )
+    d_tok = capped.select(
+        "doc_id", F.explode("t").alias("token")
+    ).distinct()
+    q_tok = (
+        docs.filter(F.col("doc_id") < MS_Q)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(T.tokens("text"), 1, MS_QTOK)).alias("token"),
+        )
+        .distinct()
+    )
+    tvecs = textstats.token_trigram_embed(
+        d_tok.select("token").distinct(), dim=TE_DIM
+    )
+    out = ranking.maxsim_rerank(pairs, q_tok, d_tok, tvecs, k=MS_K)
+    return out.select(
+        "query_id", "doc_id", rnd("score").alias("score"), "rank"
+    )
+
+
+# --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
 
