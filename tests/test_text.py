@@ -1295,3 +1295,78 @@ def test_mixture_and_waterfill_reject_bad_params(spark):
         textstats.waterfill_budget(docs, epoch_cap=0)
     with pytest.raises(ValueError, match="budget_pct"):
         textstats.waterfill_budget(docs, budget_pct=0)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span excision (dedup.excise_spans)
+# ---------------------------------------------------------------------------
+
+
+def _excise(spark, rows, span_n=3):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.excise_spans(docs, span_n=span_n).collect()
+    }
+    # conservation holds for EVERY document, every time
+    for r in out.values():
+        assert r.n_kept + r.n_removed == r.n_orig, r
+        n_clean = len(r.clean_text.split()) if r.clean_text else 0
+        assert n_clean == r.n_kept, r
+    return out
+
+
+def test_excise_keep_first_occurrence_across_docs(spark):
+    """The lower-(doc_id, pos) occurrence of a duplicated span keeps
+    its tokens; the later document loses exactly the span."""
+    out = _excise(
+        spark,
+        [
+            (0, "x y z q r"),  # first occurrence of 'x y z'
+            (1, "a b x y z c"),  # duplicate 'x y z' -> excised
+            (2, "totally different words here"),
+        ],
+    )
+    assert out[0].n_removed == 0 and out[0].clean_text == "x y z q r"
+    assert out[1].n_removed == 3 and out[1].clean_text == "a b c"
+    assert out[2].n_removed == 0
+
+
+def test_excise_within_doc_repeat(spark):
+    """A span repeated INSIDE one document keeps only its first
+    occurrence (Lee et al. dedups within documents too)."""
+    out = _excise(spark, [(7, "p q r s p q r t")])
+    assert out[7].n_orig == 8
+    assert out[7].n_removed == 3  # the second 'p q r'
+    assert out[7].clean_text == "p q r s t"
+
+
+def test_excise_overlapping_spans_union_positionwise(spark):
+    """A duplicated PASSAGE (run of consecutive duplicated shingles)
+    is removed whole from the non-first doc: overlapping span
+    removals union their positions instead of double-counting."""
+    out = _excise(
+        spark,
+        [
+            (0, "a b c d e f"),  # first: keeps everything
+            (1, "z a b c d e f w"),  # shares 4 overlapping 3-grams
+        ],
+    )
+    assert out[0].n_removed == 0
+    assert out[1].clean_text == "z w" and out[1].n_removed == 6
+
+
+def test_excise_short_and_empty_docs_pass_through(spark):
+    """Docs below span_n tokens emit no shingles (never excised);
+    zero-token docs surface n_orig=0 with empty clean_text."""
+    out = _excise(spark, [(1, "a b"), (2, "   "), (3, "a b")])
+    assert out[1].n_orig == 2 and out[1].n_removed == 0
+    assert out[2].n_orig == 0 and out[2].clean_text == ""
+    # 'a b' twice is NOT a 3-token span -> both kept
+    assert out[3].n_removed == 0
+
+
+def test_excise_span_n_guard(spark):
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="span_n"):
+        dedup.excise_spans(docs, span_n=0)

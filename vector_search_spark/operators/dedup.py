@@ -1187,3 +1187,117 @@ def shared_span_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+# Position-key stride for the keep-first rule: occurrence key =
+# doc_id * 2^20 + pos. pos is a within-document token index (< 2^20 =
+# ~1M tokens — far beyond any trainable document; raise upstream if a
+# corpus ever violates it), so keys order lexicographically by
+# (doc_id, pos) and the global first occurrence is a plain MIN — no
+# cross-engine struct-comparison semantics needed.
+EXCISE_POS_STRIDE = 1 << 20
+
+
+def excise_spans(
+    docs: DataFrame,
+    span_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-SPAN removal — the actionable half of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): where :func:`shared_span_pairs` only DETECTS shared
+    passages, this rewrites the corpus with them excised.
+
+    Rule: hash every ``span_n``-token shingle occurrence; a shingle
+    occurring >= 2 times corpus-wide (across OR within documents) is a
+    duplicated span; its FIRST occurrence (smallest (doc_id, pos)) is
+    kept, and the token range [pos, pos+span_n) of every other
+    occurrence is removed. A token survives iff no removed span covers
+    it — overlapping removals union position-wise, so a long duplicated
+    passage (a run of duplicated shingles) is excised whole from every
+    non-first document and kept intact in the first.
+
+    Fully distributed, shuffle shapes only: tokenize once
+    (localCheckpoint — the artifact boundary; both the token-position
+    and shingle-occurrence relations consume it), one groupBy(hash)
+    whose per-key state is two longs (count + min key — hot boilerplate
+    shingles cost a partial-agg, never a fan-out), one join back on
+    hash (linear in occurrences), a bounded explode (span_n rows per
+    removed occurrence), and one anti-join on (doc_id, pos). Per-doc
+    reassembly sorts each document's own kept tokens (group state
+    bounded by document length, the module-wide assumption).
+
+    Returns one row per input document:
+    ``(id_col, n_orig bigint, n_kept bigint, n_removed bigint,
+    clean_text string)`` — ``clean_text`` is the surviving tokens in
+    position order, space-joined ('' when everything was removed, also
+    for zero-token docs). The rewrite is over the TOKENIZED stream
+    (lowercased, whitespace-normalized), the form a training pipeline
+    feeds downstream; conservation: n_kept + n_removed == n_orig.
+
+    Documents shorter than ``span_n`` tokens emit no shingles and are
+    never excised.
+    """
+    from vector_search_spark.functions import texts as T
+
+    if span_n < 1:
+        raise ValueError(f"span_n must be >= 1, got {span_n}")
+    tk = docs.select(
+        F.col(id_col), T.tokens(text_col).alias("_t")
+    ).localCheckpoint()
+    toks = tk.select(
+        id_col, F.posexplode(F.col("_t")).alias("pos", "tk")
+    )
+    occ = tk.select(
+        id_col,
+        F.posexplode(T.shingles(F.col("_t"), span_n)).alias("pos", "_sh"),
+    ).select(
+        id_col,
+        "pos",
+        T.h64("_sh").alias("_h"),
+        (
+            F.col(id_col) * F.lit(int(EXCISE_POS_STRIDE)) + F.col("pos")
+        ).alias("_key"),
+    )
+    dup = (
+        occ.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_key").alias("_first"),
+        )
+        .filter(F.col("_c") >= 2)
+        .select("_h", "_first")
+    )
+    rm = (
+        occ.join(dup, "_h")
+        .filter(F.col("_key") != F.col("_first"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(span_n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(rm, [id_col, "pos"], "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tk")))),
+        lambda x: x["tk"],
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(" ", ordered).alias("clean_text"),
+    )
+    orig = tk.select(
+        id_col, F.size("_t").cast("long").alias("n_orig")
+    )
+    return orig.join(kept_agg, id_col, "left").select(
+        id_col,
+        "n_orig",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_orig") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -310,6 +310,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
     "knn_exact",
     "text_maxsim_search",
+    "docs_excise_spans",
     # (b) r10 code changes (+ the new composed entries)
     "docs_pack_sequences",
     "docs_assemble_packs",

@@ -1941,6 +1941,75 @@ def q_docs_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXC_N = 5  # duplicated-span length (tokens) for excision
+
+
+@register(
+    "docs_excise_spans",
+    f"""
+WITH {_TOKS},
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+shp AS (
+  SELECT doc_id, generate_subscripts(s, 1) - 1 AS pos, unnest(s) AS shingle
+  FROM (SELECT doc_id, {T.sql_shingles("t", EXC_N)} AS s FROM toks)
+),
+occ AS (
+  SELECT doc_id, pos, {T.sql_h64("shingle")} AS h,
+         doc_id * {dedup.EXCISE_POS_STRIDE} + pos AS key
+  FROM shp
+),
+dup AS (
+  SELECT h, min(key) AS first
+  FROM occ GROUP BY h HAVING count(*) >= 2
+),
+rm AS (
+  SELECT DISTINCT o.doc_id, o.pos + i.i AS pos
+  FROM occ o JOIN dup d ON o.h = d.h AND o.key <> d.first
+  CROSS JOIN (SELECT unnest(range(0, {EXC_N})) AS i) i
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tk
+  FROM tokpos t LEFT JOIN rm r ON r.doc_id = t.doc_id AND r.pos = t.pos
+  WHERE r.doc_id IS NULL
+),
+ka AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tk, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT o.doc_id, CAST(len(o.t) AS BIGINT) AS n_orig,
+       COALESCE(ka.n_kept, 0) AS n_kept,
+       CAST(len(o.t) AS BIGINT) - COALESCE(ka.n_kept, 0) AS n_removed,
+       md5(COALESCE(ka.clean_text, '')) AS clean_md5
+FROM toks o LEFT JOIN ka ON ka.doc_id = o.doc_id
+""",
+    "text",
+    "dedup",
+)
+def q_docs_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (Lee et al. 2022's actionable half —
+    docs_shared_spans detects shared passages, this excises them):
+    every {EXC_N}-token shingle occurring >= 2 times corpus-wide keeps
+    its first occurrence (smallest (doc_id, pos)) and loses every
+    other one, position-wise. Surfaces per-document conservation
+    counts (n_kept + n_removed == n_orig) and the md5 of the rewritten
+    token stream — the oracle reconstructs the exact post-surgery text,
+    so the driver hash proves token-level surgical parity, not just
+    counts."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = dedup.excise_spans(docs, span_n=EXC_N)
+    return out.select(
+        "doc_id",
+        "n_orig",
+        "n_kept",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 QW_BASE = 0.35  # quality-weighted sampling base rate
 
 
