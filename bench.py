@@ -65,15 +65,21 @@ HEADLINE = [
 # top-N cut. Checked against the catalog at startup — a stale name
 # here fails loudly instead of silently guarding nothing.
 CHANGED_THIS_ROUND = [
+    # round 11: new capabilities
+    "text_maxsim_search",
+    "docs_excise_spans",
+    # round 11: rewrites (value-quartile RFM; named zscore grouping)
+    "customer_rfm",
+    "events_hourly_zscore",
+    # round 11: consumers of the bounded_alias-tagged operators
+    # (prefix_sum_offsets / waterfill_budget / mixture_weights)
     "docs_pack_sequences",
     "docs_assemble_packs",
+    "docs_mixture_pipeline",
+    "docs_budget_waterfill",
     "docs_materialize_mixture",
     "docs_shuffle_shards",
-    "docs_dsir_weights",
-    "docs_dsir_weights_sampled",
-    "docs_mixture_pipeline",
-    "lineitem_corr",
-    "events_hll_rollup",
+    "docs_mixture_weights",
 ]
 
 TOP_N = 20

@@ -541,6 +541,38 @@ def test_assemble_packs_single_bounded_global_window(spark):
     )
 
 
+def test_maxsim_search_zero_main_plan_scans(spark):
+    """text_maxsim_search tokenizes the corpus exactly twice, both
+    inside checkpoint jobs (pooled vectors + capped token stream —
+    the serving artifacts a deployment persists); the q-token slice
+    re-slices the capped stream, so the MAIN plan must read no parquet
+    and assemble the token-pair work with equi-joins only."""
+    from vector_search_spark.queries import get_catalog
+
+    df = get_catalog()["text_maxsim_search"].fn(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "Scan parquet" not in p and "FileScan parquet" not in p, (
+        "maxsim re-reads the corpus outside the checkpoint "
+        "boundaries\n" + p[:2000]
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_excise_spans_single_tokenize(spark):
+    """excise_spans' token-position and shingle-occurrence relations
+    both consume the ONE checkpointed tokenization (the artifact
+    boundary) — the main plan must not re-read the corpus."""
+    from vector_search_spark.queries import get_catalog
+
+    df = get_catalog()["docs_excise_spans"].fn(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "Scan parquet" not in p and "FileScan parquet" not in p, (
+        "excise_spans re-reads the corpus outside the checkpoint "
+        "boundary\n" + p[:2000]
+    )
+
+
 def test_lineitem_corr_single_scan(spark):
     """All four correlations must come from ONE pass over lineitem
     (single multi-agg + explode reshape) — through r9 this ran one

@@ -581,3 +581,95 @@ def test_assemble_packs_partitions_any_corpus(session, sizes, ctx, shard_size):
         # consecutive packs: the boundary doc either straddles
         # (a.last == b.first) or the cut fell exactly between docs
         assert b["first_doc"] - a["last_doc"] in (0, 1)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_tokens=st.integers(1, 10),
+)
+def test_token_trigram_embed_matches_python_model(session, seed, n_tokens):
+    """token_trigram_embed must equal the direct python model: char
+    3-grams (whole token when shorter), bucket = md5-h32(gram) % dim,
+    sign from the next hash bit, vote sums + L2 norm."""
+    import hashlib
+
+    from vector_search_spark.operators import textstats
+
+    rng = np.random.default_rng(seed)
+    alphabet = list("abcxyz019")
+    toks = sorted(
+        {
+            "".join(rng.choice(alphabet, size=rng.integers(1, 9)))
+            for _ in range(n_tokens)
+        }
+    )
+    dim = 8
+    df = session.createDataFrame([(t,) for t in toks], "token string")
+    got = {
+        r.token: (list(r.tvec), r.tnorm)
+        for r in textstats.token_trigram_embed(df, dim=dim).collect()
+    }
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for t in toks:
+        grams = [t] if len(t) < 3 else [t[i : i + 3] for i in range(len(t) - 2)]
+        want = [0.0] * dim
+        for g in grams:
+            h = h32(g)
+            want[h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
+        vec, norm = got[t]
+        assert vec == want, (t, vec, want)
+        assert norm == pytest.approx(
+            math.sqrt(sum(v * v for v in want)), abs=0
+        ), t
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(1, 8),
+    span_n=st.integers(2, 4),
+)
+def test_excise_spans_conservation_and_first_keeper(session, seed, n_docs, span_n):
+    """excise_spans on arbitrary small corpora: (a) conservation —
+    n_kept + n_removed == n_orig and clean_text holds exactly n_kept
+    tokens; (b) the clean text is a SUBSEQUENCE of the original token
+    stream (surgery only deletes, never reorders/rewrites); (c) the
+    globally first document is never excised when it owns every
+    duplicated span's first occurrence (tiny vocab makes duplicates
+    likely, the interesting regime)."""
+    from vector_search_spark.operators import dedup
+
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c"]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(1, 15))))
+        for i in range(n_docs)
+    ]
+    df = session.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.excise_spans(df, span_n=span_n).collect()}
+    assert set(out) == {i for i, _ in rows}
+
+    def is_subseq(sub, seq):
+        it = iter(seq)
+        return all(x in it for x in sub)
+
+    for i, text in rows:
+        r = out[i]
+        orig = text.lower().split()
+        kept = r.clean_text.split() if r.clean_text else []
+        assert r.n_orig == len(orig), r
+        assert r.n_kept + r.n_removed == r.n_orig, r
+        assert len(kept) == r.n_kept, r
+        assert is_subseq(kept, orig), (kept, orig)

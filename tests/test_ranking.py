@@ -311,3 +311,43 @@ def test_maxsim_zero_norm_token_scores_zero(spark):
     [r] = ranking.maxsim_rerank(pairs, q_tok, d_tok, tvecs, k=10).collect()
     # 'aa' matches itself (cos 1); 'bb' is zero-norm -> contributes 0
     assert r.score == pytest.approx(1.0, abs=1e-12)
+
+
+def test_maxsim_over_ivf_candidates(spark):
+    """The at-scale wiring the operator is designed for: first-stage
+    candidates from IVF partition-pruned search over POOLED vectors,
+    MaxSim late-interaction re-rank on top. The re-ranked set must be
+    exactly a (top-k) subset of the IVF candidate pairs, proving the
+    generator-agnostic contract end to end."""
+    import numpy as np
+
+    from vector_search_spark.operators import ivf, textstats
+
+    docs, q_tok, d_tok, tvecs = _maxsim_fixture(spark)
+    pooled = textstats.hashing_embed(docs, dim=8).localCheckpoint()
+    # two coarse cells from the pooled vectors of docs 0 and 2
+    cents = np.vstack(
+        [
+            r.vec
+            for r in pooled.filter(F.col("doc_id").isin(0, 2))
+            .orderBy("doc_id")
+            .collect()
+        ]
+    ).astype(np.float64)
+    assigned = ivf.assign_clusters(
+        pooled, cents, id_col="doc_id", vec_col="vec"
+    )
+    qs = pooled.filter(F.col("doc_id") == 0)
+    cand = ivf.ivf_topk(
+        qs, assigned, cents, k=3, nprobe=1,
+        query_id_col="doc_id", query_vec_col="vec",
+        base_id_col="doc_id", base_vec_col="vec",
+    )
+    pairs = cand.select("query_id", F.col("vec_id").alias("doc_id"))
+    allowed = {(r.query_id, r.doc_id) for r in pairs.collect()}
+    out = ranking.maxsim_rerank(pairs, q_tok, d_tok, tvecs, k=2).collect()
+    assert 0 < len(out) <= 2
+    assert {(r.query_id, r.doc_id) for r in out} <= allowed
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(
+        range(1, len(out) + 1)
+    )

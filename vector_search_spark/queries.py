@@ -258,123 +258,65 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green value-hash row is strictly more information than a rows-only
 # row. Standing rule: queries whose CODE PATHS changed this round stay
 # (or move) IN-window so the driver re-verifies exactly the riskiest
-# changes; only queries untouched since their last green may rotate out.
-# ROUND-10 ROTATION (the r9 judge's ask #1: no oracle-paired entry's
-# last green may be older than 3 rounds). This window takes:
+# changes; only queries untouched since their last green may rotate out,
+# and no oracle-paired entry's last green may age past 3 rounds.
+# ROUND-11 ROTATION. This window takes:
 # (a) the flagship (knn_exact — always first),
-# (b) every query whose operator code changed in r10:
-#     docs_pack_sequences (prefix_sum_offsets NULL-id raise),
-#     docs_materialize_mixture + docs_shuffle_shards (materialize's
-#     _dup-leak fix, allocation-side guards, reserved-name clash
-#     guards), docs_dsir_weights (dsir_logratio stats_fraction arg —
-#     default path unchanged), and the NEW composed entry
-#     docs_mixture_pipeline (weights + waterfill -> materialize ->
-#     shuffle -> pack in ONE plan; new queries start in-window) and
-#     docs_dsir_weights_sampled (NEW: the sampled-stats DSIR path,
-#     oracle-paired — it displaced dedup_exact from (d) to the tail
-#     head) and docs_assemble_packs (NEW: pack assembly with the
-#     order-sensitive per-pack md5 — displaced pq_decode likewise),
-# (c) the ENTIRE documented r10 queue — all 31 entries whose last
-#     green was r5/r6: knn_mips, mmr_rerank, hybrid_rrf_search,
-#     text_bm25_search, docs_decontaminate, dedup_member_bloom,
-#     dedup_incremental, ann_recall_eval, ann_lsh_multiprobe,
-#     bq_hamming_knn, corpus_pipeline_funnel,
-#     docs_quality_weighted_sample, docs_shared_spans, events_funnel,
-#     events_hourly_zscore, events_retention, events_variant_stats,
-#     knn_classify_vote, knn_filtered, lineitem_quantile_check,
-#     multimodal_byte_histogram, pq_adc_knn, pq_refine_knn,
-#     purchase_follow_pairs, sessionize_dynamic_gap,
-#     tpch_q13/q15/q17/q18/q7/q8 — after this round NO oracle-paired
-#     entry's last green is older than r8,
-# (d) 11 r8-green §2-coverage picks rotated EARLY (they would all go
-#     stale together at r11; taking the graph/IVF/PQ §2 gating set now
-#     shrinks that bulge): graph_greedy_search, select_neighbors_pruned,
-#     graph_symmetrize, nng_blocked, knn_graph_degree,
-#     nn_descent_graph, ivf_knn, ivf_adc_knn, ivf_filtered_knn,
-#     pq_encode, multimodal_metadata (dedup_exact and pq_decode were
-#     displaced to the tail head by the late adds
-#     docs_dsir_weights_sampled and docs_assemble_packs).
-# Rotated OUT: all 45 r9-green entries whose code is untouched since
-# (incl. the rows-only bq_rotated_knn — window slots go to
-# oracle-paired rows).
-# R11 QUEUE (first picks — the 33 remaining r8 greens, ordered):
-# hnsw_knn (rows-only), ivf_bq_knn, ivf_recall_curve, ivf_cell_stats,
-# text_bigram_logprob, knn_cosine, knn_graph, ann_lsh, text_simhash,
-# text_fingerprint, dedup_minhash_signatures, docs_sample_hash,
-# docs_dup_rate_by_source, sq_encode, sq_knn, dedup_embedding,
-# dedup_simhash, dedup_ngram_jaccard, docs_stratified_sample,
-# text_chunks, text_language_id, text_quality, text_token_count,
-# tpch_q1/q3/q5/q6/q10/q12/q19/q22, semi_join_late_orders,
-# anti_join_idle_customers; then the r9 greens (stale at r12).
+# (b) the two NEW entries (start in-window): text_maxsim_search
+#     (ColBERT MaxSim late-interaction re-rank) and docs_excise_spans
+#     (duplicate-span removal, Lee et al.'s actionable half),
+# (c) every entry whose code paths changed in r11: customer_rfm
+#     (value-domain quartiles — the o_custkey ntile exemption is gone),
+#     events_hourly_zscore (named grouping column), and the seven
+#     consumers of the operators that now attach bounded_alias
+#     provenance markers for the window gate — docs_pack_sequences,
+#     docs_assemble_packs, docs_mixture_pipeline (prefix_sum_offsets),
+#     docs_budget_waterfill, docs_materialize_mixture,
+#     docs_shuffle_shards (waterfill_budget), docs_mixture_weights
+#     (mixture_weights; the pipeline entry consumes all three),
+# (d) the ENTIRE documented r11 queue — all 36 r8-stale oracle-paired
+#     entries (they hit the 3-round limit at r11 close): dedup_exact,
+#     pq_decode, knn_graph_degree, nn_descent_graph, ivf_bq_knn,
+#     ivf_recall_curve, ivf_cell_stats, text_bigram_logprob,
+#     knn_cosine, knn_graph, ann_lsh, text_simhash, text_fingerprint,
+#     dedup_minhash_signatures, docs_sample_hash,
+#     docs_dup_rate_by_source, sq_encode, sq_knn, dedup_embedding,
+#     dedup_simhash, dedup_ngram_jaccard, docs_stratified_sample,
+#     text_chunks, text_language_id, text_quality, text_token_count,
+#     tpch_q1/q3/q5/q6/q10/q12/q19/q22, semi_join_late_orders,
+#     anti_join_idle_customers — after this round NO oracle-paired
+#     entry's last green is older than r9,
+# (e) 2 r9-green early picks (shrinks the 41-entry r12 bulge):
+#     asof_purchase_view, cube_events.
+# Rotated OUT: the r10 greens whose code is untouched since (incl.
+# docs_dsir_weights/_sampled, lineitem_corr, events_hll_rollup, the
+# graph/IVF/PQ §2 set — all r13-due), and hnsw_knn stays rows-only in
+# the tail (window slots go to oracle-paired rows).
+# R12 QUEUE (first picks — the 39 remaining r9 greens, tail order
+# below, docs_split_assign..tpch_q16): they go 3-rounds-stale at r12
+# close, so r12's window must be mostly that cohort; then the 43 r10
+# greens (r13-due).
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
     "knn_exact",
+    # (b) new in r11
     "text_maxsim_search",
     "docs_excise_spans",
-    # (b) r10 code changes (+ the new composed entries)
+    # (c) r11 code changes
+    "customer_rfm",
+    "events_hourly_zscore",
     "docs_pack_sequences",
     "docs_assemble_packs",
+    "docs_mixture_pipeline",
+    "docs_budget_waterfill",
     "docs_materialize_mixture",
     "docs_shuffle_shards",
-    "docs_dsir_weights",
-    "docs_dsir_weights_sampled",
-    "docs_mixture_pipeline",
-    # late r10 scan-audit fixes (single-pass corr; checkpointed day
-    # sketches) — code changed, so they move back IN-window,
-    # displacing nn_descent_graph + knn_graph_degree to the tail head
-    "lineitem_corr",
-    "events_hll_rollup",
-    # (c) the full r10 queue: r5/r6-stale oracle-paired entries
-    "knn_mips",
-    "mmr_rerank",
-    "hybrid_rrf_search",
-    "text_bm25_search",
-    "docs_decontaminate",
-    "dedup_member_bloom",
-    "dedup_incremental",
-    "ann_recall_eval",
-    "ann_lsh_multiprobe",
-    "bq_hamming_knn",
-    "corpus_pipeline_funnel",
-    "docs_quality_weighted_sample",
-    "docs_shared_spans",
-    "events_funnel",
-    "events_hourly_zscore",
-    "events_retention",
-    "events_variant_stats",
-    "knn_classify_vote",
-    "knn_filtered",
-    "lineitem_quantile_check",
-    "multimodal_byte_histogram",
-    "pq_adc_knn",
-    "pq_refine_knn",
-    "purchase_follow_pairs",
-    "sessionize_dynamic_gap",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q7",
-    "tpch_q8",
-    # (d) r8-green §2-coverage picks, rotated a round early
-    "graph_greedy_search",
-    "select_neighbors_pruned",
-    "graph_symmetrize",
-    "nng_blocked",
-    "ivf_knn",
-    "ivf_adc_knn",
-    "ivf_filtered_knn",
-    "pq_encode",
-    "multimodal_metadata",
-    # ---- tail: r11 queue first (remaining r8 greens; dedup_exact and
-    # pq_decode displaced from the window by docs_dsir_weights_sampled
-    # and docs_assemble_packs; knn_graph_degree + nn_descent_graph by
-    # the late scan-audit re-entries lineitem_corr + events_hll_rollup) ----
+    "docs_mixture_weights",
+    # (d) the full r11 queue: every r8-stale oracle-paired entry
     "dedup_exact",
     "pq_decode",
     "knn_graph_degree",
     "nn_descent_graph",
-    "hnsw_knn",
     "ivf_bq_knn",
     "ivf_recall_curve",
     "ivf_cell_stats",
@@ -407,9 +349,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q22",
     "semi_join_late_orders",
     "anti_join_idle_customers",
-    # then the r9 greens (rotate back in by r12)
+    # (e) r9-green early picks
     "asof_purchase_view",
     "cube_events",
+    # ---- tail: r12 queue first (the remaining r9 greens — rotate
+    # them in next round, they hit the 3-round limit at r12) ----
     "docs_split_assign",
     "events_approx_distinct",
     "events_daily_json",
@@ -423,7 +367,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "sessionize_events",
     "setop_converting_days",
     "window_customer_orders",
-    "customer_rfm",
     "dedup_edit_distance",
     "dedup_minhash_lsh",
     "docs_lang_mismatch",
@@ -440,19 +383,62 @@ CATALOG_ORDER: tuple[str, ...] = (
     "kmeans_assign",
     "kmeans_lloyd",
     "dedup_lsh_band_curve",
-    "bq_rotated_knn",  # rows-only (numpy QR rotation); pytest-gated
     "text_unigram_logprob",
     "pq_sdc_pairs",
     "ngram_heavy_hitters",
     "dedup_groups",
     "dedup_keep_canonical",
     "dedup_semantic",
-    "docs_mixture_weights",
-    "docs_budget_waterfill",
     "tpch_q21",
     "tpch_q16",
+    # then the r10 greens (r13-due)
+    "docs_dsir_weights",
+    "docs_dsir_weights_sampled",
+    "lineitem_corr",
+    "events_hll_rollup",
+    "knn_mips",
+    "mmr_rerank",
+    "hybrid_rrf_search",
+    "text_bm25_search",
+    "docs_decontaminate",
+    "dedup_member_bloom",
+    "dedup_incremental",
+    "ann_recall_eval",
+    "ann_lsh_multiprobe",
+    "bq_hamming_knn",
+    "corpus_pipeline_funnel",
+    "docs_quality_weighted_sample",
+    "docs_shared_spans",
+    "events_funnel",
+    "events_retention",
+    "events_variant_stats",
+    "knn_classify_vote",
+    "knn_filtered",
+    "lineitem_quantile_check",
+    "multimodal_byte_histogram",
+    "pq_adc_knn",
+    "pq_refine_knn",
+    "purchase_follow_pairs",
+    "sessionize_dynamic_gap",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q7",
+    "tpch_q8",
+    "graph_greedy_search",
+    "select_neighbors_pruned",
+    "graph_symmetrize",
+    "nng_blocked",
+    "ivf_knn",
+    "ivf_adc_knn",
+    "ivf_filtered_knn",
+    "pq_encode",
+    "multimodal_metadata",
     # rows-only (RNG-dependent or engine-specific float
     # reductions; pytest-gated recall/invariants)
+    "bq_rotated_knn",
+    "hnsw_knn",
     "pca_knn",
     "hnsw_sharded_knn",
     "kmeans_parallel_train",

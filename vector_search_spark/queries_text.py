@@ -535,10 +535,12 @@ def q_text_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     → cosine shortlist → token trigram-embed → pair cos → max → ordered
     sum → rank — so the driver hash checks every stage. At 100 TB the
     first stage swaps to ivf_topk on the pooled vectors (maxsim_rerank
-    is candidate-generator-agnostic); the documents scan appears twice
-    in the main plan (full-corpus token stream + the doc_id<{MS_Q}
-    query-token slice — the second is partition-pruned to the query
-    set)."""
+    is candidate-generator-agnostic). Scan discipline: the corpus is
+    tokenized exactly twice, both inside checkpoint jobs — the pooled
+    vectors and the capped token stream (the serving-side artifacts a
+    real deployment persists); q-tokens re-slice the capped stream
+    (prefix of a prefix), so the main plan reads NO parquet at all
+    (plan-gated)."""
     docs = tables.load(spark, sf_dir, "documents")
     from vector_search_spark.operators import knn as _knn
     from vector_search_spark.operators import ranking
@@ -553,15 +555,15 @@ def q_text_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = short.select("query_id", F.col("vec_id").alias("doc_id"))
     capped = docs.select(
         "doc_id", F.slice(T.tokens("text"), 1, MS_DTOK).alias("t")
-    )
+    ).localCheckpoint()
     d_tok = capped.select(
         "doc_id", F.explode("t").alias("token")
     ).distinct()
     q_tok = (
-        docs.filter(F.col("doc_id") < MS_Q)
+        capped.filter(F.col("doc_id") < MS_Q)
         .select(
             F.col("doc_id").alias("query_id"),
-            F.explode(F.slice(T.tokens("text"), 1, MS_QTOK)).alias("token"),
+            F.explode(F.slice(F.col("t"), 1, MS_QTOK)).alias("token"),
         )
         .distinct()
     )
