@@ -68,6 +68,7 @@ CHANGED_THIS_ROUND = [
     # round 11: new capabilities
     "text_maxsim_search",
     "docs_excise_spans",
+    "rank_eval_ndcg",
     # round 11: rewrites (value-quartile RFM; named zscore grouping)
     "customer_rfm",
     "events_hourly_zscore",

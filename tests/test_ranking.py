@@ -351,3 +351,80 @@ def test_maxsim_over_ivf_candidates(spark):
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(
         range(1, len(out) + 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# rank_eval (nDCG@k / MRR / P@k)
+# ---------------------------------------------------------------------------
+
+
+def test_rank_eval_hand_computed_graded(spark):
+    """Graded-relevance case (the catalog entry is binary, so the
+    general IDCG path is pinned here): DCG/IDCG/MRR/P@k against the
+    textbook formulas."""
+    run = spark.createDataFrame(
+        [(0, 2, 1), (0, 1, 2), (0, 9, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (0, 3, 2.0)],
+        "query_id long, doc_id long, rel double",
+    )
+    [r] = ranking.rank_eval(run, qrels, k=3).collect()
+    dcg = 1.0 / math.log2(2) + 3.0 / math.log2(3)
+    idcg = 3.0 / math.log2(2) + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert r.n_rel_ret == 2
+    assert r.p_at_k == pytest.approx(2 / 3, abs=1e-12)
+    assert r.rr == pytest.approx(1.0, abs=0)
+    assert r.ndcg == pytest.approx(dcg / idcg, abs=1e-12)
+
+
+def test_rank_eval_no_relevant_and_missed_relevant(spark):
+    """A query with no positive judgments scores 0 everywhere (never
+    NULL/NaN); one whose relevant docs were all MISSED scores 0 on
+    ndcg/rr/p but still appears."""
+    run = spark.createDataFrame(
+        [(0, 5, 1), (1, 5, 1)], "query_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 7, 1.0)], "query_id long, doc_id long, rel double"
+    )
+    out = {r.query_id: r for r in ranking.rank_eval(run, qrels, k=5).collect()}
+    for q in (0, 1):
+        r = out[q]
+        assert (r.n_rel_ret, r.p_at_k, r.rr, r.ndcg) == (0, 0.0, 0.0, 0.0), r
+
+
+def test_rank_eval_perfect_ranking_is_one(spark):
+    """Retrieving the ideal ordering scores ndcg exactly 1.0 — the
+    DCG and IDCG folds must run in the same order to cancel."""
+    run = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 3.0), (0, 3, 1.0)],
+        "query_id long, doc_id long, rel double",
+    )
+    [r] = ranking.rank_eval(run, qrels, k=3).collect()
+    assert r.ndcg == pytest.approx(1.0, abs=0)
+    assert r.rr == 1.0 and r.n_rel_ret == 3
+
+
+def test_rank_eval_k_truncates_both_folds(spark):
+    """Ranks beyond k are ignored in DCG, and IDCG stops at k ideal
+    slots even when more positives exist."""
+    run = spark.createDataFrame(
+        [(0, 1, 1), (0, 8, 2), (0, 2, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, d, 1.0) for d in (1, 2, 3, 4)],
+        "query_id long, doc_id long, rel double",
+    )
+    [r] = ranking.rank_eval(run, qrels, k=2).collect()
+    # only rank<=2 counts: d1 hit, d8 miss; ideal = 2 slots
+    dcg = 1.0 / math.log2(2)
+    idcg = 1.0 / math.log2(2) + 1.0 / math.log2(3)
+    assert r.n_rel_ret == 1 and r.p_at_k == pytest.approx(0.5, abs=0)
+    assert r.ndcg == pytest.approx(dcg / idcg, abs=1e-12)

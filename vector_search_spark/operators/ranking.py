@@ -382,3 +382,76 @@ def maxsim_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def rank_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Graded ranking-quality evaluation — the metric suite above
+    :func:`knn.recall_per_query`'s set-overlap recall: per query,
+    nDCG@k (position-discounted, the standard order-sensitive IR
+    metric), MRR (reciprocal rank of the first relevant hit), and
+    P@k. Evaluating a retriever is itself a relational job at corpus
+    scale: ``run`` (query_id, doc_id, rank) is any retriever's output,
+    ``qrels`` (query_id, doc_id, rel) the graded judgments; both joins
+    are on (query_id, doc_id) and every aggregate is per-query, so the
+    work is |run| + |qrels| rows however big the corpus behind them.
+
+    DCG folds rel/log2(rank+1) in ascending rank order and IDCG folds
+    the ideal ordering (rel desc, doc_id tie-break, top-k) the same
+    way — deterministic left-to-right double sums, the bm25/maxsim
+    parity discipline. Queries with no positive judgment score 0 on
+    all three metrics (not NULL/NaN).
+
+    Returns ``(query_id, n_rel_ret bigint, p_at_k double, rr double,
+    ndcg double)`` — one row per query present in ``run``.
+    """
+    rels = qrels.select(
+        "query_id", "doc_id", F.col("rel").cast("double").alias("rel")
+    )
+    r = (
+        run.filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"))
+        .join(rels, ["query_id", "doc_id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0.0)))
+    )
+    contrib = F.col("rel") / F.log2(F.col("rank") + F.lit(1))
+    got = r.withColumn("_c", contrib).groupBy("query_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("rank", "_c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_c"],
+        ).alias("_dcg"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel_ret"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("_minr"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    ideal = (
+        rels.filter(F.col("rel") > 0)
+        .withColumn("_i", F.row_number().over(w))
+        .filter(F.col("_i") <= k)
+        .withColumn("_c", F.col("rel") / F.log2(F.col("_i") + F.lit(1)))
+        .groupBy("query_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("_i", "_c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_c"],
+            ).alias("_idcg")
+        )
+    )
+    return got.join(ideal, "query_id", "left").select(
+        "query_id",
+        "n_rel_ret",
+        (F.col("n_rel_ret").cast("double") / F.lit(float(k))).alias("p_at_k"),
+        F.coalesce(F.lit(1.0) / F.col("_minr"), F.lit(0.0)).alias("rr"),
+        F.when(
+            F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )

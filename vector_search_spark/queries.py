@@ -349,11 +349,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q22",
     "semi_join_late_orders",
     "anti_join_idle_customers",
-    # (e) r9-green early picks
+    # (b') late r11 add: ranking-quality eval (nDCG/MRR/P@k) — new
+    # entries start in-window; displaced the cube_events early pick
+    "rank_eval_ndcg",
+    # (e) r9-green early pick
     "asof_purchase_view",
-    "cube_events",
     # ---- tail: r12 queue first (the remaining r9 greens — rotate
     # them in next round, they hit the 3-round limit at r12) ----
+    "cube_events",
     "docs_split_assign",
     "events_approx_distinct",
     "events_daily_json",

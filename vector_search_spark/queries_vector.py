@@ -1368,6 +1368,95 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn.recall_per_query(approx, truth, k=KNN_K)
 
 
+NDCG_Q = 20  # rank_eval query set: vec_id < 20
+
+
+@register(
+    "rank_eval_ndcg",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+  FROM embeddings WHERE vec_id < {NDCG_Q}
+),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS bv, label FROM embeddings),
+s AS (
+  SELECT q.query_id, b.vec_id, {_L2.format(a="q.qv", b="b.bv")} AS d,
+         CASE WHEN b.label = q.label THEN 1.0 ELSE 0.0 END AS rel
+  FROM b CROSS JOIN q
+),
+run AS (
+  SELECT query_id, vec_id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS r
+  FROM s
+  QUALIFY r <= {KNN_K}
+),
+got AS (
+  SELECT query_id,
+         list_sum(list(rel / log2(r + 1) ORDER BY r)) AS dcg,
+         CAST(count(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS n_rel_ret,
+         min(CASE WHEN rel > 0 THEN r END) AS minr
+  FROM run GROUP BY query_id
+),
+ideal AS (
+  SELECT q.query_id,
+         least(CAST(count(*) AS BIGINT), {KNN_K}) AS m
+  FROM q JOIN b ON b.label = q.label
+  GROUP BY q.query_id
+),
+idcg AS (
+  SELECT query_id,
+         list_sum(list_transform(range(1, m + 1), i -> 1.0 / log2(i + 1)))
+           AS idcg
+  FROM ideal
+)
+SELECT g.query_id, g.n_rel_ret,
+       (ROUND(g.n_rel_ret / {KNN_K}.0, 6) + 0.0) AS p_at_k,
+       (ROUND(COALESCE(1.0 / g.minr, 0.0), 6) + 0.0) AS rr,
+       (ROUND(CASE WHEN i.idcg > 0 THEN g.dcg / i.idcg ELSE 0.0 END, 6)
+        + 0.0) AS ndcg
+FROM got g LEFT JOIN idcg i ON i.query_id = g.query_id
+""",
+    "vector",
+    "eval",
+)
+def q_rank_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of exact L2 retrieval judged by label
+    agreement (binary qrels: a hit is relevant iff it carries the
+    query's label): per-query nDCG@{KNN_K}, MRR, and P@{KNN_K} via
+    ranking.rank_eval — the order-sensitive complement to
+    ann_recall_eval's set recall. Self-matches rank 1 with their own
+    label, so MRR is 1.0 by construction and the discriminating signal
+    is nDCG/P@k over the remaining slots. The oracle replays the
+    search, the discounted fold in ascending rank order, and the
+    closed-form binary ideal (idcg = Σ 1/log2(i+1), i ≤ min(R, k));
+    the engine computes IDCG generally from the graded qrels — the
+    binary case makes them identical."""
+    from vector_search_spark.operators import knn as _knn
+    from vector_search_spark.operators import ranking
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < NDCG_Q)
+    run = _knn.brute_force_knn(queries, emb, k=KNN_K).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    qrels = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("_bl")),
+            F.col("label") == F.col("_bl"),
+        )
+        .select("query_id", "doc_id", F.lit(1.0).alias("rel"))
+    )
+    out = ranking.rank_eval(run, qrels, k=KNN_K)
+    return out.select(
+        "query_id",
+        "n_rel_ret",
+        rnd("p_at_k").alias("p_at_k"),
+        rnd("rr").alias("rr"),
+        rnd("ndcg").alias("ndcg"),
+    )
+
+
 @register(
     "knn_mips",
     f"""
