@@ -69,6 +69,7 @@ CHANGED_THIS_ROUND = [
     "text_maxsim_search",
     "docs_excise_spans",
     "rank_eval_ndcg",
+    "text_chunk_retrieval",
     # round 11: rewrites (value-quartile RFM; named zscore grouping)
     "customer_rfm",
     "events_hourly_zscore",

@@ -349,13 +349,14 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q22",
     "semi_join_late_orders",
     "anti_join_idle_customers",
-    # (b') late r11 add: ranking-quality eval (nDCG/MRR/P@k) — new
-    # entries start in-window; displaced the cube_events early pick
+    # (b') late r11 adds: ranking-quality eval (nDCG/MRR/P@k) and
+    # chunk-retrieval parent pooling — new entries start in-window;
+    # they displaced the cube_events and asof_purchase_view early picks
     "rank_eval_ndcg",
-    # (e) r9-green early pick
-    "asof_purchase_view",
+    "text_chunk_retrieval",
     # ---- tail: r12 queue first (the remaining r9 greens — rotate
     # them in next round, they hit the 3-round limit at r12) ----
+    "asof_purchase_view",
     "cube_events",
     "docs_split_assign",
     "events_approx_distinct",

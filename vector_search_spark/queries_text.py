@@ -576,6 +576,157 @@ def q_text_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CR_Q = 4  # chunk-retrieval query docs: doc_id < 4
+CR_CHUNK = 32  # tokens per chunk
+CR_CK = 30  # chunk-level shortlist per query
+CR_K = 5  # final documents per query
+CR_STRIDE = 1 << 20  # chunk uid = doc_id * stride + chunk_id
+
+
+@register(
+    "text_chunk_retrieval",
+    f"""
+WITH {_TOKS},
+tok AS (
+  SELECT doc_id, unnest(t) AS token, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+),
+ct AS (
+  SELECT doc_id * {CR_STRIDE} + (pos // {CR_CHUNK}) AS cid, token FROM tok
+),
+chh AS (SELECT cid, {T.sql_h32("token")} AS h FROM ct),
+cvals AS (
+  SELECT cid, CAST(h % {HE_DIM} AS INT) AS bucket,
+         SUM(CASE WHEN (h // {HE_DIM}) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM chh GROUP BY cid, bucket
+),
+cspine AS (
+  SELECT c.cid, r.i
+  FROM (SELECT DISTINCT cid FROM cvals) c
+  CROSS JOIN (SELECT CAST(unnest(range(0, {HE_DIM})) AS INT) AS i) r
+),
+cvecs AS (
+  SELECT s.cid, list(coalesce(v.v, 0.0) ORDER BY s.i) AS vec
+  FROM cspine s LEFT JOIN cvals v ON v.cid = s.cid AND v.bucket = s.i
+  GROUP BY s.cid
+),
+qhh AS (
+  SELECT doc_id, {T.sql_h32("token")} AS h FROM tok WHERE doc_id < {CR_Q}
+),
+qvals AS (
+  SELECT doc_id, CAST(h % {HE_DIM} AS INT) AS bucket,
+         SUM(CASE WHEN (h // {HE_DIM}) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM qhh GROUP BY doc_id, bucket
+),
+qspine AS (
+  SELECT d.doc_id, r.i
+  FROM (SELECT DISTINCT doc_id FROM qvals) d
+  CROSS JOIN (SELECT CAST(unnest(range(0, {HE_DIM})) AS INT) AS i) r
+),
+qvecs AS (
+  SELECT s.doc_id AS query_id, list(coalesce(v.v, 0.0) ORDER BY s.i) AS qv
+  FROM qspine s LEFT JOIN qvals v ON v.doc_id = s.doc_id AND v.bucket = s.i
+  GROUP BY s.doc_id
+),
+sc AS (
+  SELECT q.query_id, c.cid,
+         1.0 - CASE WHEN sqrt({_DOT.format(a="q.qv", b="q.qv")})
+                       * sqrt({_DOT.format(a="c.vec", b="c.vec")}) = 0
+                    THEN 0.0
+                    ELSE {_DOT.format(a="q.qv", b="c.vec")}
+                         / (sqrt({_DOT.format(a="q.qv", b="q.qv")})
+                            * sqrt({_DOT.format(a="c.vec", b="c.vec")}))
+               END AS d
+  FROM cvecs c CROSS JOIN qvecs q
+),
+topc AS (
+  SELECT query_id, cid, d
+  FROM sc
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cid)
+          <= {CR_CK}
+),
+pooled AS (
+  SELECT query_id, cid // {CR_STRIDE} AS doc_id,
+         CAST(cid % {CR_STRIDE} AS INT) AS best_chunk, d
+  FROM topc
+  QUALIFY row_number() OVER (PARTITION BY query_id, cid // {CR_STRIDE}
+                             ORDER BY d, cid) = 1
+)
+SELECT query_id, doc_id, best_chunk, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id)
+            AS INT) AS "rank"
+FROM pooled
+QUALIFY "rank" <= {CR_K}
+""",
+    "text",
+    "vector",
+    "retrieval",
+)
+def q_text_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage retrieval with parent-document max-pooling — the RAG
+    long-document serving pattern: split documents into {CR_CHUNK}-token
+    chunks (textstats.chunk_tokens), hash-embed each chunk, retrieve the
+    top-{CR_CK} chunks per query by cosine, then pool to documents
+    (each doc scored by its BEST chunk, argmin tie to the lowest
+    chunk_id) and rank the top-{CR_K} docs. Chunk uid = doc_id * 2^20 +
+    chunk_id — the module's stride trick — so the pooling is integer
+    arithmetic on the id.
+
+    Scan discipline: both embedding tables are checkpointed artifacts
+    (a deployment persists the chunk index); the main plan reads no
+    parquet. At scale the chunk-level search swaps to ivf_topk over the
+    chunk vectors — pooling is unchanged. The oracle replays chunking
+    (position-derived chunk membership), both embeds, the chunk
+    shortlist, and both pooling windows."""
+    docs = tables.load(spark, sf_dir, "documents")
+    from vector_search_spark.operators import knn as _knn
+    from pyspark.sql import Window
+
+    chunks = textstats.chunk_tokens(docs, chunk_size=CR_CHUNK).select(
+        (F.col("doc_id") * F.lit(int(CR_STRIDE)) + F.col("chunk_id")).alias(
+            "cid"
+        ),
+        "chunk_text",
+    )
+    cvecs = textstats.hashing_embed(
+        chunks, dim=HE_DIM, text_col="chunk_text", id_col="cid"
+    ).localCheckpoint()
+    qvecs = textstats.hashing_embed(
+        docs.filter(F.col("doc_id") < CR_Q), dim=HE_DIM
+    ).localCheckpoint()
+    topc = _knn.brute_force_knn(
+        qvecs, cvecs, k=CR_CK, metric="cosine",
+        query_id_col="doc_id", query_vec_col="vec",
+        base_id_col="cid", base_vec_col="vec",
+    )
+    p = topc.select(
+        "query_id",
+        F.expr(f"CAST(vec_id DIV {int(CR_STRIDE)} AS BIGINT)").alias(
+            "doc_id"
+        ),
+        F.pmod(F.col("vec_id"), F.lit(int(CR_STRIDE)))
+        .cast("int")
+        .alias("best_chunk"),
+        F.col("vec_id").alias("cid"),
+        "dist",
+    )
+    w_pool = Window.partitionBy("query_id", "doc_id").orderBy("dist", "cid")
+    pooled = (
+        p.withColumn("_rn", F.row_number().over(w_pool))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "cid")
+    )
+    w_doc = Window.partitionBy("query_id").orderBy("dist", "doc_id")
+    return (
+        pooled.withColumn("rank", F.row_number().over(w_doc).cast("int"))
+        .filter(F.col("rank") <= CR_K)
+        .select(
+            "query_id", "doc_id", "best_chunk",
+            rnd("dist").alias("dist"), "rank",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
