@@ -70,6 +70,7 @@ CHANGED_THIS_ROUND = [
     "docs_excise_spans",
     "rank_eval_ndcg",
     "text_chunk_retrieval",
+    "docs_pack_boundaries",
     # round 11: rewrites (value-quartile RFM; named zscore grouping)
     "customer_rfm",
     "events_hourly_zscore",

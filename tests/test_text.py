@@ -1370,3 +1370,74 @@ def test_excise_span_n_guard(spark):
     docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="span_n"):
         dedup.excise_spans(docs, span_n=0)
+
+
+# ---------------------------------------------------------------------------
+# Pack boundary segments (textstats.pack_boundaries)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_boundaries_tile_and_conserve(spark):
+    """Per pack, the sorted segments tile [0, pack length) with no gap
+    or overlap; per document they sum to n_toks; zero-size docs emit
+    nothing. Hand-checkable layout: sizes 5,3,4 with ctx=4 ->
+    pack0=[d0:0..4), pack1=[d0:0..1)[d1:1..4), pack2=[d2:0..4)."""
+    rows = [(0, 5), (1, 3), (2, 4), (3, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_toks int")
+    segs = textstats.pack_boundaries(
+        df, ctx=4, shard_size=2
+    ).collect()
+    got = {(r.pack_id, r.doc_id): (r.start_slot, r.n_slots) for r in segs}
+    assert got == {
+        (0, 0): (0, 4),
+        (1, 0): (0, 1),
+        (1, 1): (1, 3),
+        (2, 2): (0, 4),
+    }
+    # per-doc conservation
+    per_doc = {}
+    for r in segs:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_slots
+    assert per_doc == {0: 5, 1: 3, 2: 4}  # doc 3 (0 tokens) absent
+
+
+def test_pack_boundaries_match_assemble_packs(spark):
+    """Cross-operator consistency on real text: for every pack, the
+    boundary segments must tile exactly the token count
+    assemble_packs put in that pack, and segment starts must be
+    contiguous in slot order."""
+    docs = tables.load(spark, SF_ORACLE, "documents").limit(120)
+    from vector_search_spark.functions import texts as T
+
+    n = (
+        docs.select("doc_id", T.tokens("text").alias("t"))
+        .withColumn("n_toks", F.size("t"))
+        .filter(F.col("n_toks") > 0)
+        .localCheckpoint()
+    )
+    packs = {
+        r.pack_id: r.n_toks
+        for r in textstats.assemble_packs(
+            n, ctx=64, shard_size=16, checkpoint=False
+        ).collect()
+    }
+    segs = {}
+    for r in textstats.pack_boundaries(
+        n.select("doc_id", "n_toks"), ctx=64, shard_size=16
+    ).collect():
+        segs.setdefault(r.pack_id, []).append((r.start_slot, r.n_slots))
+    assert set(segs) == set(packs)
+    for pid, ss in segs.items():
+        ss.sort()
+        pos = 0
+        for start, width in ss:
+            assert start == pos, (pid, ss)  # contiguous, no gap/overlap
+            assert width > 0
+            pos += width
+        assert pos == packs[pid], (pid, pos, packs[pid])
+
+
+def test_pack_boundaries_ctx_guard(spark):
+    df = spark.createDataFrame([(0, 3)], "doc_id long, n_toks int")
+    with pytest.raises(ValueError, match="ctx"):
+        textstats.pack_boundaries(df, ctx=0)

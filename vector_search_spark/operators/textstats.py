@@ -784,6 +784,64 @@ def assemble_packs(
     )
 
 
+def pack_boundaries(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_toks",
+    ctx: int = 2048,
+    shard_size: int = 1 << 20,
+) -> DataFrame:
+    """Per-pack DOCUMENT BOUNDARY segments — the metadata a trainer
+    needs next to :func:`assemble_packs`: packed sequences concatenate
+    unrelated documents, so attention must be masked block-diagonal
+    and position ids reset at document starts. Each output row says
+    "slots [start_slot, start_slot + n_slots) of pack ``pack_id``
+    belong to document ``id_col``" — exactly the segment table a
+    collator turns into attention masks / position_ids.
+
+    Pure offset arithmetic on :func:`prefix_sum_offsets` (the text
+    never moves): a document at global offset ``off`` with ``n``
+    tokens spans packs ``off div ctx .. (off+n-1) div ctx``; one
+    bounded explode (n/ctx + 1 rows per doc) and a projection clip
+    each intersection. No shuffle beyond the offset pass itself.
+
+    Rows with ``size_col`` <= 0 own no slots and emit no segments
+    (the packing-family contract — same as :func:`assemble_packs`'s
+    zero-token exclusion, not silent loss). Returns ``(pack_id int,
+    id_col, start_slot int, n_slots int)``; per pack the segments
+    tile [0, pack length) exactly, and per document they sum to
+    ``size_col`` — both invariants are what make the table usable as
+    a mask spec, and both are test-gated.
+    """
+    if ctx < 1:
+        raise ValueError(f"ctx must be >= 1, got {ctx}")
+    ofs = prefix_sum_offsets(
+        df.filter(F.col(size_col) > 0),
+        id_col=id_col,
+        size_col=size_col,
+        shard_size=shard_size,
+    )
+    first = F.floor(F.col("off") / F.lit(int(ctx))).cast("long")
+    last = F.floor(
+        (F.col("off") + F.col(size_col) - 1) / F.lit(int(ctx))
+    ).cast("long")
+    seg = ofs.select(
+        id_col,
+        F.col("off"),
+        F.col(size_col).cast("long").alias("_n"),
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    )
+    pstart = F.col("pack_id") * F.lit(int(ctx))
+    seg_start = F.greatest(F.col("off"), pstart)
+    seg_end = F.least(F.col("off") + F.col("_n"), pstart + F.lit(int(ctx)))
+    return seg.select(
+        F.col("pack_id").cast("int").alias("pack_id"),
+        id_col,
+        (seg_start - pstart).cast("int").alias("start_slot"),
+        (seg_end - seg_start).cast("int").alias("n_slots"),
+    )
+
+
 def value_cume_dist(
     df: DataFrame,
     col: str,

@@ -354,8 +354,16 @@ CATALOG_ORDER: tuple[str, ...] = (
     # they displaced the cube_events and asof_purchase_view early picks
     "rank_eval_ndcg",
     "text_chunk_retrieval",
-    # ---- tail: r12 queue first (the remaining r9 greens — rotate
-    # them in next round, they hit the 3-round limit at r12) ----
+    # ---- tail ----
+    # docs_pack_boundaries is NEW but starts at the tail head: the
+    # window is exactly full with the MANDATORY 36-entry r8-stale
+    # rotation (the 3-round freshness limit outranks the
+    # new-entries-start-in-window rule this once); its oracle pairing
+    # is verified by the local pytest gate this round and it is the
+    # r12 window's first pick.
+    "docs_pack_boundaries",
+    # r12 queue next (the remaining r9 greens — rotate them in next
+    # round, they hit the 3-round limit at r12)
     "asof_purchase_view",
     "cube_events",
     "docs_split_assign",

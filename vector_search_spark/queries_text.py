@@ -1915,6 +1915,57 @@ def q_docs_assemble_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_pack_boundaries",
+    f"""
+WITH {_TOKS},
+n AS (SELECT doc_id, len(t) AS n_toks FROM toks WHERE len(t) > 0),
+ofs AS (
+  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM n
+),
+seg AS (
+  SELECT doc_id, off, n_toks,
+         unnest(range(off // {PACK_CTX},
+                      (off + n_toks - 1) // {PACK_CTX} + 1)) AS pack_id
+  FROM ofs
+)
+SELECT CAST(pack_id AS INT) AS pack_id, doc_id,
+       CAST(greatest(off, pack_id * {PACK_CTX}) - pack_id * {PACK_CTX}
+            AS INT) AS start_slot,
+       CAST(least(off + n_toks, (pack_id + 1) * {PACK_CTX})
+            - greatest(off, pack_id * {PACK_CTX}) AS INT) AS n_slots
+FROM seg
+""",
+    "text",
+    "pipeline",
+    "ops",
+)
+def q_docs_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack document boundary segments
+    (textstats.pack_boundaries) — the attention-mask / position-reset
+    metadata next to docs_assemble_packs: packed sequences concatenate
+    unrelated documents, so the trainer needs, for every pack, which
+    slot ranges belong to which document (block-diagonal masks,
+    position_ids resets). Pure offset arithmetic + one bounded
+    explode; the text never moves. Per pack the segments tile
+    [0, pack length) exactly and per document they sum to n_toks —
+    tiling is unit-gated, and the oracle recomputes every
+    (pack, doc, start_slot, n_slots) cell."""
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", F.size(T.tokens("text")).alias("n_toks")
+    )
+    return textstats.pack_boundaries(
+        n, id_col="doc_id", size_col="n_toks",
+        ctx=PACK_CTX, shard_size=PACK_SHARD,
+    )
+
+
+@register(
     "text_token_entropy",
     f"""
 WITH {_TOKS},
