@@ -65,24 +65,17 @@ HEADLINE = [
 # top-N cut. Checked against the catalog at startup — a stale name
 # here fails loudly instead of silently guarding nothing.
 CHANGED_THIS_ROUND = [
-    # round 11: new capabilities
-    "text_maxsim_search",
-    "docs_excise_spans",
-    "rank_eval_ndcg",
-    "text_chunk_retrieval",
-    "docs_pack_boundaries",
-    # round 11: rewrites (value-quartile RFM; named zscore grouping)
+    # round 12: new capabilities
+    "docs_pii_scrub",
+    "docs_line_dedup",
+    "docs_source_scorecard",
+    # round 12: code/plan changes (r11 advice fixes + the funnel's new
+    # pii_clean stage): monetary two-level quartile + de-broadcast,
+    # in-plan excise key guard, maxsim shortlist coverage
     "customer_rfm",
-    "events_hourly_zscore",
-    # round 11: consumers of the bounded_alias-tagged operators
-    # (prefix_sum_offsets / waterfill_budget / mixture_weights)
-    "docs_pack_sequences",
-    "docs_assemble_packs",
-    "docs_mixture_pipeline",
-    "docs_budget_waterfill",
-    "docs_materialize_mixture",
-    "docs_shuffle_shards",
-    "docs_mixture_weights",
+    "docs_excise_spans",
+    "text_maxsim_search",
+    "corpus_pipeline_funnel",
 ]
 
 TOP_N = 20
@@ -110,7 +103,9 @@ def _materialize(df) -> int:
     return 0
 
 
-def _serving_latency(spark, sf_dir: str) -> dict[str, float]:
+def _serving_latency(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, int]]:
     """Small-batch serving latency for the two production serving paths
     (round-6 judge #5): the catalog rows measure BATCH throughput; a
     100 TB deployment's second question after recall is per-query-batch
@@ -126,6 +121,12 @@ def _serving_latency(spark, sf_dir: str) -> dict[str, float]:
     shard graphs inside the cogroup by design) — the time is fixed job
     overhead, not per-query work. A future nq=1 reading that scales
     with nq would mean a serving path lost its broadcast/pruned shape.
+
+    Returns (min latency, all rep walls, job count of the min rep) per
+    path×nq — the same attributability fields the query rows carry
+    (r11 advice: r11's 0.50->0.67 s ivf nq1 swing had no serving-side
+    code change and no field to prove it was scheduler noise; stable
+    jobs + moving wall = noise, by the round-10 protocol).
     """
     import numpy as np  # noqa: F401 — centroid model round-trips numpy
 
@@ -139,6 +140,9 @@ def _serving_latency(spark, sf_dir: str) -> dict[str, float]:
     C = kmeans.train_coarse(emb, k=16, seed=42)
     assigned = ivf.assign_clusters(emb, C).localCheckpoint()
     out: dict[str, float] = {}
+    rep_walls: dict[str, list[float]] = {}
+    jobs: dict[str, int] = {}
+    sc = spark.sparkContext
     for nq in (1, 16):
         queries = emb.filter(F.col("vec_id") < nq).localCheckpoint()
         paths = {
@@ -151,13 +155,22 @@ def _serving_latency(spark, sf_dir: str) -> dict[str, float]:
             ),
         }
         for pname, fn in paths.items():
+            key = f"{pname}_nq{nq}"
             best = float("inf")
-            for _ in range(3):
+            for r in range(3):
+                group = f"bench:serving:{key}:{r}"
+                sc.setJobGroup(group, f"serving {key} rep {r}")
                 t0 = time.perf_counter()
                 _materialize(fn())
-                best = min(best, time.perf_counter() - t0)
-            out[f"{pname}_nq{nq}"] = round(best, 3)
-    return out
+                dt = time.perf_counter() - t0
+                rep_walls.setdefault(key, []).append(round(dt, 3))
+                if dt < best:
+                    best = dt
+                    jobs[key] = len(
+                        sc.statusTracker().getJobIdsForGroup(group)
+                    )
+            out[key] = round(best, 3)
+    return out, rep_walls, jobs
 
 
 def main() -> None:
@@ -273,9 +286,13 @@ def main() -> None:
     # Small-batch serving latency (separate from the throughput rows;
     # skippable via env for quick runs)
     latency: dict[str, float] = {}
+    serving_reps: dict[str, list[float]] = {}
+    serving_jobs: dict[str, int] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_LATENCY", "1") != "0":
         try:
-            latency = _serving_latency(spark, sf_dir)
+            latency, serving_reps, serving_jobs = _serving_latency(
+                spark, sf_dir
+            )
         except Exception as e:  # pragma: no cover — must not kill bench
             print(f"bench: latency probe FAILED: {e}", file=sys.stderr)
 
@@ -310,6 +327,8 @@ def main() -> None:
         query_reps=rep_times,
         query_spread=spread,
         query_jobs=job_counts,
+        serving_reps=serving_reps,
+        serving_jobs=serving_jobs,
         changed_this_round=CHANGED_THIS_ROUND,
     )
     with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:

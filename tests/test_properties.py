@@ -673,3 +673,63 @@ def test_excise_spans_conservation_and_first_keeper(session, seed, n_docs, span_
         assert r.n_kept + r.n_removed == r.n_orig, r
         assert len(kept) == r.n_kept, r
         assert is_subseq(kept, orig), (kept, orig)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(1, 8),
+    min_chars=st.integers(0, 3),
+)
+def test_line_dedup_matches_naive_reference(session, seed, n_docs, min_chars):
+    """line_dedup on arbitrary small corpora vs a sequential Python
+    reference of the spec (corpus-wide keep-first by (doc_id, pos),
+    lines under min_chars always kept): identical kept lines per doc,
+    conservation everywhere. Tiny line vocab makes cross- and
+    within-doc repeats likely — the interesting regime."""
+    from vector_search_spark.operators import dedup
+
+    rng = np.random.default_rng(seed)
+    vocab = ["", "x", "yy", "zzz", "wwww"]
+    rows = [
+        (
+            i,
+            "\n".join(
+                vocab[rng.integers(0, len(vocab))]
+                for _ in range(rng.integers(1, 6))
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    df = session.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.line_dedup(df, min_chars=min_chars).collect()
+    }
+    assert set(out) == {i for i, _ in rows}
+
+    # sequential reference: first (doc, pos) wins per distinct line
+    seen: set[str] = set()
+    want: dict[int, list[str]] = {}
+    counts: dict[str, int] = {}
+    for i, text in rows:
+        for line in text.split("\n"):
+            counts[line] = counts.get(line, 0) + 1
+    for i, text in rows:
+        want[i] = []
+        for line in text.split("\n"):
+            if len(line) < min_chars or counts[line] == 1:
+                want[i].append(line)
+            elif line not in seen:
+                seen.add(line)
+                want[i].append(line)
+    for i, text in rows:
+        r = out[i]
+        kept = r.clean_text.split("\n") if r.n_kept else []
+        assert kept == want[i], (i, kept, want[i])
+        assert r.n_lines == len(text.split("\n")), r
+        assert r.n_kept + r.n_removed == r.n_lines, r

@@ -222,6 +222,26 @@ def test_maxsim_scores_only_shortlist_pairs(spark):
     assert {r.doc_id for r in out} == {1, 2}
 
 
+def test_maxsim_tokenless_shortlist_pair_scores_zero(spark):
+    """Shortlist-coverage contract (r11 advice): a shortlisted doc with
+    NO embeddable token rows (doc 9 never appears in d_tokens) must
+    surface with score 0.0 and a rank — not silently vanish from the
+    re-ranked output."""
+    docs, q_tok, d_tok, tvecs = _maxsim_fixture(spark)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 9)], "query_id long, doc_id long"
+    )
+    out = {
+        r.doc_id: r
+        for r in ranking.maxsim_rerank(
+            pairs, q_tok, d_tok, tvecs, k=10
+        ).collect()
+    }
+    assert set(out) == {1, 9}
+    assert out[9].score == 0.0
+    assert out[1].score > 0.0 and out[1].rank == 1 and out[9].rank == 2
+
+
 def test_maxsim_self_and_duplicate_score_full_marks(spark):
     """Every NONZERO-norm query token finds itself (cos=1) in the
     query's own doc and in a superset near-duplicate, so both score

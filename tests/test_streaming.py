@@ -604,3 +604,36 @@ def test_incremental_pq_refresh_rejects_old_append_layout(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert not q.isActive
+
+
+def test_pii_scrub_streams_equals_batch(spark, tmp_path):
+    """pii_scrub is a stateless codegen'd projection, so it composes
+    with Structured Streaming unchanged — the scrub-on-ingest shape a
+    production pipeline runs before anything lands in the lake. File
+    stream over a docs directory == the batch result."""
+    from vector_search_spark.operators import textstats
+
+    rows = [
+        (0, "clean doc"),
+        (1, "mail a@b.io now"),
+        (2, "host 10.0.0.7 ssn 123-45-6789"),
+        (3, "call 555-123-4567 or 555.987.6543"),
+    ]
+    d = tmp_path / "docs.parquet"
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(d))
+    batch = {
+        r.doc_id: r for r in textstats.pii_scrub(df).collect()
+    }
+    stream_in = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d)
+    )
+    got = {
+        r.doc_id: r
+        for r in _run_stream(
+            spark, textstats.pii_scrub(stream_in), "pii_stream", "append"
+        ).collect()
+    }
+    assert set(got) == set(batch) == {0, 1, 2, 3}
+    for k in batch:
+        assert got[k] == batch[k], k

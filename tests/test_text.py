@@ -930,6 +930,20 @@ def test_prefix_sum_offsets_raises_on_null_id(spark):
         textstats.prefix_sum_offsets(df).collect()
 
 
+def test_prefix_sum_offsets_rejects_reserved_column_clash(spark):
+    """An input that already carries `_shard` would make the
+    select('*', bounded_alias(..)) emit a DUPLICATE column and the
+    downstream F.col('_shard') die with an ambiguous-reference
+    AnalysisException (while `_inoff`/`_base` would be silently
+    replaced) — the guard fails loud up front instead (r11 advice;
+    materialize_mixture precedent)."""
+    df = spark.createDataFrame(
+        [(1, 2, 9)], "doc_id long, n_toks int, _shard int"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        textstats.prefix_sum_offsets(df)
+
+
 def test_lsh_band_curve_rejects_empty_r_values(spark, docs):
     with pytest.raises(ValueError, match="non-empty"):
         dedup.lsh_band_curve(docs, r_values=())
@@ -1372,6 +1386,20 @@ def test_excise_span_n_guard(spark):
         dedup.excise_spans(docs, span_n=0)
 
 
+def test_excise_negative_id_raises_in_plan(spark):
+    """The keep-first key doc_id*2^20+pos silently collides across
+    documents when doc_id < 0 (or pos >= 2^20) — the key build raises
+    in-plan instead of keeping/excising the WRONG occurrence (r11
+    advice). The duplicated span across ids -1 and 1 forces the key
+    expression to evaluate on the bad row."""
+    docs = spark.createDataFrame(
+        [(-1, "a b c d e f"), (1, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="collide"):
+        dedup.excise_spans(docs, span_n=5).collect()
+
+
 # ---------------------------------------------------------------------------
 # Pack boundary segments (textstats.pack_boundaries)
 # ---------------------------------------------------------------------------
@@ -1441,3 +1469,159 @@ def test_pack_boundaries_ctx_guard(spark):
     df = spark.createDataFrame([(0, 3)], "doc_id long, n_toks int")
     with pytest.raises(ValueError, match="ctx"):
         textstats.pack_boundaries(df, ctx=0)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (textstats.pii_scrub) — round 12
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Each PII type is counted on the raw text and redacted to its
+    placeholder; shapes are disjoint on well-formed text, so inserted
+    placeholders == counts (the conservation property)."""
+    df = spark.createDataFrame(
+        [
+            (0, "no pii here"),
+            (1, "mail a.b+c@sub.example.org and x@y.io now"),
+            (2, "hosts 10.0.0.1 and 192.168.254.3"),
+            (3, "ssn 123-45-6789 phone 555-123-4567 alt 555.123.4567"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    assert (out[0].n_email, out[0].n_ip, out[0].n_id, out[0].n_phone) == (
+        0, 0, 0, 0,
+    )
+    assert out[0].clean_text == "no pii here"
+    assert out[1].n_email == 2
+    assert out[1].clean_text == "mail <EMAIL> and <EMAIL> now"
+    assert out[2].n_ip == 2
+    assert out[2].clean_text == "hosts <IP> and <IP>"
+    assert (out[3].n_id, out[3].n_phone) == (1, 2)
+    assert out[3].clean_text == "ssn <ID> phone <PHONE> alt <PHONE>"
+    # conservation: placeholders inserted == counts
+    for r in out.values():
+        for typ, n in (
+            ("<EMAIL>", r.n_email),
+            ("<IP>", r.n_ip),
+            ("<ID>", r.n_id),
+            ("<PHONE>", r.n_phone),
+        ):
+            assert r.clean_text.count(typ) == n
+
+
+def test_pii_scrub_word_boundaries_reject_near_misses(spark):
+    """\\b + digit-group widths keep the patterns precise: longer digit
+    runs, 3-part dotted numbers, and 1-char TLDs are NOT matches."""
+    df = spark.createDataFrame(
+        [(0, "edge 1234-45-6789 or 12.3.4 or x@y.z or 123-45-67890")],
+        "doc_id long, text string",
+    )
+    [r] = textstats.pii_scrub(df).collect()
+    assert (r.n_email, r.n_ip, r.n_id, r.n_phone) == (0, 0, 0, 0)
+    assert r.clean_text == "edge 1234-45-6789 or 12.3.4 or x@y.z or 123-45-67890"
+
+
+def test_pii_total_agrees_with_scrub_counts(spark):
+    """pii_total is the drop-form filter twin of pii_scrub — same
+    expressions, so it must equal the sum of the per-type counts."""
+    df = spark.createDataFrame(
+        [
+            (0, "a@b.io and 1.2.3.4 and 987-65-4321 and 321-654-0987"),
+            (1, "clean"),
+        ],
+        "doc_id long, text string",
+    )
+    tot = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", textstats.pii_total("text").alias("t")
+        ).collect()
+    }
+    cnt = {
+        r.doc_id: r.n_email + r.n_ip + r.n_id + r.n_phone
+        for r in textstats.pii_scrub(df).collect()
+    }
+    assert tot == cnt == {0: 4, 1: 0}
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (dedup.line_dedup) — round 12
+# ---------------------------------------------------------------------------
+
+
+def _line_dedup(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in dedup.line_dedup(df, **kw).collect()}
+
+
+def test_line_dedup_keep_first_across_docs(spark):
+    """A line repeated corpus-wide survives only at its smallest
+    (doc_id, position); unique lines always survive."""
+    out = _line_dedup(
+        spark,
+        [
+            (0, "header\nbody zero\nfooter"),
+            (1, "header\nbody one\nfooter"),
+        ],
+    )
+    assert out[0].clean_text == "header\nbody zero\nfooter"
+    assert out[1].clean_text == "body one"
+    assert (out[1].n_lines, out[1].n_kept, out[1].n_removed) == (3, 1, 2)
+
+
+def test_line_dedup_within_doc_repeat_keeps_first(spark):
+    out = _line_dedup(spark, [(5, "dup\nmid\ndup\ndup")])
+    assert out[5].clean_text == "dup\nmid"
+    assert (out[5].n_lines, out[5].n_kept, out[5].n_removed) == (4, 2, 2)
+
+
+def test_line_dedup_empty_lines_exempt(spark):
+    """min_chars=1 (default) exempts empty lines — paragraph breaks
+    survive everywhere instead of deduping to the global first."""
+    out = _line_dedup(
+        spark, [(0, "a\n\nb"), (1, "c\n\nd"), (2, "\n\n")]
+    )
+    assert out[0].clean_text == "a\n\nb"
+    assert out[1].clean_text == "c\n\nd"
+    assert out[2].clean_text == "\n\n" and out[2].n_removed == 0
+
+
+def test_line_dedup_min_chars_exempts_short_lines(spark):
+    """Raising min_chars exempts short repeated lines from dedup."""
+    out = _line_dedup(
+        spark, [(0, "yes\nlong repeated line"), (1, "yes\nlong repeated line")],
+        min_chars=4,
+    )
+    # 'yes' (3 chars) exempt everywhere; the long line dedups
+    assert out[0].clean_text == "yes\nlong repeated line"
+    assert out[1].clean_text == "yes"
+    with pytest.raises(ValueError, match="min_chars"):
+        dedup.line_dedup(
+            spark.createDataFrame([(0, "x")], "doc_id long, text string"),
+            min_chars=-1,
+        )
+
+
+def test_line_dedup_conservation_and_all_removed(spark):
+    """n_kept + n_removed == n_lines for every doc; a doc losing every
+    line surfaces with empty clean_text, not a missing row."""
+    out = _line_dedup(
+        spark,
+        [(0, "only line"), (1, "only line"), (2, "only line")],
+    )
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        assert r.n_kept + r.n_removed == r.n_lines == 1
+    assert out[0].clean_text == "only line"
+    assert out[1].clean_text == "" and out[2].clean_text == ""
+
+
+def test_line_dedup_negative_id_raises_in_plan(spark):
+    """Same keep-first key guard as excise_spans: a negative id would
+    silently collide keys across documents — raise instead."""
+    rows = [(-1, "x\nx"), (1, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(Exception, match="collide"):
+        dedup.line_dedup(df).collect()

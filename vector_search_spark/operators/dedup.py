@@ -24,7 +24,7 @@ extension mandated by the build brief (SURVEY.md §7 step 8).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_search_spark.functions import texts as T
@@ -51,6 +51,8 @@ __all__ = [
     "incremental_lsh_pairs",
     "incremental_lsh_pairs_shared",
     "shared_span_pairs",
+    "excise_spans",
+    "line_dedup",
 ]
 
 
@@ -1190,12 +1192,38 @@ def shared_span_pairs(
 
 
 # Position-key stride for the keep-first rule: occurrence key =
-# doc_id * 2^20 + pos. pos is a within-document token index (< 2^20 =
-# ~1M tokens — far beyond any trainable document; raise upstream if a
-# corpus ever violates it), so keys order lexicographically by
-# (doc_id, pos) and the global first occurrence is a plain MIN — no
-# cross-engine struct-comparison semantics needed.
+# doc_id * 2^20 + pos. pos is a within-document token/line index
+# (< 2^20 = ~1M — far beyond any trainable document), so keys order
+# lexicographically by (doc_id, pos) and the global first occurrence
+# is a plain MIN — no cross-engine struct-comparison semantics needed.
+# The assumption is ENFORCED in-plan where _key is built (pos >=
+# stride or a negative id raises rather than silently colliding keys
+# across documents — doc d pos 2^20 would equal doc d+1 pos 0, keeping
+# or excising the WRONG occurrence with no signal).
 EXCISE_POS_STRIDE = 1 << 20
+
+
+def _keep_first_key(id_col: str, ctx: str) -> Column:
+    """Guarded occurrence key ``id * EXCISE_POS_STRIDE + pos`` for the
+    keep-first-by-(id, pos) rule shared by :func:`excise_spans` and
+    :func:`line_dedup`. Raises IN-PLAN (evaluated for every row, like
+    prefix_sum_offsets' NULL-id guard) when the encoding's
+    collision-freedom precondition breaks: pos >= stride or id < 0."""
+    bad = (F.col("pos") >= F.lit(int(EXCISE_POS_STRIDE))) | (
+        F.col(id_col) < 0
+    )
+    return F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                f"{ctx}: keep-first key needs 0 <= pos < "
+                f"{EXCISE_POS_STRIDE} and {id_col} >= 0 — key encoding "
+                "would collide across documents"
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.col(id_col) * F.lit(int(EXCISE_POS_STRIDE)) + F.col("pos")
+    )
 
 
 def excise_spans(
@@ -1237,7 +1265,9 @@ def excise_spans(
     feeds downstream; conservation: n_kept + n_removed == n_orig.
 
     Documents shorter than ``span_n`` tokens emit no shingles and are
-    never excised.
+    never excised. The keep-first key encoding's preconditions
+    (token position < 2^20, non-negative id) raise in-plan via
+    :func:`_keep_first_key` — never a silent cross-document collision.
     """
     from vector_search_spark.functions import texts as T
 
@@ -1256,9 +1286,7 @@ def excise_spans(
         id_col,
         "pos",
         T.h64("_sh").alias("_h"),
-        (
-            F.col(id_col) * F.lit(int(EXCISE_POS_STRIDE)) + F.col("pos")
-        ).alias("_key"),
+        _keep_first_key(id_col, "excise_spans").alias("_key"),
     )
     dup = (
         occ.groupBy("_h")
@@ -1300,4 +1328,105 @@ def excise_spans(
         .cast("long")
         .alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup, keep-first — the
+    C4/FineWeb/Dolma repeated-line filter and the line-structured
+    sibling of :func:`excise_spans` (same keep-first-by-(id, pos)
+    skeleton; lines instead of token shingles): boilerplate headers,
+    cookie banners and license footers are LINE-structured, so
+    span_n-token shingles miss short repeated lines entirely.
+
+    Rule: split each document on ``\\n``; a line occurring >= 2 times
+    corpus-wide (across or within documents) keeps only its FIRST
+    occurrence (smallest (id, line_index), via the guarded
+    ``id * 2^20 + index`` key — :func:`_keep_first_key` raises in-plan
+    on >= 2^20 lines or a negative id). Lines shorter than
+    ``min_chars`` characters are ALWAYS kept (default 1 exempts empty
+    lines — deduping paragraph breaks would destroy document structure
+    for no dedup value; raise it to exempt "the usual short lines").
+
+    Fully distributed, shuffle shapes only: one posexplode, one
+    groupBy(line-hash) whose per-key state is two longs (count + min
+    key — a million-fold repeated banner costs a map-side partial agg,
+    never a fan-out), one hash join back (both sides partition on the
+    hash, so the split subtree feeds one exchange, reused), and one
+    per-document reassembly groupBy (group state bounded by document
+    line count, the module-wide assumption).
+
+    Returns one row per input document: ``(id_col, n_lines bigint,
+    n_kept bigint, n_removed bigint, clean_text string)`` —
+    ``clean_text`` re-joins the kept lines with ``\\n`` in original
+    order ('' when everything was removed). Conservation:
+    n_kept + n_removed == n_lines; n_lines == the split's length
+    (trailing/leading/empty lines included).
+    """
+    if min_chars < 0:
+        raise ValueError(f"min_chars must be >= 0, got {min_chars}")
+    # The split relation feeds two consumers whose subtrees diverge
+    # (the dup side filters _elig before its exchange, so ReuseExchange
+    # can't collapse them) — localCheckpoint is the artifact boundary,
+    # exactly excise_spans' tk: one source scan + one split, ever.
+    lx = docs.select(
+        F.col(id_col), F.split(F.col(text_col), "\n").alias("_l")
+    ).localCheckpoint()
+    occ = lx.select(
+        F.col(id_col),
+        F.posexplode(F.col("_l")).alias("pos", "line"),
+    ).select(
+        id_col,
+        "pos",
+        "line",
+        T.h64("line").alias("_h"),
+        _keep_first_key(id_col, "line_dedup").alias("_key"),
+        (F.length("line") >= min_chars).alias("_elig"),
+    )
+    # Two-long state per distinct line; eligibility is a function of
+    # the line text, so an ineligible line can never share a hash
+    # group with an eligible one — the left join below misses exactly
+    # the always-kept lines.
+    dup = (
+        occ.filter(F.col("_elig"))
+        .groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_key").alias("_first"),
+        )
+    )
+    flagged = occ.join(dup, "_h", "left").select(
+        id_col,
+        "pos",
+        "line",
+        (
+            (~F.col("_elig"))
+            | (F.col("_c") == 1)
+            | (F.col("_key") == F.col("_first"))
+        ).alias("_keep"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_keep"), F.struct(F.col("pos"), F.col("line"))
+                )
+            )
+        ),
+        lambda x: x["line"],
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_keep").cast("int")).cast("long").alias("n_kept"),
+        (
+            F.count(F.lit(1)) - F.sum(F.col("_keep").cast("int"))
+        )
+        .cast("long")
+        .alias("n_removed"),
+        F.concat_ws("\n", ordered).alias("clean_text"),
     )

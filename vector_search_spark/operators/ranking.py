@@ -312,7 +312,10 @@ def maxsim_rerank(
     recipe, DuckDB ``list_sum(list(ms ORDER BY qt))``).
 
     Returns (query_id, doc_id, score double, rank int) with rank ≤ k
-    per query (score desc, doc_id tie-break).
+    per query (score desc, doc_id tie-break). EVERY shortlisted pair is
+    covered: a pair with no embeddable token rows on one side (a
+    zero-token doc, or tokens missing from ``token_vecs``) scores 0.0
+    rather than silently dropping out of the re-ranked output.
     """
     import numpy as np
     import pandas as pd
@@ -374,11 +377,24 @@ def maxsim_rerank(
             lambda acc, x: acc + x["ms"],
         ).alias("score")
     )
+    # Shortlist-coverage contract: a pair whose query or doc side
+    # contributed no token rows (zero-token doc, or tokens absent from
+    # token_vecs after the inner join) has no per_qtoken rows and would
+    # silently VANISH from the ranking; the re-ranker must cover its
+    # whole shortlist, so such pairs score 0.0 instead (left join back
+    # from `pairs` — |pairs|-sized, the relation we already shuffled).
+    scored_full = pairs.select("query_id", "doc_id").join(
+        scored, ["query_id", "doc_id"], "left"
+    ).select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored_full.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )

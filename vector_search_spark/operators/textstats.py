@@ -13,7 +13,7 @@ brief / SURVEY.md §7 step 8.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_search_spark import plans
@@ -167,6 +167,158 @@ def quality_score(
         F.col("punct_ratio"),
         F.col("digit_ratio"),
         score.alias("quality"),
+    )
+
+
+# PII detection/redaction patterns: (type, pattern, replacement), in
+# REDACTION ORDER. Deliberately the common Java-regex / RE2 subset (no
+# lookaround, no backreferences, ASCII \d and \b) so the DuckDB oracle
+# replays them byte-identically (sql_pii_count / sql_pii_redact below).
+# The four types every production curation pipeline scrubs first
+# (C4/Dolma/FineWeb all ship a stage of this shape): emails, IPv4
+# addresses, SSN-shaped ids, US-shaped phone numbers. The shapes are
+# mutually disjoint on well-formed text (digit-group widths differ),
+# so per-type counts on the RAW text equal the placeholders inserted
+# by the sequential redaction; under adversarial overlap the earliest
+# type in this tuple wins the rewrite (documented, deterministic).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("id", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + redaction — the standard pre-training scrubbing
+    stage (C4 §2.3 / Dolma / FineWeb ship the same shape): per-doc
+    match counts by type and the redacted text, entirely as Catalyst
+    regexp expressions (one codegen'd projection, no shuffle, no UDF —
+    at 100 TB this is a map-only pass that pipelines into whatever
+    scan feeds it, filters pushed down untouched).
+
+    Per :data:`PII_PATTERNS`: counts (``n_email``/``n_ip``/``n_id``/
+    ``n_phone``, int) are computed independently on the RAW text;
+    ``clean_text`` applies the replacements SEQUENTIALLY in tuple
+    order (email -> ip -> id -> phone), so an adversarially
+    overlapping match is redacted once by the earliest type. On
+    well-formed text the shapes are disjoint and
+    sum(counts) == placeholders inserted (the conservation property
+    the tests pin).
+
+    Output: ``docs``'s id column + the four counts + ``clean_text``.
+    """
+    counts = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        )
+        .cast("int")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        F.col(id_col), *counts, red.alias("clean_text")
+    )
+
+
+def pii_total(text_col: str = "text") -> Column:
+    """Column: total PII matches across :data:`PII_PATTERNS` — the
+    filter form for pipelines that DROP (rather than redact)
+    PII-dense documents; shares the count expressions with
+    :func:`pii_scrub` so filter and scrub can never disagree."""
+    tot = F.lit(0)
+    for name, pat, _ in PII_PATTERNS:
+        tot = tot + F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        )
+    return tot.cast("int")
+
+
+def sql_pii_total(x: str) -> str:
+    """DuckDB twin of :func:`pii_total`."""
+    return " + ".join(
+        sql_pii_count(x, name) for name, _, _ in PII_PATTERNS
+    )
+
+
+def sql_pii_count(x: str, pii_type: str) -> str:
+    """DuckDB twin of one :func:`pii_scrub` count column."""
+    [pat] = [p for name, p, _ in PII_PATTERNS if name == pii_type]
+    return f"CAST(len(regexp_extract_all({x}, '{pat}')) AS INT)"
+
+
+def sql_pii_redact(x: str) -> str:
+    """DuckDB twin of :func:`pii_scrub`'s sequential redaction."""
+    expr = x
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+def source_scorecard(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-ingest-source curation scorecard — the triage view a
+    training-data team pages through when a crawl feed goes bad:
+    one row per source with volume (n_docs), size (avg_chars /
+    avg_tokens), language mix (en_share), CORPUS-WIDE duplicate
+    attribution (dup_share — the fraction of the source's docs that
+    are non-canonical members of an exact-dup group anywhere in the
+    corpus, so a feed that re-serves another feed's pages is charged
+    for it; :func:`dedup.dup_rate_by_source` only sees within-source
+    duplication), and PII incidence (pii_share via
+    :func:`pii_total`).
+
+    One corpus scan: a single projection computes every per-doc
+    scalar (lengths, lang flag, PII total, canonical md5 — all
+    codegen'd), the dup flag is a window over the hash key (the same
+    canonical form exact_dedup groups on, so scorecard and dedup pass
+    agree on what "duplicate" means), and one map-side-combinable
+    groupBy(source) rolls it up. Output is source-count-sized.
+    """
+    base = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.length(text_col).cast("double").alias("_chars"),
+        F.size(T.tokens(text_col)).cast("double").alias("_toks"),
+        (F.col(lang_col) == "en").cast("int").alias("_en"),
+        (pii_total(text_col) > 0).cast("int").alias("_pii"),
+        F.md5(T.norm_text(text_col)).alias("_h"),
+    )
+    w = Window.partitionBy("_h")
+    flagged = base.select(
+        group_col,
+        "_chars",
+        "_toks",
+        "_en",
+        "_pii",
+        (F.col(id_col) != F.min(id_col).over(w))
+        .cast("int")
+        .alias("_dup"),
+    )
+    n = F.count(F.lit(1))
+    return flagged.groupBy(group_col).agg(
+        n.cast("long").alias("n_docs"),
+        (F.round(F.avg("_chars"), 4) + F.lit(0.0)).alias("avg_chars"),
+        (F.round(F.avg("_toks"), 4) + F.lit(0.0)).alias("avg_tokens"),
+        (F.round(F.sum("_en").cast("double") / n, 6) + F.lit(0.0)).alias(
+            "en_share"
+        ),
+        (F.round(F.sum("_dup").cast("double") / n, 6) + F.lit(0.0)).alias(
+            "dup_share"
+        ),
+        (F.round(F.sum("_pii").cast("double") / n, 6) + F.lit(0.0)).alias(
+            "pii_share"
+        ),
     )
 
 
@@ -650,6 +802,19 @@ def prefix_sum_offsets(
     """
     if shard_size < 1:
         raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    # Reserved-name clash guard (materialize_mixture precedent): the
+    # `select('*', bounded_alias(..., '_shard'))` below would produce a
+    # DUPLICATE `_shard` column if the input already carries one, and
+    # the F.col('_shard') filter would then die with an
+    # ambiguous-reference AnalysisException (while `_inoff`/`_base`
+    # would be silently REPLACED by withColumn) — fail loud up front
+    # instead of either.
+    clash = {"_shard", "_inoff", "_base"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            "prefix_sum_offsets: input df already has reserved "
+            f"column(s) {sorted(clash)} — rename them first"
+        )
     # A NULL id has no position in the global order; silently dropping
     # it would be silent row loss in a PACKING pass (the module's
     # raise-on-silent-divergence discipline, like shuffle_order), so

