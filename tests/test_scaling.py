@@ -394,3 +394,63 @@ def test_mixture_chain_scale_invariance(spark):
     for g in e1:
         assert abs(e1[g][0] - eR[g][0]) < 1e-2, (g, e1[g], eR[g])
         assert abs(eR[g][1] - R * e1[g][1]) <= 100.0 * R, (g, e1[g], eR[g])
+
+
+def test_line_dedup_scale_invariance(spark):
+    """Corpus-wide keep-first line dedup must be SCALE-FREE in its
+    core invariant: replicating the corpus Rx (re-keyed ids doc*R+c,
+    same text) multiplies occurrences of every line by R, but the
+    number of SURVIVING eligible occurrences stays exactly the number
+    of DISTINCT eligible lines — independent of R — and every survivor
+    of a duplicated line lives in copy 0 (the smallest ids), because
+    the keeper is the global (doc_id, pos) minimum. Run as an exact
+    counting identity, not a benchmark: this is the 'would the answer
+    survive 1000x the data' check for the dedup surgery itself."""
+    from vector_search_spark.operators import dedup
+
+    docs = tables.load(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header\n"),
+            F.col("text"),
+            F.lit("\nfooter "),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    R = 16
+    big = docs.crossJoin(
+        spark.range(R).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * R + F.col("_c")).alias("doc_id"), "text"
+    )
+
+    # distinct (non-empty) lines in the 1x corpus == the invariant
+    n_distinct = (
+        docs.select(
+            F.explode(F.split("text", "\n")).alias("line")
+        )
+        .filter(F.length("line") >= 1)
+        .select("line")
+        .distinct()
+        .count()
+    )
+
+    for df, label in ((docs, "1x"), (big, f"{R}x")):
+        out = dedup.line_dedup(df).localCheckpoint()
+        # conservation at every scale
+        bad = out.filter(
+            F.col("n_kept") + F.col("n_removed") != F.col("n_lines")
+        ).count()
+        assert bad == 0, label
+        # surviving occurrences == distinct lines, independent of R
+        # (no empty lines in this seeded corpus, so every line is
+        # eligible and the identity is exact)
+        kept_total = out.agg(F.sum("n_kept")).collect()[0][0]
+        assert kept_total == n_distinct, (label, kept_total, n_distinct)
+
+    # every survivor in the replicated corpus lives in copy 0
+    outR = dedup.line_dedup(big)
+    survivors_off_copy0 = outR.filter(
+        (F.col("doc_id") % R != 0) & (F.col("n_kept") > 0)
+    ).count()
+    assert survivors_off_copy0 == 0
