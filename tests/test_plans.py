@@ -648,3 +648,44 @@ def test_dsir_totals_reuse_bucket_exchanges(spark):
         "a corpus total re-tokenized its corpus instead of reusing "
         "the bucket-count exchange"
     )
+
+
+def test_customer_rfm_never_broadcasts_a_customer_scale_relation(
+    spark, monkeypatch
+):
+    """r11 advice regression pin: monetary's distinct-value count
+    grows ~|customers|, so its value->quartile map must NOT be handed
+    to F.broadcast (the sf-0.01 EXECUTED plan may still auto-broadcast
+    it below spark.sql.autoBroadcastJoinThreshold — that's Spark's
+    size-adaptive choice, which degrades gracefully to a shuffle join
+    at scale; the HINT would not). Allowed broadcast call sites:
+    the calendar/order-count quartile tables (bounded value domains),
+    the bucket-base table (_mbkt-keyed, revenue-range-sized), and the
+    1-row total. Also pins the ReusedExchange: the bucket totals must
+    ride the within-bucket window's exchange, not rescan."""
+    from vector_search_spark.queries import get_catalog
+
+    import pyspark.sql.functions as FF
+
+    orig_broadcast = FF.broadcast
+    broadcast_cols: list[tuple[str, ...]] = []
+
+    def spy(df):
+        broadcast_cols.append(tuple(df.columns))
+        return orig_broadcast(df)
+
+    monkeypatch.setattr(FF, "broadcast", spy)
+    df = get_catalog()["customer_rfm"].fn(spark, SF_ORACLE)
+    assert broadcast_cols, "spy must see the bounded-table broadcasts"
+    for cols in broadcast_cols:
+        assert "m_quartile" not in cols and "monetary" not in cols, (
+            "customer-scale monetary relation handed to F.broadcast: "
+            f"{cols}"
+        )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    main = final.split("== Initial Plan ==")[0]
+    assert main.count("ReusedExchange") >= 1, (
+        "bucket totals re-shuffled instead of riding the within-bucket "
+        "window exchange"
+    )
