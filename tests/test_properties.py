@@ -733,3 +733,46 @@ def test_line_dedup_matches_naive_reference(session, seed, n_docs, min_chars):
         assert kept == want[i], (i, kept, want[i])
         assert r.n_lines == len(text.split("\n")), r
         assert r.n_kept + r.n_removed == r.n_lines, r
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 2**31 - 1), n_docs=st.integers(1, 6))
+def test_pii_scrub_matches_python_re(session, seed, n_docs):
+    """pii_scrub vs Python `re` as a THIRD regex engine (the oracle
+    gate already pins Java==RE2): counts and sequential redaction must
+    agree on adversarial digit/dot/@/hyphen soup, where near-miss
+    shapes (wrong group widths, 3-part dotted numbers) are dense."""
+    import re as pyre
+
+    from vector_search_spark.operators import textstats
+
+    rng = np.random.default_rng(seed)
+    atoms = [
+        "a@b.io", "x.y@example.org", "10.0.0.1", "1.2.3", "12.34.56.789",
+        "123-45-6789", "555-123-4567", "555.123.4567", "1234-56-7890",
+        "word", "w0rd", "-", ".", "@", "9", "42", "a@b", "b.c",
+    ]
+    rows = [
+        (
+            i,
+            " ".join(
+                atoms[rng.integers(0, len(atoms))]
+                for _ in range(rng.integers(1, 12))
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    df = session.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    for i, text in rows:
+        r = got[i]
+        red = text
+        for name, pat, repl in textstats.PII_PATTERNS:
+            want_n = len(pyre.findall(pat, text))
+            assert getattr(r, f"n_{name}") == want_n, (name, text)
+            red = pyre.sub(pat, repl, red)
+        assert r.clean_text == red, (text, r.clean_text, red)
