@@ -1366,7 +1366,11 @@ def line_dedup(
     ``clean_text`` re-joins the kept lines with ``\\n`` in original
     order ('' when everything was removed). Conservation:
     n_kept + n_removed == n_lines; n_lines == the split's length
-    (trailing/leading/empty lines included).
+    (trailing/leading/empty lines included). Lines are ``\\n``-split
+    verbatim: CRLF corpora should normalize ``\\r`` upstream, else the
+    trailing ``\\r`` rides the line into the hash (two visually equal
+    lines with different endings are different lines — deliberate:
+    byte-level surgery must not canonicalize what it re-emits).
     """
     if min_chars < 0:
         raise ValueError(f"min_chars must be >= 0, got {min_chars}")

@@ -181,6 +181,11 @@ def quality_score(
 # so per-type counts on the RAW text equal the placeholders inserted
 # by the sequential redaction; under adversarial overlap the earliest
 # type in this tuple wins the rewrite (documented, deterministic).
+# Deliberately RECALL-over-precision, the scrubbing trade every
+# production pipeline makes: the IP shape accepts out-of-range octets
+# (999.1.2.3) and the id/phone shapes accept any digits of the right
+# widths — over-redacting a non-PII lookalike costs a placeholder
+# token; under-redacting real PII ships it into a training run.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
