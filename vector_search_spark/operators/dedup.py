@@ -1285,7 +1285,12 @@ def excise_spans(
     ).select(
         id_col,
         "pos",
-        T.h64("_sh").alias("_h"),
+        # FULL md5, not the 60-bit integer prefix: this is EXACT
+        # surgery (exact_dedup's precedent) — at 10^10+ distinct
+        # shingles a 60-bit birthday collision would merge two
+        # different spans and excise innocent text; integer h64 stays
+        # reserved for arithmetic (winnowing mins, band buckets).
+        F.md5("_sh").alias("_h"),
         _keep_first_key(id_col, "excise_spans").alias("_key"),
     )
     dup = (
@@ -1388,7 +1393,8 @@ def line_dedup(
         id_col,
         "pos",
         "line",
-        T.h64("line").alias("_h"),
+        # full md5 group identity, same rationale as excise_spans
+        F.md5("line").alias("_h"),
         _keep_first_key(id_col, "line_dedup").alias("_key"),
         (F.length("line") >= min_chars).alias("_elig"),
     )

@@ -2177,7 +2177,7 @@ shp AS (
   FROM (SELECT doc_id, {T.sql_shingles("t", EXC_N)} AS s FROM toks)
 ),
 occ AS (
-  SELECT doc_id, pos, {T.sql_h64("shingle")} AS h,
+  SELECT doc_id, pos, md5(shingle) AS h,
          doc_id * {dedup.EXCISE_POS_STRIDE} + pos AS key
   FROM shp
 ),
@@ -3146,7 +3146,7 @@ ln AS (
   FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM seeded)
 ),
 occ AS (
-  SELECT doc_id, pos, line, {T.sql_h64("line")} AS h,
+  SELECT doc_id, pos, line, md5(line) AS h,
          doc_id * {dedup.EXCISE_POS_STRIDE} + pos AS key,
          len(line) >= 1 AS elig
   FROM ln
