@@ -1625,3 +1625,25 @@ def test_line_dedup_negative_id_raises_in_plan(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     with pytest.raises(Exception, match="collide"):
         dedup.line_dedup(df).collect()
+
+
+def test_null_text_policy_preserves_rows(spark):
+    """NULL-text documents must never be silently dropped by the
+    corpus-rewriting ops: line_dedup surfaces (0, 0, 0, NULL) via
+    posexplode_outer (the inner explode DROPPED the row — r12 fix),
+    excise_spans preserves the row with NULL token accounting, and
+    pii_scrub passes NULL through (NULL counts + NULL clean_text)."""
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, None)], "doc_id long, text string"
+    )
+    ld = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    assert set(ld) == {0, 1}
+    assert (ld[1].n_lines, ld[1].n_kept, ld[1].n_removed) == (0, 0, 0)
+    assert ld[1].clean_text is None
+    assert ld[0].clean_text == "a b"
+    ex = {r.doc_id: r for r in dedup.excise_spans(df).collect()}
+    assert set(ex) == {0, 1}
+    assert ex[1].n_orig is None and ex[1].n_kept == 0
+    pi = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    assert set(pi) == {0, 1}
+    assert pi[1].n_email is None and pi[1].clean_text is None

@@ -1265,7 +1265,10 @@ def excise_spans(
     feeds downstream; conservation: n_kept + n_removed == n_orig.
 
     Documents shorter than ``span_n`` tokens emit no shingles and are
-    never excised. The keep-first key encoding's preconditions
+    never excised. A NULL-text document is preserved with NULL token
+    accounting (n_orig/n_removed NULL, n_kept 0, clean_text '') — the
+    NULLs are the upstream signal; conservation applies to non-NULL
+    documents. The keep-first key encoding's preconditions
     (token position < 2^20, non-negative id) raise in-plan via
     :func:`_keep_first_key` — never a silent cross-document collision.
     """
@@ -1371,7 +1374,10 @@ def line_dedup(
     ``clean_text`` re-joins the kept lines with ``\\n`` in original
     order ('' when everything was removed). Conservation:
     n_kept + n_removed == n_lines; n_lines == the split's length
-    (trailing/leading/empty lines included). Lines are ``\\n``-split
+    (trailing/leading/empty lines included). A NULL-text document is
+    PRESERVED as ``(0, 0, 0, NULL clean_text)`` — never silently
+    dropped (posexplode_outer; the NULL clean_text is the upstream
+    signal). Lines are ``\\n``-split
     verbatim: CRLF corpora should normalize ``\\r`` upstream, else the
     trailing ``\\r`` rides the line into the hash (two visually equal
     lines with different endings are different lines — deliberate:
@@ -1386,9 +1392,13 @@ def line_dedup(
     lx = docs.select(
         F.col(id_col), F.split(F.col(text_col), "\n").alias("_l")
     ).localCheckpoint()
+    # posexplode_OUTER: a NULL-text doc has a NULL line array, and the
+    # inner explode would DROP its row entirely — silent row loss in a
+    # corpus-rewriting pass (the module discipline). It surfaces
+    # instead as one NULL-line row -> n_lines 0, clean_text NULL.
     occ = lx.select(
         F.col(id_col),
-        F.posexplode(F.col("_l")).alias("pos", "line"),
+        F.posexplode_outer(F.col("_l")).alias("pos", "line"),
     ).select(
         id_col,
         "pos",
@@ -1414,11 +1424,13 @@ def line_dedup(
         id_col,
         "pos",
         "line",
-        (
+        F.when(F.col("line").isNull(), F.lit(False))
+        .otherwise(
             (~F.col("_elig"))
             | (F.col("_c") == 1)
             | (F.col("_key") == F.col("_first"))
-        ).alias("_keep"),
+        )
+        .alias("_keep"),
     )
     ordered = F.transform(
         F.array_sort(
@@ -1430,13 +1442,15 @@ def line_dedup(
         ),
         lambda x: x["line"],
     )
+    # count("line"), not count(*): the NULL-line marker row of a
+    # NULL-text doc is not a line; such docs surface (0, 0, 0, NULL).
     return flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count("line").cast("long").alias("n_lines"),
         F.sum(F.col("_keep").cast("int")).cast("long").alias("n_kept"),
-        (
-            F.count(F.lit(1)) - F.sum(F.col("_keep").cast("int"))
-        )
+        (F.count("line") - F.sum(F.col("_keep").cast("int")))
         .cast("long")
         .alias("n_removed"),
-        F.concat_ws("\n", ordered).alias("clean_text"),
+        F.when(F.count("line") == 0, F.lit(None))
+        .otherwise(F.concat_ws("\n", ordered))
+        .alias("clean_text"),
     )

@@ -26,6 +26,10 @@ __all__ = [
     "BPE_TOKEN_RE",
     "language_id",
     "quality_score",
+    "pii_scrub",
+    "pii_total",
+    "PII_PATTERNS",
+    "source_scorecard",
     "token_counts",
     "hashing_embed",
     "winnow_fingerprints",
@@ -214,6 +218,8 @@ def pii_scrub(
     the tests pin).
 
     Output: ``docs``'s id column + the four counts + ``clean_text``.
+    A NULL text passes through as NULL counts + NULL clean_text (the
+    upstream signal — scrubbing never invents an empty document).
     """
     counts = [
         F.size(
