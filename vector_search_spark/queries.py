@@ -276,7 +276,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     monetary quartile now uses the two-level bucketed running count —
 #     the r11-advice boundedness fix — and its value->quartile map
 #     joins back WITHOUT broadcast), docs_excise_spans (in-plan
-#     keep-first key-collision guard), text_maxsim_search (shortlist-
+#     keep-first key-collision guard + full-md5 group identity),
+#     docs_line_dedup also took the md5 + NULL-row-preservation
+#     changes late in r12 (new entry, already in (c)),
+#     text_maxsim_search (shortlist-
 #     coverage: token-less pairs score 0.0 instead of vanishing, oracle
 #     in lockstep), corpus_pipeline_funnel (new pii_clean stage 4),
 #     plus two direct prefix_sum_offsets consumers
@@ -296,7 +299,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries remain at the very tail.
 # R13 QUEUE (first picks): the 42 r10 greens (docs_dsir_weights ..
 # multimodal_metadata, tail order below) — they go 3-rounds-stale at
-# r13 close; then the 43 r11 greens (r14-due).
+# r13 close; then the 44 r11 greens (r14-due: the 43 rotated out
+# plus docs_assemble_packs, displaced per (c)).
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
     # (a) flagship; (b) r12 first pick; (c) new; (d) r12 code changes
