@@ -448,3 +448,28 @@ def test_rank_eval_k_truncates_both_folds(spark):
     idcg = 1.0 / math.log2(2) + 1.0 / math.log2(3)
     assert r.n_rel_ret == 1 and r.p_at_k == pytest.approx(0.5, abs=0)
     assert r.ndcg == pytest.approx(dcg / idcg, abs=1e-12)
+
+
+def test_maxsim_duplicate_shortlist_pairs_collapse(spark):
+    """A shortlist union can carry duplicate (query, doc) pairs; the
+    re-ranker must be idempotent in them — one output row with the
+    UNduplicated score, not a doubled score or two ranked rows
+    (r12 review fix: pairs are distinct()-ed up front)."""
+    docs, q_tok, d_tok, tvecs = _maxsim_fixture(spark)
+    once = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id long, doc_id long"
+    )
+    doubled = once.unionAll(once)
+    a = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in ranking.maxsim_rerank(
+            once, q_tok, d_tok, tvecs, k=10
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in ranking.maxsim_rerank(
+            doubled, q_tok, d_tok, tvecs, k=10
+        ).collect()
+    }
+    assert a == b and len(b) == 2

@@ -1647,3 +1647,15 @@ def test_null_text_policy_preserves_rows(spark):
     pi = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
     assert set(pi) == {0, 1}
     assert pi[1].n_email is None and pi[1].clean_text is None
+
+
+def test_keep_first_key_null_id_raises_in_plan(spark):
+    """A NULL id would slip through the < 0 comparison (NULL < 0 is
+    NULL, not false) and yield a silent NULL keep-first key — the
+    r12 review fix makes it raise like prefix_sum_offsets' NULL-id
+    guard. The duplicated line forces the key to evaluate."""
+    df = spark.createDataFrame(
+        [(None, "x\nx"), (1, "y")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="collide|NULL"):
+        dedup.line_dedup(df).collect()

@@ -1208,17 +1208,26 @@ def _keep_first_key(id_col: str, ctx: str) -> Column:
     keep-first-by-(id, pos) rule shared by :func:`excise_spans` and
     :func:`line_dedup`. Raises IN-PLAN (evaluated for every row, like
     prefix_sum_offsets' NULL-id guard) when the encoding's
-    collision-freedom precondition breaks: pos >= stride or id < 0."""
-    bad = (F.col("pos") >= F.lit(int(EXCISE_POS_STRIDE))) | (
-        F.col(id_col) < 0
+    collision-freedom precondition breaks: pos >= stride, id < 0, or a
+    NULL id — a NULL id would slip through the comparisons (NULL < 0
+    is NULL, not false), yield a NULL key, and silently corrupt the
+    keep-first MIN downstream. A NULL ``pos`` (line_dedup's
+    NULL-text marker row, whose id is non-null) stays allowed: its
+    NULL condition falls to the otherwise-branch, and the marker row
+    never consults its key."""
+    bad = (
+        F.col(id_col).isNull()
+        | (F.col(id_col) < 0)
+        | (F.col("pos") >= F.lit(int(EXCISE_POS_STRIDE)))
     )
     return F.when(
         bad,
         F.raise_error(
             F.lit(
                 f"{ctx}: keep-first key needs 0 <= pos < "
-                f"{EXCISE_POS_STRIDE} and {id_col} >= 0 — key encoding "
-                "would collide across documents"
+                f"{EXCISE_POS_STRIDE} and a non-NULL {id_col} >= 0 — "
+                "the key encoding would collide or go NULL across "
+                "documents"
             )
         ).cast("long"),
     ).otherwise(

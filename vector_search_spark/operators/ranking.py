@@ -320,6 +320,14 @@ def maxsim_rerank(
     import numpy as np
     import pandas as pd
 
+    # Defensive distinct: the shortlist may come from ANY first-stage
+    # retriever (a union of retrievers can carry duplicate pairs), and
+    # a duplicated pair would double its token rows into the per-pair
+    # group — doubling the summed score — and re-emit as two ranked
+    # rows eating two top-k slots. One |pairs|-sized shuffle buys
+    # idempotence.
+    pairs = pairs.select("query_id", "doc_id").distinct()
+
     qv = q_tokens.join(token_vecs, "token").select(
         "query_id",
         F.col("token"),
@@ -383,7 +391,7 @@ def maxsim_rerank(
     # silently VANISH from the ranking; the re-ranker must cover its
     # whole shortlist, so such pairs score 0.0 instead (left join back
     # from `pairs` — |pairs|-sized, the relation we already shuffled).
-    scored_full = pairs.select("query_id", "doc_id").join(
+    scored_full = pairs.join(
         scored, ["query_id", "doc_id"], "left"
     ).select(
         "query_id",
