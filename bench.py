@@ -170,6 +170,10 @@ def _serving_latency(
                         sc.statusTracker().getJobIdsForGroup(group)
                     )
             out[key] = round(best, 3)
+    # clear the last rep's group label so jobs submitted after the
+    # probe don't inherit it (r12 advice: a future getJobIdsForGroup
+    # reading after reordering would be polluted)
+    sc.setJobGroup(None, None)
     return out, rep_walls, jobs
 
 

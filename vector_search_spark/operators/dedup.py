@@ -24,7 +24,7 @@ extension mandated by the build brief (SURVEY.md §7 step 8).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_search_spark.functions import texts as T
@@ -62,18 +62,31 @@ def exact_dedup(
     """Exact duplicate grouping by md5 of normalized text.
 
     Returns (id, canonical_id, group_size): every row keeps its group's
-    min-id as canonical. One hash shuffle; at any scale this is a single
-    groupBy-equivalent pass (window over the hash key).
+    min-id as canonical. Per-hash stats come from a two-long-state
+    ``groupBy(_h).agg(min, count)`` joined back on the hash — NOT a
+    window over the hash key: an aggregate gets map-side partial
+    aggregation and the join back is AQE-skew-splittable, so a
+    boilerplate page duplicated 10^7x corpus-wide costs a partial agg
+    plus a skew-split join, never a single 10^7-row window partition
+    buffered in one task (the excise_spans / line_dedup skeleton).
+
+    NULL policy: a NULL text normalizes to a NULL hash, coalesced to
+    the sentinel '' (md5 strings are 32 hex chars, so the sentinel
+    cannot collide) — NULL-text docs dedup AGAINST EACH OTHER, exactly
+    as the former window grouped its NULL partition together;
+    whitespace-only docs normalize to '' and share md5('') — a
+    separate, also mutually-deduping group.
     """
-    w = Window.partitionBy("_h")
-    return (
-        docs.select(F.col(id_col), T.norm_text(text_col).alias("_n"))
-        .withColumn("_h", F.md5("_n"))
-        .select(
-            F.col(id_col),
-            F.min(id_col).over(w).alias("canonical_id"),
-            F.count(F.lit(1)).over(w).alias("group_size"),
-        )
+    base = docs.select(
+        F.col(id_col),
+        F.coalesce(F.md5(T.norm_text(text_col)), F.lit("")).alias("_h"),
+    )
+    stats = base.groupBy("_h").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return base.join(stats, "_h").select(
+        F.col(id_col), F.col("canonical_id"), F.col("group_size")
     )
 
 

@@ -197,6 +197,18 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
 )
 
+# sql_pii_count / sql_pii_redact splice each pattern into single-quoted
+# DuckDB string literals without escaping; a pattern containing a
+# single quote would silently desync the oracle twin from the Spark
+# side (r12 advice). Fail loudly at import time instead.
+for _name, _pat, _repl in PII_PATTERNS:
+    if "'" in _pat or "'" in _repl:
+        raise AssertionError(
+            f"PII pattern {_name!r} contains a single quote — it would "
+            "break the DuckDB oracle twins (sql_pii_count/sql_pii_redact"
+            "); escape via doubled quotes there before allowing this"
+        )
+
 
 def pii_scrub(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -212,10 +224,17 @@ def pii_scrub(
     ``n_phone``, int) are computed independently on the RAW text;
     ``clean_text`` applies the replacements SEQUENTIALLY in tuple
     order (email -> ip -> id -> phone), so an adversarially
-    overlapping match is redacted once by the earliest type. On
-    well-formed text the shapes are disjoint and
-    sum(counts) == placeholders inserted (the conservation property
-    the tests pin).
+    overlapping match is redacted once by the earliest type.
+
+    OUTPUT CONTRACT: the counts are DETECTION counts (matches found in
+    the raw text), NOT placeholder counts. On well-formed text the
+    shapes are disjoint and sum(counts) == placeholders inserted (the
+    conservation property the tests pin); under adversarial overlap
+    (e.g. an SSN-shaped substring inside an email local part, which
+    \\b allows after '.') a later pattern's raw-text match may already
+    be consumed by an earlier redaction, so sum(counts) >= placeholders
+    inserted. Consumers needing exact placeholder accounting must count
+    placeholders in ``clean_text``, not sum these columns.
 
     Output: ``docs``'s id column + the four counts + ``clean_text``.
     A NULL text passes through as NULL counts + NULL clean_text (the
@@ -241,7 +260,15 @@ def pii_total(text_col: str = "text") -> Column:
     """Column: total PII matches across :data:`PII_PATTERNS` — the
     filter form for pipelines that DROP (rather than redact)
     PII-dense documents; shares the count expressions with
-    :func:`pii_scrub` so filter and scrub can never disagree."""
+    :func:`pii_scrub` so filter and scrub can never disagree.
+
+    NULL policy (matches pii_scrub's pass-through): a NULL text yields
+    a NULL total, NOT 0 — so a ``pii_total(...) == 0`` filter DROPS
+    NULL-text rows (NULL comparison is never true). That is the
+    module-wide "NULL is the upstream signal" discipline: a pipeline
+    that wants NULL-text docs to survive a PII gate must handle NULLs
+    explicitly upstream (corpus_pipeline_funnel's length stage already
+    excludes them before its pii_clean stage)."""
     tot = F.lit(0)
     for name, pat, _ in PII_PATTERNS:
         tot = tot + F.size(
@@ -291,10 +318,20 @@ def source_scorecard(
 
     One corpus scan: a single projection computes every per-doc
     scalar (lengths, lang flag, PII total, canonical md5 — all
-    codegen'd), the dup flag is a window over the hash key (the same
+    codegen'd), the dup flag comes from a one-long-state
+    ``groupBy(_h).agg(min(id))`` joined back on the hash (the same
     canonical form exact_dedup groups on, so scorecard and dedup pass
-    agree on what "duplicate" means), and one map-side-combinable
+    agree on what "duplicate" means — and the same aggregate-not-window
+    shape, so a corpus-wide boilerplate hash gets map-side partial
+    aggregation and an AQE-skew-splittable join, never a single
+    mega-partition window task), and one map-side-combinable
     groupBy(source) rolls it up. Output is source-count-sized.
+
+    NULL/empty policy (documented, matches exact_dedup): NULL-text
+    docs hash to the sentinel '' (no md5 collision possible) and
+    whitespace-only docs share md5('') — each set dedups against
+    ITSELF corpus-wide, so all-but-one of a source's empty/NULL docs
+    are charged to dup_share as corpus-wide duplicates.
     """
     base = docs.select(
         F.col(group_col),
@@ -303,18 +340,16 @@ def source_scorecard(
         F.size(T.tokens(text_col)).cast("double").alias("_toks"),
         (F.col(lang_col) == "en").cast("int").alias("_en"),
         (pii_total(text_col) > 0).cast("int").alias("_pii"),
-        F.md5(T.norm_text(text_col)).alias("_h"),
+        F.coalesce(F.md5(T.norm_text(text_col)), F.lit("")).alias("_h"),
     )
-    w = Window.partitionBy("_h")
-    flagged = base.select(
+    firsts = base.groupBy("_h").agg(F.min(id_col).alias("_first"))
+    flagged = base.join(firsts, "_h").select(
         group_col,
         "_chars",
         "_toks",
         "_en",
         "_pii",
-        (F.col(id_col) != F.min(id_col).over(w))
-        .cast("int")
-        .alias("_dup"),
+        (F.col(id_col) != F.col("_first")).cast("int").alias("_dup"),
     )
     n = F.count(F.lit(1))
     return flagged.groupBy(group_col).agg(
