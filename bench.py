@@ -65,16 +65,16 @@ HEADLINE = [
 # top-N cut. Checked against the catalog at startup — a stale name
 # here fails loudly instead of silently guarding nothing.
 CHANGED_THIS_ROUND = [
-    # round 12: new capabilities
-    "docs_pii_scrub",
-    "docs_line_dedup",
+    # round 13: new capabilities
+    "docs_purge",
+    "docs_nb_quality",
+    # round 13: plan changes — per-hash min/count de-windowed to
+    # groupBy + join-back (skew safety at scale; values identical)
+    "dedup_exact",
     "docs_source_scorecard",
-    # round 12: code/plan changes (r11 advice fixes + the funnel's new
-    # pii_clean stage): monetary two-level quartile + de-broadcast,
-    # in-plan excise key guard, maxsim shortlist coverage
-    "customer_rfm",
-    "docs_excise_spans",
-    "text_maxsim_search",
+    # round 13: PII module import-assert + contract docs (no plan
+    # change; consumers re-measured anyway)
+    "docs_pii_scrub",
     "corpus_pipeline_funnel",
 ]
 

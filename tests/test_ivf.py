@@ -627,6 +627,20 @@ def test_index_maintenance_lifecycle(spark, tmp_path):
     assert split == [0] and len(C2) == 3
     ivf.save_centroids(spark, C2, cpath)
 
+    # deletion-list purge (right-to-be-forgotten): opt-out ids leave
+    # the index (touched cells only); one stale id is counted, not an
+    # error; conservation holds against the logical corpus
+    n_before = spark.read.parquet(path).count()
+    doomed = [0, 45, 101, 102, 150]
+    acct = ivf.delete_ids(spark, path, doomed + [999_999])
+    assert acct["n_requested"] == 6
+    assert acct["n_deleted"] == 5 and acct["n_missing"] == 1
+    for i in doomed:
+        corpus.pop(i)
+    assert spark.read.parquet(path).count() == n_before - acct["n_deleted"]
+    # post-purge compaction keeps the scan shape
+    ivf.compact_index(spark, path, max_files_per_cell=2)
+
     # final state: no loss, no duplication, search == brute force
     after = spark.read.parquet(path)
     assert after.count() == len(corpus)
@@ -635,7 +649,7 @@ def test_index_maintenance_lifecycle(spark, tmp_path):
         [(i, [float(v) for v in row]) for i, row in corpus.items()],
         "vec_id long, embedding array<double>",
     )
-    queries = logical.filter(F.col("vec_id").isin([0, 45, 100, 150]))
+    queries = logical.filter(F.col("vec_id").isin([1, 46, 100, 151]))
     C3 = ivf.load_centroids(spark, cpath)
     got = ivf.ivf_topk(queries, after, C3, k=3, nprobe=len(C3)).select(
         "query_id", "vec_id", "rank"
@@ -697,3 +711,105 @@ def test_search_index_serving_api_with_filter(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "label" in plan.split("PushedFilters", 1)[1][:400]
+
+
+# --- deletion-list purge (ivf.delete_ids) ---------------------------------
+
+
+def test_delete_ids_touches_only_holding_cells(spark, tmp_path):
+    """Deleting ids rewrites only the cells that hold them; other cell
+    directories keep their original part-files (mtime-stable), and the
+    accounting separates deleted from missing (stale) ids."""
+    import glob
+    import os
+
+    import numpy as np
+
+    cents = np.array([[0.0, 0.0], [10.0, 10.0]])
+    path = str(tmp_path / "del_index")
+    base = spark.createDataFrame(
+        [
+            (1, [0.1, 0.1]),
+            (2, [0.2, 0.2]),
+            (3, [10.1, 10.1]),
+            (4, [10.2, 10.2]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ivf.write_index(ivf.assign_clusters(base, cents), path)
+    before = sorted(glob.glob(os.path.join(path, "cluster_id=1", "part-*")))
+
+    acct = ivf.delete_ids(spark, path, [1, 999])
+    assert acct["n_requested"] == 2
+    assert acct["n_deleted"] == 1
+    assert acct["n_missing"] == 1
+    assert acct["touched_cells"] == [0]
+    assert acct["drained_cells"] == []
+
+    after = spark.read.parquet(path)
+    assert {r.vec_id for r in after.select("vec_id").collect()} == {2, 3, 4}
+    # untouched cell's files were not rewritten
+    assert sorted(
+        glob.glob(os.path.join(path, "cluster_id=1", "part-*"))
+    ) == before
+
+
+def test_delete_ids_removes_drained_cell(spark, tmp_path):
+    """Deleting EVERY id in a cell removes the cell directory itself
+    (dynamic overwrite never sees an empty partition — without the
+    explicit removal the purged vectors would survive on disk, a
+    compliance failure, not just a perf bug)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    cents = np.array([[0.0, 0.0], [10.0, 10.0]])
+    path = str(tmp_path / "del_drain_index")
+    base = spark.createDataFrame(
+        [(1, [0.1, 0.1]), (2, [0.2, 0.2]), (3, [10.1, 10.1])],
+        "vec_id long, embedding array<double>",
+    )
+    ivf.write_index(ivf.assign_clusters(base, cents), path)
+
+    acct = ivf.delete_ids(spark, path, [1, 2])
+    assert acct["n_deleted"] == 2 and acct["n_missing"] == 0
+    assert acct["touched_cells"] == [0]
+    assert acct["drained_cells"] == [0]
+    assert not glob.glob(os.path.join(path, "cluster_id=0"))
+    after = spark.read.parquet(path)
+    assert [r.vec_id for r in after.select("vec_id").collect()] == [3]
+    # idempotence: replaying the same deletion list is a counted no-op
+    acct2 = ivf.delete_ids(spark, path, [1, 2])
+    assert acct2["n_deleted"] == 0 and acct2["n_missing"] == 2
+    assert acct2["touched_cells"] == []
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_delete_ids_empty_list_and_dataframe_input(spark, tmp_path):
+    """An empty deletion list is a zero-accounting no-op (no index
+    read, no write); a DataFrame deletion list with duplicate ids is
+    de-duplicated before accounting."""
+    import numpy as np
+
+    cents = np.array([[0.0, 0.0], [10.0, 10.0]])
+    path = str(tmp_path / "del_empty_index")
+    base = spark.createDataFrame(
+        [(1, [0.1, 0.1]), (2, [10.1, 10.1])],
+        "vec_id long, embedding array<double>",
+    )
+    ivf.write_index(ivf.assign_clusters(base, cents), path)
+
+    acct = ivf.delete_ids(spark, path, [])
+    assert acct == {
+        "n_requested": 0,
+        "n_deleted": 0,
+        "n_missing": 0,
+        "touched_cells": [],
+        "drained_cells": [],
+    }
+    dels = spark.createDataFrame([(2,), (2,), (7,)], "vec_id long")
+    acct2 = ivf.delete_ids(spark, path, dels)
+    assert acct2["n_requested"] == 2
+    assert acct2["n_deleted"] == 1 and acct2["n_missing"] == 1
+    assert spark.read.parquet(path).count() == 1

@@ -1659,3 +1659,151 @@ def test_keep_first_key_null_id_raises_in_plan(spark):
     )
     with pytest.raises(Exception, match="collide|NULL"):
         dedup.line_dedup(df).collect()
+
+
+# --- deletion-list purge (dedup.purge_docs / purge_missing /
+# purge_accounting) ---------------------------------------------------------
+
+
+def test_purge_conservation_and_identity(spark, docs):
+    """The three purge endpoints agree with each other: per-source
+    accounting conserves (n_purged + n_kept == n_total, totals match
+    the corpus), purge_docs' kept set IS the accounting's kept set
+    (count + id-sum witness), purge_missing returns exactly the stale
+    ids, and duplicate deletion-list entries do not double-count."""
+    missing_ids = [10_000_001, 10_000_002]
+    dels = (
+        docs.filter(F.col("doc_id") % 5 == 1)
+        .select("doc_id")
+        .unionByName(
+            spark.createDataFrame(
+                # one missing id appears TWICE: distinct()-discipline
+                [(i,) for i in missing_ids + [missing_ids[0]]],
+                "doc_id long",
+            )
+        )
+    )
+    acct = dedup.purge_accounting(docs, dels, group_col="source").collect()
+    n_docs = docs.count()
+    assert sum(r.n_total for r in acct) == n_docs
+    for r in acct:
+        assert r.n_purged + r.n_kept == r.n_total
+
+    kept = dedup.purge_docs(docs, dels)
+    assert kept.count() == sum(r.n_kept for r in acct)
+    assert kept.agg(F.sum("doc_id")).collect()[0][0] == sum(
+        r.kept_id_sum for r in acct
+    )
+    # kept ∪ purged partitions the corpus
+    assert kept.count() + docs.filter(
+        F.col("doc_id") % 5 == 1
+    ).count() == n_docs
+
+    missing = {
+        r.doc_id for r in dedup.purge_missing(docs, dels).collect()
+    }
+    assert missing == set(missing_ids)
+
+
+def test_purge_null_id_entries_are_inert(spark):
+    """A NULL id in the deletion list never equi-matches (it cannot
+    name a document) and a NULL-id document row is always KEPT — purge
+    only removes rows positively named by the list."""
+    corpus = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "orphan")],
+        "doc_id long, source string",
+    )
+    dels = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    kept = dedup.purge_docs(corpus, dels, id_col="doc_id").collect()
+    assert {r.source for r in kept} == {"b", "orphan"}
+    # the NULL list entry SURFACES in the hygiene audit: it names
+    # nothing, so it is unmatched garbage the audit must expose
+    missing = dedup.purge_missing(corpus, dels).collect()
+    assert [r.doc_id for r in missing] == [None]
+
+
+# --- token Naive Bayes quality classifier (textstats.nb_logodds) -----------
+
+
+def test_nb_logodds_directionality(spark, docs):
+    """Seed-class documents must score HIGHER than the other class —
+    the classifier recovers its own training signal (pos seed = 'en'
+    docs, whose token distribution differs from the other langs by
+    construction of the synthetic corpus)."""
+    out = (
+        textstats.nb_logodds(
+            docs,
+            docs.filter(F.col("lang") == "en"),
+            docs.filter(F.col("lang") != "en"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("log_odds").alias("m"), F.avg("pred").alias("acc"))
+        .collect()
+    )
+    by_class = {r[0]: r for r in out}
+    # the synthetic corpus draws langs from an overlapping vocabulary,
+    # so absolute accuracy is weak by construction — what must hold is
+    # the ORDERING: en docs score higher and are predicted positive
+    # more often than non-en docs
+    assert by_class[True].m > by_class[False].m
+    assert by_class[True].acc > by_class[False].acc
+
+
+def test_nb_logodds_closed_form_and_oov(spark):
+    """Tiny corpus, hand-computed: pos seed 'a a', neg seed 'b'; the
+    scored doc 'a c' mixes an in-vocab token with an OUT-OF-VOCAB one
+    (absent from both seeds) — the OOV token must get the
+    pure-smoothing default weight, not drop out."""
+    import math
+
+    pos = spark.createDataFrame([(1, "a a")], "doc_id long, text string")
+    neg = spark.createDataFrame([(2, "b")], "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(3, "a c"), (4, "")], "doc_id long, text string"
+    )
+    rows = textstats.nb_logodds(target, pos, neg, k=0.5).collect()
+    # token-less doc 4 is absent (the unigram_logprob contract)
+    assert [r.doc_id for r in rows] == [3]
+    r = rows[0]
+    assert r.n_toks == 2
+    # V = |{a, b}| = 2; cp(a) = 2 ('a a' is TWO occurrences), tp = 2,
+    # cn(b) = 1, tn = 1; prior = ln(1/1) = 0
+    w_a = math.log((2 + 0.5) / (2 + 0.5 * 2)) - math.log(
+        (0 + 0.5) / (1 + 0.5 * 2)
+    )
+    w_oov = math.log(0.5 / (2 + 0.5 * 2)) - math.log(0.5 / (1 + 0.5 * 2))
+    assert abs(r.log_odds - (w_a + w_oov)) < 1e-12
+    assert r.pred == (1 if w_a + w_oov > 0 else 0)
+
+
+def test_nb_logodds_empty_seed_raises(spark):
+    """An empty seed class degenerates every weight — the in-plan
+    guard raises at action time."""
+    pos = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    neg = pos.filter(F.lit(False))
+    out = textstats.nb_logodds(pos, pos, neg)
+    with pytest.raises(Exception, match="seed class is EMPTY"):
+        out.collect()
+
+
+def test_nb_logodds_doc_counts_arg_is_value_identical(spark, docs):
+    """Supplying the prior doc counts as a 1-row sufficient-statistics
+    relation (the scan-count optimization the catalog entry uses) must
+    not change a single value."""
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(F.col("lang") != "en")
+    base = textstats.nb_logodds(docs, pos, neg)
+    en = (F.col("lang") == "en").cast("long")
+    fed = textstats.nb_logodds(
+        docs,
+        pos,
+        neg,
+        doc_counts=docs.agg(
+            F.sum(en).alias("n_pos"),
+            F.sum(F.lit(1) - en).alias("n_neg"),
+        ),
+    )
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, fed.collect()))
+    assert a == b

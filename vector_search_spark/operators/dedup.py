@@ -1476,3 +1476,103 @@ def line_dedup(
         .otherwise(F.concat_ws("\n", ordered))
         .alias("clean_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deletion-list purge (right-to-be-forgotten / opt-out, round 13)
+# --------------------------------------------------------------------------
+
+
+def purge_docs(
+    docs: DataFrame,
+    deletions: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus purge by deletion list — the right-to-be-forgotten /
+    opt-out endpoint every production training-data pipeline carries:
+    drop every document whose id appears in ``deletions`` and return
+    the kept corpus, schema unchanged.
+
+    One anti-join on the id key: the corpus shuffles (or, when the
+    deletion list is small enough for AQE to demote the join, streams
+    map-side against a broadcast hash set) and nothing else moves —
+    cost is one corpus pass regardless of list size. No broadcast
+    HINT: a legal deletion backlog can be millions of ids, and the
+    optimizer's size-based demotion is the right call per batch.
+
+    NULL policy: a NULL id in ``deletions`` never equi-matches and is
+    inert (it cannot name a document); a NULL-id document row likewise
+    never matches and is always KEPT — purge only removes rows
+    positively named by the list. Callers auditing list hygiene pair
+    this with :func:`purge_missing`; conservation accounting
+    (n_purged + n_kept == n_total, per group) is
+    :func:`purge_accounting` on the SAME join semantics.
+    """
+    return docs.join(
+        deletions.select(F.col(id_col)).distinct(), id_col, "left_anti"
+    )
+
+
+def purge_missing(
+    docs: DataFrame,
+    deletions: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deletion-list hygiene audit: the ids in ``deletions`` that name
+    NO document in ``docs`` (already purged by an earlier batch,
+    stale, or mistyped). Production deletion lists are append-only
+    logs replayed against a moving corpus, so a non-empty result is
+    normal — but it must be REPORTED, not silently swallowed, for the
+    purge run to be attestable. Anti-join with the sides of
+    :func:`purge_docs` swapped; deletion-list-sized output."""
+    return (
+        deletions.select(F.col(id_col))
+        .distinct()
+        .join(docs.select(F.col(id_col)), id_col, "left_anti")
+    )
+
+
+def purge_accounting(
+    docs: DataFrame,
+    deletions: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group conservation accounting for a purge run — the
+    attestation artifact filed alongside the purged corpus: for each
+    ``group_col`` value, how many documents existed, how many the
+    deletion list removed, how many remain, and a membership checksum
+    over the kept ids.
+
+    Returns ``(group_col, n_total, n_purged, n_kept, kept_id_sum)``
+    (all counts BIGINT; ``kept_id_sum`` = sum of kept ids — a
+    value-level witness that the kept SET, not just its size, is
+    right). ``n_purged + n_kept == n_total`` holds per row by
+    construction (each doc is flagged exactly once: the deletion list
+    is ``distinct()``-ed before the membership join, so duplicate
+    list entries cannot double-flag a row).
+
+    One corpus scan: a LEFT join marks membership (same equi-join key
+    and NULL semantics as :func:`purge_docs` — a flagged row here is
+    exactly a dropped row there), then one map-side-combinable
+    groupBy rolls up. Group-count-sized output.
+    """
+    dels = (
+        deletions.select(F.col(id_col))
+        .distinct()
+        .withColumn("_purged", F.lit(1))
+    )
+    flagged = docs.select(F.col(group_col), F.col(id_col)).join(
+        dels, id_col, "left"
+    )
+    purged = F.coalesce(F.col("_purged"), F.lit(0))
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(purged).cast("long").alias("n_purged"),
+        F.sum(F.lit(1) - purged).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(purged == 0, F.col(id_col)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("kept_id_sum"),
+    )

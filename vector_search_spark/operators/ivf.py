@@ -595,6 +595,99 @@ def upsert_index(
     return sorted(touched)
 
 
+def delete_ids(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> dict:
+    """Deletion-list purge for the on-disk IVF index — the
+    right-to-be-forgotten / opt-out maintenance op completing the
+    lifecycle triad (``upsert_index`` / ``compact_index`` /
+    ``rebalance_index``): remove every vector whose id is in ``ids``,
+    rewriting ONLY the cells that hold a deleted id (dynamic partition
+    overwrite — the same touched-cells-only discipline as
+    ``upsert_index``, so write cost scales with the deletion
+    footprint, not the index size). A touched cell left empty is a
+    DRAINED cell: dynamic overwrite never sees it (no rows to write),
+    so its directory is explicitly removed — otherwise the deleted
+    vectors would survive on disk, which for a legal purge is not a
+    perf bug but a compliance failure.
+
+    ``ids`` is a DataFrame bearing ``id_col`` or a Python iterable of
+    ints; it is de-duplicated either way. Ids absent from the index
+    (already purged by an earlier batch, stale) are counted, not
+    errors — deletion lists are append-only logs replayed against a
+    moving index (same contract as ``dedup.purge_missing``).
+
+    Returns conservation accounting the caller can attest:
+    ``{"n_requested", "n_deleted", "n_missing", "touched_cells",
+    "drained_cells"}`` with ``n_requested == n_deleted + n_missing``
+    (ids are unique in the index — ``upsert_index`` maintains that
+    invariant — so deleted ROWS == deleted IDS). Driver state is
+    deletion-list- and cell-count-sized only: per-cell hit counts via
+    one model-sized collect, never vector rows.
+    """
+    if isinstance(ids, DataFrame):
+        dels = ids.select(F.col(id_col)).distinct()
+    else:
+        uniq = sorted({int(i) for i in ids})
+        dels = spark.createDataFrame(
+            [(i,) for i in uniq], f"{id_col} long"
+        )
+    n_requested = dels.count()
+    if n_requested == 0:
+        return {
+            "n_requested": 0,
+            "n_deleted": 0,
+            "n_missing": 0,
+            "touched_cells": [],
+            "drained_cells": [],
+        }
+    existing = spark.read.parquet(path)
+    # one cell-count-sized collect: which cells hold a deleted id, and
+    # how many rows each loses (sum = n_deleted)
+    per_cell = (
+        existing.join(dels, id_col)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    touched = sorted(int(r.cluster_id) for r in per_cell)
+    n_deleted = int(sum(r._n for r in per_cell))
+    if not touched:
+        return {
+            "n_requested": int(n_requested),
+            "n_deleted": 0,
+            "n_missing": int(n_requested),
+            "touched_cells": [],
+            "drained_cells": [],
+        }
+    survivors = (
+        existing.filter(F.col("cluster_id").isin(touched))
+        .join(dels, id_col, "left_anti")
+    )
+    # cells still present after the purge — computed BEFORE the write
+    # (survivors' lineage reads `path`, the upsert_index discipline)
+    merged_cells = {
+        int(r.cluster_id)
+        for r in survivors.select("cluster_id").distinct().collect()
+    }
+    with _dynamic_overwrite(spark):
+        survivors.write.mode("overwrite").partitionBy(
+            "cluster_id"
+        ).parquet(path)
+    drained = sorted(set(touched) - merged_cells)
+    _remove_drained_cells(spark, path, drained)
+    return {
+        "n_requested": int(n_requested),
+        "n_deleted": n_deleted,
+        "n_missing": int(n_requested) - n_deleted,
+        "touched_cells": touched,
+        "drained_cells": drained,
+    }
+
+
 def _remove_drained_cells(spark, path: str, drained: list[int]) -> None:
     """Delete cell partition directories that dynamic overwrite never
     saw (touched cells whose rows all moved elsewhere) so the moved

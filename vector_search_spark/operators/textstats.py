@@ -1401,3 +1401,157 @@ def dsir_logratio(
             F.avg("_lw").alias("dsir_score"),
         )
     )
+
+
+def nb_logodds(
+    docs: DataFrame,
+    pos: DataFrame,
+    neg: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    doc_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Token Naive Bayes quality classifier — the CCNet / GPT-3
+    curation stage the heuristic->LM->DSIR quality ladder tops out at:
+    train per-class token counts on two labeled SEED corpora
+    (``pos`` = looks-like-quality, ``neg`` = looks-like-crawl), then
+    score EVERY document in ``docs`` with the smoothed log-odds
+
+        log P(pos | d) - log P(neg | d)
+          = log(n_pos / n_neg)                         (doc-count prior)
+          + sum over token occurrences t in d of
+              log((c_pos(t) + k) / (tot_pos + k*V))
+            - log((c_neg(t) + k) / (tot_neg + k*V))
+
+    with add-k smoothing over V = the union seed vocabulary. Zero
+    model state: the "classifier" is two vocab-sized count tables
+    built in the same plan (GPT-3 trained logistic regression on
+    WebText-vs-crawl; NB over the same features is the aggregation-
+    only equivalent, exactly replayable in SQL).
+
+    Plan shape: each seed reduces to a vocab-sized count table
+    (map-side-combinable); V, the two token totals, and the two doc
+    counts are 1-row second-level aggregates broadcast back (never a
+    second seed pass); the per-token weight table full-outer-joins the
+    two counts and BROADCASTS onto the corpus token stream, so scoring
+    is one map-side join + one per-doc aggregate — the
+    ``dsir_logratio`` shape with tokens for hashed grams. Tokens
+    outside BOTH seeds get the pure-smoothing default weight
+    (c_pos = c_neg = 0 in the formula) via LEFT join + coalesce — an
+    inner join would silently drop them from their doc's evidence.
+
+    Guards: an EMPTY seed class makes every weight degenerate, so the
+    prior raises in-plan (``raise_error``) when either doc count is 0
+    — same discipline as the module's other in-plan guards.
+    ``doc_counts`` optionally supplies the two prior doc counts as a
+    1-row (n_pos, n_neg) relation — the dsir ``per_tokens`` /
+    mixture-weights sufficient-statistics pattern: when pos/neg are
+    filters of one corpus, a single conditional aggregate replaces two
+    count scans.
+
+    Returns ``(id_col, n_toks int, log_odds double, pred int)`` with
+    ``pred = 1`` iff the log-odds favor ``pos``. Token-less documents
+    (empty or NULL text) carry no evidence and are ABSENT — the
+    :func:`unigram_logprob` contract; callers coalesce if they need
+    them.
+    """
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(T.tokens(text_col)).alias("_t")
+        )
+
+    cp = toks(pos).groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_cp")
+    )
+    cn = toks(neg).groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_cn")
+    )
+    base = cp.join(cn, "_t", "full_outer").select(
+        "_t",
+        F.coalesce("_cp", F.lit(0)).alias("_cp"),
+        F.coalesce("_cn", F.lit(0)).alias("_cn"),
+    )
+    # V + the two token totals in ONE 1-row aggregate broadcast back —
+    # the union vocab size is exactly base's row count (full outer
+    # join on the token key), so no third tokenize pass is needed, and
+    # merging the aggregates leaves base exactly TWO consumers (this
+    # and wtab) over the same subtree for ReuseExchange to collapse
+    vstats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_V"),
+        F.sum("_cp").cast("long").alias("_tp"),
+        F.sum("_cn").cast("long").alias("_tn"),
+    )
+    if doc_counts is None:
+        npos = pos.agg(F.count(F.lit(1)).cast("long").alias("_np"))
+        nneg = neg.agg(F.count(F.lit(1)).cast("long").alias("_nn"))
+        priors = npos.crossJoin(nneg)
+    else:
+        # caller-supplied sufficient statistics (the dsir per_tokens /
+        # mixture_weights pattern): a 1-row (n_pos, n_neg) relation —
+        # when pos/neg are filters of ONE corpus this halves the
+        # prior's scan count (one conditional aggregate, not two)
+        priors = doc_counts.select(
+            F.col("n_pos").cast("long").alias("_np"),
+            F.col("n_neg").cast("long").alias("_nn"),
+        )
+    kk = float(k)
+
+    def lw(c: Column, tot: Column) -> Column:
+        return F.log(
+            (c + F.lit(kk))
+            / (tot.cast("double") + F.lit(kk) * F.col("_V").cast("double"))
+        )
+
+    wtab = (
+        base.crossJoin(F.broadcast(vstats))
+        .select(
+            "_t",
+            (lw(F.col("_cp"), F.col("_tp")) - lw(F.col("_cn"), F.col("_tn")))
+            .alias("_w"),
+        )
+    )
+    # out-of-vocabulary default = the weight formula at cp = cn = 0
+    default_w = lw(F.lit(0), F.col("_tp")) - lw(F.lit(0), F.col("_tn"))
+    prior = F.when(
+        (F.col("_np") == 0) | (F.col("_nn") == 0),
+        F.raise_error(
+            F.lit(
+                "nb_logodds: a seed class is EMPTY -- the prior and "
+                "every token weight are degenerate; fix the seed "
+                "selection upstream"
+            )
+        ).cast("double"),
+    ).otherwise(
+        F.log(F.col("_np").cast("double") / F.col("_nn").cast("double"))
+    )
+    evidence = (
+        toks(docs)
+        .join(F.broadcast(wtab), "_t", "left")
+        .crossJoin(F.broadcast(vstats))
+        .withColumn("_w", F.coalesce(F.col("_w"), default_w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_toks"),
+            F.sum("_w").alias("_sw"),
+        )
+    )
+    # the prior (and its empty-seed guard) joins AFTER the per-doc
+    # aggregate: one 1-row broadcast onto a doc-count-sized relation
+    return (
+        evidence.crossJoin(F.broadcast(priors))
+        .select(
+            id_col,
+            "n_toks",
+            (prior + F.col("_sw")).alias("log_odds"),
+        )
+        .select(
+            id_col,
+            "n_toks",
+            "log_odds",
+            (F.col("log_odds") > 0).cast("int").alias("pred"),
+        )
+    )

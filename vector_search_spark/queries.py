@@ -260,103 +260,40 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (or move) IN-window so the driver re-verifies exactly the riskiest
 # changes; only queries untouched since their last green may rotate out,
 # and no oracle-paired entry's last green may age past 3 rounds.
-# ROUND-12 ROTATION. This window takes:
+# ROUND-13 ROTATION. This window takes:
 # (a) the flagship (knn_exact — always first),
-# (b) docs_pack_boundaries — the r12 queue's MANDATED first pick (the
-#     only catalog entry never driver-adjudicated: added in r11 below
-#     a full window),
-# (c) the three NEW entries (start in-window): docs_pii_scrub (PII
-#     detection/redaction, pure-Catalyst regexp), docs_line_dedup
-#     (corpus-wide keep-first line dedup, the excise_spans sibling),
-#     and docs_source_scorecard (multi-signal crawl-source rollup) —
-#     the third displaced docs_assemble_packs from (d)'s conservative
-#     prefix_sum-consumer picks (its r12 change is a pre-plan guard
-#     only: no plan or value change, r11-green, r14-due),
-# (d) every entry whose code paths changed in r12: customer_rfm (the
-#     monetary quartile now uses the two-level bucketed running count —
-#     the r11-advice boundedness fix — and its value->quartile map
-#     joins back WITHOUT broadcast), docs_excise_spans (in-plan
-#     keep-first key-collision guard + full-md5 group identity),
-#     docs_line_dedup also took the md5 + NULL-row-preservation
-#     changes late in r12 (new entry, already in (c)),
-#     text_maxsim_search (shortlist-
-#     coverage: token-less pairs score 0.0 instead of vanishing, oracle
-#     in lockstep), corpus_pipeline_funnel (new pii_clean stage 4),
-#     plus two direct prefix_sum_offsets consumers
-#     (docs_pack_sequences, docs_mixture_pipeline)
-#     — its new reserved-column clash guard is pre-plan validation that
-#     changes no plan or value, but they consume the touched operator,
-#     so they re-verify anyway (docs_pack_boundaries, the 4th consumer,
-#     is in-window per (b)),
-# (e) the ENTIRE documented r12 queue — all 39 r9-green oracle-paired
-#     entries (they hit the 3-round limit at r12 close):
-#     asof_purchase_view .. tpch_q16 in the r11 tail order.
-# Rotated OUT: the r11 greens whose code is untouched since (r14-due:
-# dedup_exact, pq_decode, the graph/IVF/PQ §2 set, tpch q1/3/5/6/10/
-# 12/19/22, the mixture/pack consumers not named in (d), rank_eval_
-# ndcg, text_chunk_retrieval — 43 entries) behind the 42 remaining r10
-# greens (r13-due). Window slots stay all-oracle-paired; rows-only
-# entries remain at the very tail.
-# R13 QUEUE (first picks): the 42 r10 greens (docs_dsir_weights ..
-# multimodal_metadata, tail order below) — they go 3-rounds-stale at
-# r13 close; then the 44 r11 greens (r14-due: the 43 rotated out
-# plus docs_assemble_packs, displaced per (c)).
+# (b) the ENTIRE documented r13 queue — all 42 r10-green oracle-paired
+#     entries (they hit the 3-round limit at r13 close):
+#     docs_dsir_weights .. multimodal_metadata in the r12 tail order,
+# (c) every entry whose code paths changed in r13: dedup_exact and
+#     docs_source_scorecard (per-hash min/count de-windowed to the
+#     two-long-state groupBy + join-back skeleton — values
+#     hash-identical, plan shape changed), corpus_pipeline_funnel and
+#     docs_pii_scrub (the PII module gained an import-time
+#     pattern-quote assert and contract docs — no plan change, but
+#     they consume the touched module, so they re-verify anyway),
+# (d) the two NEW entries (start in-window): docs_purge
+#     (deletion-list purge with per-source conservation accounting +
+#     missing-id hygiene count) and docs_nb_quality (token Naive
+#     Bayes quality classifier, the CCNet/GPT-3 learned-filter
+#     stage),
+# (e) docs_assemble_packs — displaced from the r12 window by the
+#     scorecard (guard-only r12 change, r11-green, r14-due): pulled
+#     early so the displacement debt clears a round ahead.
+# Rotated OUT: the 46 r12 greens whose code is untouched (r15-due:
+# docs_pack_boundaries, docs_line_dedup, customer_rfm,
+# docs_excise_spans, text_maxsim_search, the pack/mixture pair, the
+# full r9-green relational/dedup/tpch set) behind the 42 remaining
+# r11 greens (r14-due). Window slots stay all-oracle-paired;
+# rows-only entries remain at the very tail.
+# R14 QUEUE (first picks): the 42 r11 greens (events_hourly_zscore ..
+# text_chunk_retrieval, tail order below) — they go 3-rounds-stale at
+# r14 close; then the 46 r12 greens (r15-due).
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
-    # (a) flagship; (b) r12 first pick; (c) new; (d) r12 code changes
+    # (a) flagship; (b) the full 42-entry r13 queue (r10 greens);
+    # (c) r13 code changes; (d) new; (e) r12-displaced early pull
     "knn_exact",
-    "docs_pack_boundaries",
-    "docs_pii_scrub",
-    "docs_line_dedup",
-    "docs_source_scorecard",
-    "corpus_pipeline_funnel",
-    "customer_rfm",
-    "docs_excise_spans",
-    "text_maxsim_search",
-    "docs_pack_sequences",
-    "docs_mixture_pipeline",
-    # (e) the full r12 queue: every r9-green oracle-paired entry
-    "asof_purchase_view",
-    "cube_events",
-    "docs_split_assign",
-    "events_approx_distinct",
-    "events_daily_json",
-    "events_session_window",
-    "events_sliding_window",
-    "events_tumbling_hourly",
-    "grouping_sets_events",
-    "promo_revenue_monthly",
-    "range_join_purchase_follow",
-    "rollup_lineitem",
-    "sessionize_events",
-    "setop_converting_days",
-    "window_customer_orders",
-    "dedup_edit_distance",
-    "dedup_minhash_lsh",
-    "docs_lang_mismatch",
-    "docs_length_percentile_filter",
-    "events_pivot",
-    "events_transitions",
-    "events_value_histogram",
-    "knn_quota",
-    "prototype_classify",
-    "text_hash_embed_knn",
-    "text_repetition",
-    "text_token_entropy",
-    "tpch_q4",
-    "kmeans_assign",
-    "kmeans_lloyd",
-    "dedup_lsh_band_curve",
-    "text_unigram_logprob",
-    "pq_sdc_pairs",
-    "ngram_heavy_hitters",
-    "dedup_groups",
-    "dedup_keep_canonical",
-    "dedup_semantic",
-    "tpch_q21",
-    "tpch_q16",
-    # ---- tail ----
-    # r13 queue first: the 42 remaining r10 greens (r13-due)
     "docs_dsir_weights",
     "docs_dsir_weights_sampled",
     "lineitem_corr",
@@ -399,15 +336,20 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ivf_filtered_knn",
     "pq_encode",
     "multimodal_metadata",
-    # then the r11 greens (r14-due; assemble_packs leads — displaced
-    # by docs_source_scorecard, see policy note (c))
+    "dedup_exact",
+    "docs_source_scorecard",
+    "corpus_pipeline_funnel",
+    "docs_pii_scrub",
+    "docs_purge",
+    "docs_nb_quality",
     "docs_assemble_packs",
+    # ---- tail: r14 queue first (42 r11 greens), then the 46
+    # r12 greens rotated out this round (r15-due), then rows-only ----
     "events_hourly_zscore",
     "docs_budget_waterfill",
     "docs_materialize_mixture",
     "docs_shuffle_shards",
     "docs_mixture_weights",
-    "dedup_exact",
     "pq_decode",
     "knn_graph_degree",
     "nn_descent_graph",
@@ -445,8 +387,52 @@ CATALOG_ORDER: tuple[str, ...] = (
     "anti_join_idle_customers",
     "rank_eval_ndcg",
     "text_chunk_retrieval",
-    # rows-only (RNG-dependent or engine-specific float
-    # reductions; pytest-gated recall/invariants)
+    "docs_pack_boundaries",
+    "docs_line_dedup",
+    "customer_rfm",
+    "docs_excise_spans",
+    "text_maxsim_search",
+    "docs_pack_sequences",
+    "docs_mixture_pipeline",
+    "asof_purchase_view",
+    "cube_events",
+    "docs_split_assign",
+    "events_approx_distinct",
+    "events_daily_json",
+    "events_session_window",
+    "events_sliding_window",
+    "events_tumbling_hourly",
+    "grouping_sets_events",
+    "promo_revenue_monthly",
+    "range_join_purchase_follow",
+    "rollup_lineitem",
+    "sessionize_events",
+    "setop_converting_days",
+    "window_customer_orders",
+    "dedup_edit_distance",
+    "dedup_minhash_lsh",
+    "docs_lang_mismatch",
+    "docs_length_percentile_filter",
+    "events_pivot",
+    "events_transitions",
+    "events_value_histogram",
+    "knn_quota",
+    "prototype_classify",
+    "text_hash_embed_knn",
+    "text_repetition",
+    "text_token_entropy",
+    "tpch_q4",
+    "kmeans_assign",
+    "kmeans_lloyd",
+    "dedup_lsh_band_curve",
+    "text_unigram_logprob",
+    "pq_sdc_pairs",
+    "ngram_heavy_hitters",
+    "dedup_groups",
+    "dedup_keep_canonical",
+    "dedup_semantic",
+    "tpch_q21",
+    "tpch_q16",
     "bq_rotated_knn",
     "hnsw_knn",
     "pca_knn",

@@ -3243,7 +3243,183 @@ def q_docs_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-source duplication), and PII incidence (zero on this
     corpus by construction — the regexes still execute per row;
     docs_pii_scrub is the value-exercising PII entry). One corpus
-    scan -> per-doc scalar projection -> hash-window dup flag -> one
-    map-side-combinable rollup; output is source-count-sized."""
+    scan -> per-doc scalar projection -> per-hash groupBy + join-back
+    dup flag (aggregate, not window: map-side partial agg +
+    AQE-skew-splittable join) -> one map-side-combinable rollup;
+    output is source-count-sized."""
     docs = tables.load(spark, sf_dir, "documents")
     return textstats.source_scorecard(docs)
+
+
+# --------------------------------------------------------------------------
+# Deletion-list purge + NB quality classifier (round 13)
+# --------------------------------------------------------------------------
+
+# Deterministic deletion list for the purge entry: every 7th-ish doc
+# (doc_id % 7 == 3) plus three synthetic ids guaranteed absent at any
+# SF — production deletion lists are append-only logs replayed against
+# a moving corpus, so stale entries are the NORMAL case the accounting
+# must surface, not an error.
+PURGE_MISSING_IDS = (1_000_000_001, 1_000_000_002, 1_000_000_003)
+
+
+@register(
+    "docs_purge",
+    f"""
+WITH dels AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id FROM documents WHERE doc_id % 7 = 3
+    UNION ALL
+    SELECT CAST(unnest([{", ".join(str(i) for i in PURGE_MISSING_IDS)}])
+           AS BIGINT) AS doc_id
+  )
+),
+miss AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_missing
+  FROM dels WHERE NOT EXISTS (
+    SELECT 1 FROM documents d WHERE d.doc_id = dels.doc_id
+  )
+),
+flg AS (
+  SELECT dd.source, dd.doc_id,
+         CASE WHEN dels.doc_id IS NOT NULL THEN 1 ELSE 0 END AS purged
+  FROM documents dd LEFT JOIN dels ON dd.doc_id = dels.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(purged) AS BIGINT) AS n_purged,
+       CAST(count(*) - sum(purged) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN purged = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum,
+       (SELECT n_missing FROM miss) AS n_missing
+FROM flg GROUP BY source
+""",
+    "text",
+    "pipeline",
+    "ops",
+)
+def q_docs_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge run with conservation accounting
+    (dedup.purge_accounting + purge_missing): a deterministic deletion
+    list (doc_id % 7 == 3, plus three ids absent from the corpus — the
+    stale-entry case every replayed deletion log carries) is applied
+    to the corpus; output is one attestation row per source —
+    n_total / n_purged / n_kept (n_purged + n_kept == n_total by
+    construction), a kept-id-sum membership checksum that
+    value-exercises the anti-join semantics, and the global
+    n_missing hygiene count. One corpus scan + a deletion-sized
+    membership join + one rollup; purge_docs (the kept-corpus
+    endpoint) shares the exact join semantics — pinned identical in
+    tests."""
+    docs = tables.load(spark, sf_dir, "documents")
+    # the deletion list is LIST-sized: localCheckpoint it once so the
+    # three consumers (membership join, hygiene audit, nothing else)
+    # don't each re-derive it from a corpus scan (the excise_spans /
+    # line_dedup bounded-artifact discipline)
+    dels = (
+        docs.filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+        .unionByName(
+            spark.createDataFrame(
+                [(i,) for i in PURGE_MISSING_IDS], "doc_id long"
+            )
+        )
+        .localCheckpoint()
+    )
+    acct = dedup.purge_accounting(docs, dels, group_col="source")
+    miss = dedup.purge_missing(docs, dels).agg(
+        F.count(F.lit(1)).cast("long").alias("n_missing")
+    )
+    return acct.crossJoin(F.broadcast(miss)).select(
+        "source", "n_total", "n_purged", "n_kept", "kept_id_sum",
+        "n_missing",
+    )
+
+
+NB_SMOOTHING = 0.5
+
+
+@register(
+    "docs_nb_quality",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({T.sql_tokens("text")}) AS t FROM documents
+),
+cp AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c_p
+  FROM toks WHERE lang = 'en' GROUP BY t
+),
+cn AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c_n
+  FROM toks WHERE lang <> 'en' GROUP BY t
+),
+base AS (
+  SELECT COALESCE(cp.t, cn.t) AS t,
+         COALESCE(c_p, 0) AS c_p, COALESCE(c_n, 0) AS c_n
+  FROM cp FULL OUTER JOIN cn ON cp.t = cn.t
+),
+vs AS (
+  SELECT CAST(count(*) AS BIGINT) AS vv,
+         CAST(COALESCE(sum(c_p), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(sum(c_n), 0) AS BIGINT) AS tn
+  FROM base
+),
+nd AS (
+  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS np,
+         CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS nn
+  FROM documents
+),
+w AS (
+  SELECT t, ln((c_p + {NB_SMOOTHING}) / (tp + {NB_SMOOTHING} * vv))
+          - ln((c_n + {NB_SMOOTHING}) / (tn + {NB_SMOOTHING} * vv)) AS w
+  FROM base, vs
+),
+sc AS (
+  SELECT toks.doc_id, CAST(count(*) AS INTEGER) AS n_toks,
+         sum(COALESCE(w,
+             ln({NB_SMOOTHING} / (tp + {NB_SMOOTHING} * vv))
+             - ln({NB_SMOOTHING} / (tn + {NB_SMOOTHING} * vv)))) AS sw
+  FROM toks LEFT JOIN w ON toks.t = w.t, vs
+  GROUP BY toks.doc_id
+)
+SELECT doc_id, n_toks,
+       {rnd_sql("ln(CAST(np AS DOUBLE) / nn) + sw", 6)} AS log_odds,
+       CAST(CASE WHEN ln(CAST(np AS DOUBLE) / nn) + sw > 0
+            THEN 1 ELSE 0 END AS INTEGER) AS pred
+FROM sc, nd
+""",
+    "text",
+    "quality",
+    "pipeline",
+)
+def q_docs_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token Naive Bayes quality classifier (textstats.nb_logodds —
+    the CCNet/GPT-3 learned-filter stage topping the heuristic ->
+    unigram LM -> DSIR quality ladder): per-lang seed labels stand in
+    for quality labels (pos = lang 'en', neg = the rest — the
+    GPT-3 WebText-vs-crawl recipe with the corpus's own metadata as
+    the seed), every document scored with the smoothed log-odds of
+    its token evidence plus the doc-count prior. Seed count tables
+    are vocab-sized aggregates; the weight table broadcasts onto the
+    corpus token stream, so scoring is map-side + one per-doc
+    aggregate (the dsir_logratio shape)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    en = (F.col("lang") == "en").cast("long")
+    out = textstats.nb_logodds(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        k=NB_SMOOTHING,
+        doc_counts=docs.agg(
+            F.sum(en).alias("n_pos"),
+            F.sum(F.lit(1) - en).alias("n_neg"),
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_toks",
+        rnd(F.col("log_odds"), 6).alias("log_odds"),
+        "pred",
+    )
