@@ -711,3 +711,37 @@ def test_exact_dedup_per_hash_stats_are_aggregate_not_window(spark):
             "per-hash stats regressed to a window:\n" + p[:2000]
         )
         assert "HashAggregate" in p or "Aggregate" in p
+
+
+def test_nb_logodds_never_broadcasts_the_vocab_table(spark, monkeypatch):
+    """r13 review pin: the NB weight table is VOCAB-sized — unbounded
+    at web scale (~1e8 tokens), unlike dsir_logratio's n_buckets-
+    bounded table — so it must never be handed to F.broadcast (AQE
+    may still auto-broadcast it at sf0.01; that size-adaptive choice
+    degrades gracefully to a shuffle join at scale, the HINT would
+    not). Allowed broadcast call sites: the 1-row vstats /
+    prior-count relations only."""
+    from vector_search_spark.operators import textstats
+
+    import pyspark.sql.functions as FF
+
+    orig_broadcast = FF.broadcast
+    broadcast_cols: list[tuple[str, ...]] = []
+
+    def spy(df):
+        broadcast_cols.append(tuple(df.columns))
+        return orig_broadcast(df)
+
+    monkeypatch.setattr(FF, "broadcast", spy)
+    docs = tables.load(spark, SF_ORACLE, "documents")
+    out = textstats.nb_logodds(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    )
+    assert broadcast_cols, "spy must see the 1-row stats broadcasts"
+    for cols in broadcast_cols:
+        assert "_w" not in cols and "_t" not in cols, (
+            f"vocab-sized relation handed to F.broadcast: {cols}"
+        )
+    assert out.count() > 0

@@ -637,3 +637,53 @@ def test_pii_scrub_streams_equals_batch(spark, tmp_path):
     assert set(got) == set(batch) == {0, 1, 2, 3}
     for k in batch:
         assert got[k] == batch[k], k
+
+
+def test_streaming_delete_equals_batch_delete(spark, tmp_path):
+    """Stream two micro-batches of deletion requests into an on-disk
+    IVF index; the final index must equal a batch delete of the merged
+    deletion list (stale ids tolerated, drained state identical)."""
+    import numpy as np
+
+    from vector_search_spark.operators import ivf
+    from vector_search_spark.streaming import index_refresh as ir
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings").limit(100)
+    cents = np.array([[0.0] * 64, [0.5] * 64])
+    live = str(tmp_path / "live_del_index")
+    twin = str(tmp_path / "twin_del_index")
+    assigned = ivf.assign_clusters(emb, cents).localCheckpoint()
+    ivf.write_index(assigned, live)
+    ivf.write_index(assigned, twin)
+
+    # two files -> two micro-batches; the second replays id 3 (already
+    # deleted by batch 1 -> counted missing, rewrites nothing) and
+    # carries a never-present id
+    src = tmp_path / "deletions"
+    spark.createDataFrame(
+        [(3,), (7,)], "vec_id long"
+    ).write.mode("overwrite").parquet(str(src))
+    spark.createDataFrame(
+        [(3,), (11,), (987_654,)], "vec_id long"
+    ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("vec_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = ir.streaming_delete(
+        stream, live, str(tmp_path / "del_ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    acct = ivf.delete_ids(spark, twin, [3, 7, 11, 987_654])
+    assert acct["n_deleted"] == 3 and acct["n_missing"] == 1
+    key = lambda p: sorted(
+        (r.vec_id, r.cluster_id)
+        for r in spark.read.parquet(p).select(
+            "vec_id", "cluster_id"
+        ).collect()
+    )
+    assert key(live) == key(twin)
+    deleted = {3, 7, 11}
+    assert not deleted & {vid for vid, _ in key(live)}

@@ -1434,9 +1434,12 @@ def nb_logodds(
     (map-side-combinable); V, the two token totals, and the two doc
     counts are 1-row second-level aggregates broadcast back (never a
     second seed pass); the per-token weight table full-outer-joins the
-    two counts and BROADCASTS onto the corpus token stream, so scoring
-    is one map-side join + one per-doc aggregate — the
-    ``dsir_logratio`` shape with tokens for hashed grams. Tokens
+    two counts and equi-joins onto the corpus token stream WITHOUT a
+    broadcast hint — the weight table is vocab-sized, UNBOUNDED at web
+    scale (dsir_logratio's table is bounded by n_buckets, so IT may
+    hint; this one lets AQE demote to broadcast exactly when the vocab
+    is actually small, the unigram_logprob precedent) — so scoring is
+    one token-keyed equi-join + one per-doc aggregate. Tokens
     outside BOTH seeds get the pure-smoothing default weight
     (c_pos = c_neg = 0 in the formula) via LEFT join + coalesce — an
     inner join would silently drop them from their doc's evidence.
@@ -1528,9 +1531,14 @@ def nb_logodds(
     ).otherwise(
         F.log(F.col("_np").cast("double") / F.col("_nn").cast("double"))
     )
+    # NO broadcast hint on wtab: unlike dsir_logratio's bucket table
+    # (bounded by n_buckets), the NB weight table is VOCAB-sized —
+    # unbounded at web scale (~1e8 tokens). The unigram_logprob
+    # precedent applies: a plain equi-join on the token key, which AQE
+    # demotes to broadcast exactly when the vocab is actually small.
     evidence = (
         toks(docs)
-        .join(F.broadcast(wtab), "_t", "left")
+        .join(wtab, "_t", "left")
         .crossJoin(F.broadcast(vstats))
         .withColumn("_w", F.coalesce(F.col("_w"), default_w))
         .groupBy(id_col)

@@ -3312,10 +3312,10 @@ def q_docs_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint) shares the exact join semantics — pinned identical in
     tests."""
     docs = tables.load(spark, sf_dir, "documents")
-    # the deletion list is LIST-sized: localCheckpoint it once so the
-    # three consumers (membership join, hygiene audit, nothing else)
-    # don't each re-derive it from a corpus scan (the excise_spans /
-    # line_dedup bounded-artifact discipline)
+    # the deletion list is LIST-sized: localCheckpoint it once so its
+    # two consumers (membership join, hygiene audit) don't each
+    # re-derive it from a corpus scan (the excise_spans / line_dedup
+    # bounded-artifact discipline)
     dels = (
         docs.filter(F.col("doc_id") % 7 == 3)
         .select("doc_id")
@@ -3402,9 +3402,11 @@ def q_docs_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPT-3 WebText-vs-crawl recipe with the corpus's own metadata as
     the seed), every document scored with the smoothed log-odds of
     its token evidence plus the doc-count prior. Seed count tables
-    are vocab-sized aggregates; the weight table broadcasts onto the
-    corpus token stream, so scoring is map-side + one per-doc
-    aggregate (the dsir_logratio shape)."""
+    are vocab-sized aggregates; the weight table equi-joins onto the
+    corpus token stream (no broadcast hint — vocab-sized is unbounded
+    at web scale, AQE demotes when small), so scoring is one
+    token-keyed join + one per-doc aggregate (the dsir_logratio
+    shape)."""
     docs = tables.load(spark, sf_dir, "documents")
     en = (F.col("lang") == "en").cast("long")
     out = textstats.nb_logodds(

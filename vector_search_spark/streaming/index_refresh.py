@@ -210,3 +210,40 @@ def cell_arrival_counts(
             "n_arrivals",
         )
     )
+
+
+def streaming_delete(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    available_now: bool = True,
+):
+    """Live DELETION maintenance of the on-disk IVF index — the
+    streaming twin of :func:`streaming_upsert` for the opt-out /
+    right-to-be-forgotten path: every micro-batch of deletion requests
+    folds into the index via ivf.delete_ids, rewriting only the cells
+    that hold a deleted id and removing drained cells.
+
+    Deletion logs are exactly the workload this shape fits: a trickle
+    of ids against a huge index, where per-request rewrites would be
+    ruinous and a daily full rebuild leaks data for up to a day —
+    micro-batch cadence bounds BOTH the write amplification and the
+    retention latency. Exactly-once comes from the checkpoint plus
+    idempotence: replaying a deletion batch re-counts the ids as
+    missing and rewrites nothing (``n_deleted == 0`` => no touched
+    cells).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ivf.delete_ids(
+            batch_df.sparkSession, index_path, batch_df, id_col=id_col
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
