@@ -776,3 +776,53 @@ def test_pii_scrub_matches_python_re(session, seed, n_docs):
             assert getattr(r, f"n_{name}") == want_n, (name, text)
             red = pyre.sub(pat, repl, red)
         assert r.clean_text == red, (text, r.clean_text, red)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(1, 40),
+    n_dels=st.integers(0, 60),
+)
+def test_purge_conservation_random_lists(session, seed, n_docs, n_dels):
+    """Purge triple on arbitrary corpora/lists (duplicated entries,
+    stale ids, multi-group): purge_docs ∪ flagged == corpus,
+    accounting conserves per group, purge_missing ∪ matched ==
+    distinct list. Model = plain Python sets."""
+    import random
+
+    from vector_search_spark.operators import dedup
+
+    rng = random.Random(seed)
+    docs = [(i, f"s{rng.randrange(3)}") for i in range(n_docs)]
+    # deletion list draws from a RANGE WIDER than the corpus (stale
+    # ids) and with replacement (duplicates)
+    dels = [rng.randrange(2 * n_docs + 1) for _ in range(n_dels)]
+
+    docs_df = session.createDataFrame(docs, "doc_id long, source string")
+    dels_df = session.createDataFrame(
+        [(d,) for d in dels] or [(None,)], "doc_id long"
+    )
+
+    del_set = set(dels)
+    expect_kept = {i for i, _ in docs if i not in del_set}
+    expect_missing = {d for d in del_set if d >= n_docs}
+
+    kept = {r.doc_id for r in dedup.purge_docs(docs_df, dels_df).collect()}
+    assert kept == expect_kept
+
+    missing = {
+        r.doc_id
+        for r in dedup.purge_missing(docs_df, dels_df).collect()
+        if r.doc_id is not None
+    }
+    assert missing == expect_missing
+
+    acct = dedup.purge_accounting(docs_df, dels_df, "source").collect()
+    by_src = {r.source: r for r in acct}
+    assert sum(r.n_total for r in acct) == n_docs
+    for s, r in by_src.items():
+        grp = {i for i, src in docs if src == s}
+        assert r.n_purged + r.n_kept == r.n_total == len(grp)
+        assert r.n_kept == len(grp & expect_kept)
+        assert r.kept_id_sum == sum(grp & expect_kept)
