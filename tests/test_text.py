@@ -1807,3 +1807,12 @@ def test_nb_logodds_doc_counts_arg_is_value_identical(spark, docs):
     a = sorted(map(tuple, base.collect()))
     b = sorted(map(tuple, fed.collect()))
     assert a == b
+
+
+def test_nb_logodds_reserved_column_clash_raises(spark):
+    """id_col colliding with a reserved working/output column would
+    produce ambiguous references or silently shadowed output — raise
+    up front (prefix_sum_offsets discipline)."""
+    df = spark.createDataFrame([(1, "a")], "pred long, text string")
+    with pytest.raises(ValueError, match="reserved"):
+        textstats.nb_logodds(df, df, df, id_col="pred")

@@ -1461,6 +1461,14 @@ def nb_logodds(
     """
     if k <= 0:
         raise ValueError(f"smoothing k must be > 0, got {k}")
+    reserved = {"_t", "_w", "n_toks", "log_odds", "pred"}
+    if id_col in reserved or text_col in reserved:
+        raise ValueError(
+            f"nb_logodds: id_col/text_col may not collide with the "
+            f"reserved working/output columns {sorted(reserved)} "
+            f"(got id_col={id_col!r}, text_col={text_col!r}) — the "
+            "prefix_sum_offsets reserved-name discipline"
+        )
 
     def toks(df: DataFrame) -> DataFrame:
         return df.select(

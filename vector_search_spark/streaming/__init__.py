@@ -1,6 +1,6 @@
 """Structured Streaming surface: watermarked event ingest, windowed
 aggregations, stream dedup, enrichment, stream-stream joins, stateful
-operators, and micro-batch index maintenance (refresh / upsert /
+operators, and micro-batch index maintenance (refresh / upsert / deletion /
 arrival monitoring)."""
 
 from vector_search_spark.streaming.events import (  # noqa: F401
@@ -16,6 +16,7 @@ from vector_search_spark.streaming.index_refresh import (  # noqa: F401
     cell_arrival_counts,
     encode_batch,
     incremental_pq_refresh,
+    streaming_delete,
     streaming_upsert,
 )
 from vector_search_spark.streaming.stateful import (  # noqa: F401
