@@ -68,6 +68,7 @@ CHANGED_THIS_ROUND = [
     # round 13: new capabilities
     "docs_purge",
     "docs_nb_quality",
+    "docs_token_drift",
     # round 13: plan changes — per-hash min/count de-windowed to
     # groupBy + join-back (skew safety at scale; values identical)
     "dedup_exact",

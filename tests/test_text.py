@@ -1816,3 +1816,63 @@ def test_nb_logodds_reserved_column_clash_raises(spark):
     df = spark.createDataFrame([(1, "a")], "pred long, text string")
     with pytest.raises(ValueError, match="reserved"):
         textstats.nb_logodds(df, df, df, id_col="pred")
+
+
+# --- token-distribution drift monitor (textstats.token_drift) --------------
+
+
+def test_token_drift_invariants(spark, docs):
+    """JSD axioms on the real corpus: identical slices diverge by
+    EXACTLY 0.0 (identical count tables -> identical doubles -> ln(1)),
+    every term is non-negative, the smoothed distributions each sum to
+    1 over the full bucket domain, and the total is <= ln 2."""
+    import math
+
+    en = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+
+    same = textstats.token_drift(en, en, n_buckets=256).agg(
+        F.sum("jsd_term"), F.sum("p_a"), F.sum("p_b")
+    ).collect()[0]
+    assert same[0] == 0.0
+    assert abs(same[1] - 1.0) < 1e-9 and abs(same[2] - 1.0) < 1e-9
+
+    diff = textstats.token_drift(en, rest, n_buckets=256).agg(
+        F.sum("jsd_term"), F.min("jsd_term"), F.count(F.lit(1))
+    ).collect()[0]
+    assert 0.0 < diff[0] <= math.log(2.0) + 1e-12
+    assert diff[1] >= -1e-15  # every per-bucket term non-negative
+    assert diff[2] == 256  # full bucket domain, unseen buckets included
+
+
+def test_token_drift_detects_disjoint_vocab(spark):
+    """A broken extractor (entirely different token stream) must score
+    near the ln 2 ceiling — the alert the monitor exists for —
+    and far above the same-distribution baseline."""
+    import math
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, "uno dos tres cuatro cinco seis") for i in range(30)],
+        "doc_id long, text string",
+    )
+    jsd = (
+        textstats.token_drift(a, b, n_buckets=64, ngram_n=1)
+        .agg(F.sum("jsd_term"))
+        .collect()[0][0]
+    )
+    # smoothing pulls it off the exact ceiling; disjoint vocab must
+    # still land in the top decade
+    assert jsd > 0.5 * math.log(2.0)
+
+
+def test_token_drift_guards(spark, docs):
+    with pytest.raises(ValueError, match="n_buckets"):
+        textstats.token_drift(docs, docs, n_buckets=1)
+    with pytest.raises(ValueError, match="ngram_n"):
+        textstats.token_drift(docs, docs, ngram_n=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        textstats.token_drift(docs, docs, smoothing=0.0)

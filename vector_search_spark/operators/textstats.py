@@ -1571,3 +1571,98 @@ def nb_logodds(
             (F.col("log_odds") > 0).cast("int").alias("pred"),
         )
     )
+
+
+def token_drift(
+    a: DataFrame,
+    b: DataFrame,
+    n_buckets: int = 1024,
+    ngram_n: int = 2,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-distribution drift between two corpora — the ingest
+    monitor a production pipeline runs on every crawl snapshot /
+    source batch BEFORE the expensive curation stages: a broken
+    extractor, an encoding regression, or a source going spammy shows
+    up as distribution drift long before any downstream metric moves.
+
+    Both corpora reduce to hashed n-gram bucket histograms (the
+    :func:`dsir_logratio` featurization — model-sized at any corpus
+    scale), smoothed to probabilities over the FULL bucket domain, and
+    compared per bucket with the Jensen-Shannon decomposition:
+
+        p = (c_a + k) / (tot_a + k·B),  q = (c_b + k) / (tot_b + k·B)
+        m = (p + q) / 2
+        jsd_term = 0.5·p·ln(p/m) + 0.5·q·ln(q/m)
+
+    ``sum(jsd_term)`` over all B buckets is the Jensen-Shannon
+    divergence (0 = identical, ln 2 = disjoint) — symmetric and
+    finite-by-construction, which is why it (not raw KL) is the
+    monitoring convention; the per-bucket terms localize WHICH part of
+    the token space moved, the actionable half of the alert.
+
+    Plan shape: two corpus-sized gram aggregations (map-side
+    combinable) reduce to bucket tables; totals are 1-row aggregates
+    broadcast back; the bucket-domain spine (``spark.range(B)`` —
+    bounded, model-sized) LEFT-joins both tables so unseen buckets
+    contribute their smoothed mass exactly like seen ones. Nothing
+    row-scale ever shuffles after the two counts.
+
+    Returns one row per bucket in the full domain:
+    ``(bkt long, c_a, c_b bigint, p_a, p_b, jsd_term double)``.
+    Callers aggregate for the scalar alert or rank for the top-movers
+    report.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if ngram_n < 1:
+        raise ValueError(f"ngram_n must be >= 1, got {ngram_n}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    T.shingles(T.tokens(text_col), ngram_n)
+                ).alias("_gram")
+            )
+            .select((T.h32(F.col("_gram")) % n_buckets).alias("_bkt"))
+            .groupBy("_bkt")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    ca = bucket_counts(a, "c_a")
+    cb = bucket_counts(b, "c_b")
+    ta = ca.agg(F.coalesce(F.sum("c_a"), F.lit(0)).alias("_ta"))
+    tb = cb.agg(F.coalesce(F.sum("c_b"), F.lit(0)).alias("_tb"))
+    spine = a.sparkSession.range(n_buckets).select(
+        F.col("id").alias("_bkt")
+    )
+    k = float(smoothing)
+    kb = k * n_buckets
+    p = (F.coalesce(F.col("c_a"), F.lit(0)) + F.lit(k)) / (
+        F.col("_ta").cast("double") + F.lit(kb)
+    )
+    q = (F.coalesce(F.col("c_b"), F.lit(0)) + F.lit(k)) / (
+        F.col("_tb").cast("double") + F.lit(kb)
+    )
+    m = (p + q) / F.lit(2.0)
+    return (
+        spine.join(F.broadcast(ca), "_bkt", "left")
+        .join(F.broadcast(cb), "_bkt", "left")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("_bkt").alias("bkt"),
+            F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+            F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
+            p.alias("p_a"),
+            q.alias("p_b"),
+            (
+                F.lit(0.5) * p * F.log(p / m)
+                + F.lit(0.5) * q * F.log(q / m)
+            ).alias("jsd_term"),
+        )
+    )

@@ -3425,3 +3425,89 @@ def q_docs_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("log_odds"), 6).alias("log_odds"),
         "pred",
     )
+
+
+DRIFT_BUCKETS = 1024
+
+
+@register(
+    "docs_token_drift",
+    f"""
+WITH toks AS (
+  SELECT lang, {T.sql_tokens("text")} AS t FROM documents
+),
+g AS (
+  SELECT lang, unnest({T.sql_shingles("t", 2)}) AS gram FROM toks
+),
+bk AS (
+  SELECT lang, {T.sql_h32("gram")} % {DRIFT_BUCKETS} AS bkt FROM g
+),
+ca AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS c_en
+  FROM bk WHERE lang = 'en' GROUP BY bkt
+),
+cb AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS c_rest
+  FROM bk WHERE lang <> 'en' GROUP BY bkt
+),
+ta AS (SELECT CAST(COALESCE(sum(c_en), 0) AS BIGINT) AS t_a FROM ca),
+tb AS (SELECT CAST(COALESCE(sum(c_rest), 0) AS BIGINT) AS t_b FROM cb),
+spine AS (SELECT range AS bkt FROM range(0, {DRIFT_BUCKETS})),
+d AS (
+  SELECT spine.bkt,
+         COALESCE(c_en, 0) AS c_en,
+         COALESCE(c_rest, 0) AS c_rest,
+         (COALESCE(c_en, 0) + 1.0) / (t_a + {DRIFT_BUCKETS}.0) AS p,
+         (COALESCE(c_rest, 0) + 1.0) / (t_b + {DRIFT_BUCKETS}.0) AS q
+  FROM spine LEFT JOIN ca ON spine.bkt = ca.bkt
+             LEFT JOIN cb ON spine.bkt = cb.bkt, ta, tb
+),
+terms AS (
+  SELECT bkt, c_en, c_rest,
+         0.5 * p * ln(p / ((p + q) / 2))
+         + 0.5 * q * ln(q / ((p + q) / 2)) AS jt
+  FROM d
+),
+tot AS (SELECT {rnd_sql("sum(jt)", 6)} AS jsd_total FROM terms)
+SELECT bkt, c_en, c_rest, {rnd_sql("jt", 8)} AS jsd_term, jsd_total
+FROM terms, tot
+ORDER BY {rnd_sql("jt", 8)} DESC, bkt
+LIMIT 20
+""",
+    "text",
+    "quality",
+    "pipeline",
+)
+def q_docs_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift monitor (textstats.token_drift): the
+    Jensen-Shannon divergence between two corpus slices' hashed-bigram
+    histograms — here en vs the rest, the corpus's built-in
+    distribution contrast — as the global alert scalar (jsd_total)
+    plus the top-20 most-divergent buckets, the actionable half
+    (WHICH part of the token space moved). Membership in the top-20
+    is decided on the ROUNDED term with a bkt tie-break, so both
+    engines pick the identical set. The 1024-row drift table is
+    localCheckpointed (bounded, model-sized) so the scalar and the
+    top-movers read one artifact instead of re-running the two corpus
+    aggregations. No window anywhere: top-k is orderBy+limit
+    (TakeOrderedAndProject)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    drift = textstats.token_drift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        n_buckets=DRIFT_BUCKETS,
+        ngram_n=2,
+    ).localCheckpoint()
+    total = drift.agg(rnd(F.sum("jsd_term"), 6).alias("jsd_total"))
+    return (
+        drift.select(
+            "bkt",
+            F.col("c_a").alias("c_en"),
+            F.col("c_b").alias("c_rest"),
+            rnd(F.col("jsd_term"), 8).alias("jsd_term"),
+        )
+        .orderBy(F.col("jsd_term").desc(), "bkt")
+        .limit(20)
+        .crossJoin(F.broadcast(total))
+        .select("bkt", "c_en", "c_rest", "jsd_term", "jsd_total")
+    )
