@@ -826,3 +826,140 @@ def test_purge_conservation_random_lists(session, seed, n_docs, n_dels):
         assert r.n_purged + r.n_kept == r.n_total == len(grp)
         assert r.n_kept == len(grp & expect_kept)
         assert r.kept_id_sum == sum(grp & expect_kept)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(2, 25),
+)
+def test_nb_logodds_matches_python_model(session, seed, n_docs):
+    """nb_logodds vs a transparent pure-Python Naive Bayes on random
+    tiny corpora: same smoothing, same prior, same OOV default —
+    values must agree to float tolerance doc by doc. Random corpora
+    exercise OOV tokens (scored docs draw from a wider vocabulary
+    than the seeds), skewed class sizes, and repeated tokens."""
+    import math
+    import random
+
+    from vector_search_spark.operators import textstats
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    labeled = [(i, doc(rng.randint(1, 8)), rng.random() < 0.6)
+               for i in range(n_docs)]
+    # ensure both classes non-empty
+    labeled[0] = (labeled[0][0], labeled[0][1], True)
+    labeled[1] = (labeled[1][0], labeled[1][1], False)
+    # scored docs use a WIDER vocab (OOV guaranteed possible)
+    wide = vocab + ["oov1", "oov2"]
+    scored = [(100 + i, " ".join(rng.choice(wide) for _ in range(rng.randint(1, 8))))
+              for i in range(n_docs)]
+
+    k = 0.5
+    pos_toks = [t for _, txt, is_p in labeled if is_p for t in txt.split()]
+    neg_toks = [t for _, txt, is_p in labeled if not is_p for t in txt.split()]
+    seen = set(pos_toks) | set(neg_toks)
+    V, tp, tn = len(seen), len(pos_toks), len(neg_toks)
+    n_pos = sum(1 for r in labeled if r[2])
+    n_neg = len(labeled) - n_pos
+    cp, cn = {}, {}
+    for t in pos_toks:
+        cp[t] = cp.get(t, 0) + 1
+    for t in neg_toks:
+        cn[t] = cn.get(t, 0) + 1
+
+    def w(t):
+        return math.log((cp.get(t, 0) + k) / (tp + k * V)) - math.log(
+            (cn.get(t, 0) + k) / (tn + k * V)
+        )
+
+    expect = {
+        i: math.log(n_pos / n_neg) + sum(w(t) for t in txt.split())
+        for i, txt in scored
+    }
+
+    pos_df = session.createDataFrame(
+        [(i, txt) for i, txt, is_p in labeled if is_p],
+        "doc_id long, text string",
+    )
+    neg_df = session.createDataFrame(
+        [(i, txt) for i, txt, is_p in labeled if not is_p],
+        "doc_id long, text string",
+    )
+    target = session.createDataFrame(scored, "doc_id long, text string")
+    got = {
+        r.doc_id: r.log_odds
+        for r in textstats.nb_logodds(target, pos_df, neg_df, k=k).collect()
+    }
+    assert set(got) == set(expect)
+    for i in expect:
+        assert math.isclose(got[i], expect[i], rel_tol=1e-9, abs_tol=1e-9), (
+            i, got[i], expect[i]
+        )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(1, 20),
+    n_buckets=st.sampled_from([16, 64]),
+)
+def test_token_drift_matches_python_model(session, seed, n_docs, n_buckets):
+    """token_drift vs a transparent pure-Python JSD on random corpora
+    (same md5-derived bucket hash replayed in Python): per-bucket
+    counts exact, probabilities and terms to float tolerance, total
+    within [0, ln 2]."""
+    import hashlib
+    import math
+    import random
+
+    from vector_search_spark.operators import textstats
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(10)]
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+
+    A = [(i, doc()) for i in range(n_docs)]
+    B = [(1000 + i, doc()) for i in range(n_docs)]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def buckets(docs):
+        out = {}
+        for _, txt in docs:
+            toks = txt.split()
+            for i in range(len(toks) - 1):  # bigrams, ngram_n=2
+                b = h32(" ".join(toks[i : i + 2])) % n_buckets
+                out[b] = out.get(b, 0) + 1
+        return out
+
+    ca, cb = buckets(A), buckets(B)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    kk = 1.0
+    expect = {}
+    for bkt in range(n_buckets):
+        p = (ca.get(bkt, 0) + kk) / (ta + kk * n_buckets)
+        q = (cb.get(bkt, 0) + kk) / (tb + kk * n_buckets)
+        m = (p + q) / 2
+        expect[bkt] = (ca.get(bkt, 0), cb.get(bkt, 0),
+                       0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
+
+    a_df = session.createDataFrame(A, "doc_id long, text string")
+    b_df = session.createDataFrame(B, "doc_id long, text string")
+    rows = textstats.token_drift(
+        a_df, b_df, n_buckets=n_buckets, ngram_n=2, smoothing=kk
+    ).collect()
+    assert len(rows) == n_buckets
+    tot = 0.0
+    for r in rows:
+        e_ca, e_cb, e_jt = expect[r.bkt]
+        assert (r.c_a, r.c_b) == (e_ca, e_cb), (r.bkt, r.c_a, e_ca)
+        assert math.isclose(r.jsd_term, e_jt, rel_tol=1e-9, abs_tol=1e-12)
+        tot += r.jsd_term
+    assert -1e-12 <= tot <= math.log(2.0) + 1e-12
