@@ -69,6 +69,7 @@ CHANGED_THIS_ROUND = [
     "docs_purge",
     "docs_nb_quality",
     "docs_token_drift",
+    "knn_range",
     # round 13: plan changes — per-hash min/count de-windowed to
     # groupBy + join-back (skew safety at scale; values identical)
     "dedup_exact",

@@ -813,3 +813,52 @@ def test_delete_ids_empty_list_and_dataframe_input(spark, tmp_path):
     assert acct2["n_requested"] == 2
     assert acct2["n_deleted"] == 1 and acct2["n_missing"] == 1
     assert spark.read.parquet(path).count() == 1
+
+
+# --- radius search (knn.range_search / ivf.ivf_range) ---------------------
+
+
+def test_range_search_equals_filtered_brute_force(spark, queries, emb):
+    """range_search(r) must be EXACTLY the brute-force score table
+    filtered at r — no truncation, no rank; and it must grow
+    monotonically with the radius."""
+    scored = knn.score_pairs(queries, emb).collect()
+    for r in (1.3, 1.6):
+        expect = {(s.query_id, s.vec_id) for s in scored if s.dist <= r}
+        got = {
+            (x.query_id, x.vec_id)
+            for x in knn.range_search(queries, emb, radius=r).collect()
+        }
+        assert got == expect
+    small = knn.range_search(queries, emb, radius=1.3)
+    large = knn.range_search(queries, emb, radius=1.6)
+    assert small.count() <= large.count()
+
+
+def test_ivf_range_full_probe_is_exact_and_partial_is_subset(
+    spark, queries, emb, assigned, centroids
+):
+    """ivf_range at nprobe == NC equals exact range_search (same
+    contract as ivf_topk's exactness-at-full-probe); at partial probe
+    it returns a SUBSET (a hit in an unprobed cell is missed, never a
+    false positive)."""
+    r = 1.5
+    exact = {
+        (x.query_id, x.vec_id)
+        for x in knn.range_search(queries, emb, radius=r).collect()
+    }
+    full = {
+        (x.query_id, x.vec_id)
+        for x in ivf.ivf_range(
+            queries, assigned, centroids, radius=r, nprobe=len(centroids)
+        ).collect()
+    }
+    assert full == exact
+    part = {
+        (x.query_id, x.vec_id)
+        for x in ivf.ivf_range(
+            queries, assigned, centroids, radius=r, nprobe=2
+        ).collect()
+    }
+    assert part <= exact
+    assert part  # the 2 nearest cells catch at least the self-matches

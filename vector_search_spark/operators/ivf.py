@@ -239,6 +239,57 @@ def ivf_topk(
     return topk_per_query(scored, k)
 
 
+def ivf_range(
+    queries: DataFrame,
+    assigned_base: DataFrame,
+    centroids: np.ndarray,
+    radius: float,
+    nprobe: int = 4,
+    metric: str = "l2_sqr",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    base_id_col: str = "vec_id",
+    base_vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pruned radius search — ``knn.range_search``'s serving path:
+    score each query only against its ``nprobe`` routed cells and keep
+    every hit within ``radius`` (the metric's own ``dist`` space).
+    Same recall contract as :func:`ivf_topk` (a neighbor in an
+    unprobed cell is missed; ``nprobe == NC`` is exact — tested), same
+    partition-pruned scan; the tail is a FILTER instead of a window,
+    so the result streams out of the scan stage with no shuffle —
+    radius search is output-sensitive and needs no global reduction.
+    """
+    routes = route_queries(
+        queries, centroids, nprobe, query_id_col, query_vec_col
+    )
+    b = assigned_base.select(
+        F.col(base_id_col).alias("vec_id"),
+        as_double_array(base_vec_col).alias("_bv"),
+        F.col(cluster_col).alias("_cell"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            as_double_array(query_vec_col).alias("_qv"),
+        )
+    )
+    cand = b.join(
+        F.broadcast(routes.withColumnRenamed("cluster_id", "_cell")),
+        "_cell",
+    )
+    return (
+        cand.join(q, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            distance(metric, "_qv", "_bv").alias("dist"),
+        )
+        .filter(F.col("dist") <= F.lit(float(radius)))
+    )
+
+
 def residuals(
     assigned: DataFrame,
     centroids: np.ndarray,

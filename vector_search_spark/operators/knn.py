@@ -504,3 +504,40 @@ def recall_per_query(
             F.coalesce(F.col("_hit"), F.lit(0)).cast("double") / F.col("_n")
         ).alias("recall"),
     )
+
+
+def range_search(
+    queries: DataFrame,
+    base: DataFrame,
+    radius: float,
+    metric: str = "l2_sqr",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    base_id_col: str = "vec_id",
+    base_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact radius search (the FAISS ``range_search`` twin — an API
+    the reference lacks): every base vector within ``radius`` of each
+    query, ``(query_id, vec_id, dist)``, OUTPUT-SENSITIVE — no top-k
+    truncation, no rank, no window. ``radius`` is in the metric's own
+    ``dist`` space (``l2_sqr``: squared distance; ``cosine``: cosine
+    DISTANCE ``1 - sim``), matching what :func:`score_pairs` emits, so
+    a caller can tighten a kNN cutoff into a radius cutoff without a
+    unit conversion.
+
+    Same scan shape as :func:`brute_force_knn`'s scoring: broadcast
+    queries x one streaming base pass, codegen'd distance fold, then a
+    FILTER — which, unlike top-k, needs no shuffle at all: the result
+    streams out of the scan stage. At 100 TB this exact form is the
+    oracle/audit path; the serving path is the routed
+    ``ivf.ivf_range`` (same contract, nprobe-bounded recall).
+    """
+    return score_pairs(
+        queries,
+        base,
+        metric,
+        query_id_col,
+        query_vec_col,
+        base_id_col,
+        base_vec_col,
+    ).filter(F.col("dist") <= F.lit(float(radius)))

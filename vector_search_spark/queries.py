@@ -286,11 +286,11 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full r9-green relational/dedup/tpch set) behind the 42 remaining
 # r11 greens (r14-due). Window slots stay all-oracle-paired;
 # rows-only entries remain at the very tail.
-# R14 QUEUE (first picks): docs_token_drift (added late r13 below a
-# full window — never adjudicated, MUST lead the r14 window), then
-# the 42 r11 greens (events_hourly_zscore .. text_chunk_retrieval,
-# tail order below) — they go 3-rounds-stale at r14 close; then the
-# 46 r12 greens (r15-due).
+# R14 QUEUE (first picks): docs_token_drift + knn_range (added late
+# r13 below a full window — never adjudicated, MUST lead the r14
+# window), then the 42 r11 greens (events_hourly_zscore ..
+# text_chunk_retrieval, tail order below) — they go 3-rounds-stale at
+# r14 close; then the 46 r12 greens (r15-due).
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
     # (a) flagship; (b) the full 42-entry r13 queue (r10 greens);
@@ -351,6 +351,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     # FIRST pick), then the r14 queue (42 r11 greens), then the 46
     # r12 greens rotated out this round (r15-due), then rows-only ----
     "docs_token_drift",
+    "knn_range",
     "events_hourly_zscore",
     "docs_budget_waterfill",
     "docs_materialize_mixture",

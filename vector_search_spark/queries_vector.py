@@ -2138,3 +2138,49 @@ def q_ivf_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", rnd("dist").alias("dist"), "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# Exact radius search (round 13 — FAISS range_search twin)
+# --------------------------------------------------------------------------
+
+RANGE_RADIUS = 1.5  # squared-L2; ~1-2% of the corpus per query at all SFs
+RANGE_QUERIES = 100
+
+
+@register(
+    "knn_range",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {RANGE_QUERIES}
+), b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings
+), s AS (
+  SELECT q.query_id, b.vec_id, {_L2.format(a="q.qv", b="b.bv")} AS d
+  FROM b CROSS JOIN q
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist
+FROM s WHERE d <= {RANGE_RADIUS}
+""",
+    "vector",
+    "range",
+)
+def q_knn_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius search (knn.range_search, the FAISS range_search
+    twin the reference lacks): every base vector within squared-L2
+    1.5 of each of the first 100 queries —
+    output-sensitive, no top-k truncation, no rank, NO window: the
+    filter streams out of the broadcast-queries scan stage with zero
+    shuffles. The raw (unrounded) radius predicate defines membership
+    in both engines; on this corpus the nearest pair to the boundary
+    is ~6e-6 away — nine orders above cross-engine double noise — so
+    the set is stable (display dist is rounded as usual). The routed
+    serving path is ivf.ivf_range (nprobe-bounded recall,
+    exact-at-full-probe tested)."""
+    from vector_search_spark.operators import knn as _knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < RANGE_QUERIES)
+    out = _knn.range_search(queries, emb, radius=RANGE_RADIUS)
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"))
