@@ -661,6 +661,19 @@ def test_index_maintenance_lifecycle(spark, tmp_path):
         map(tuple, want.collect())
     )
 
+    # radius serving over the same final layout (r14): range_index at
+    # full probe == exact range_search over the logical corpus — the
+    # purge must hold for the radius path too (a deleted id inside the
+    # radius would be a compliance failure, not a recall miss)
+    got_r = ivf.range_index(
+        spark, path, cpath, queries, radius=6.0, nprobe=len(C3)
+    )
+    want_r = knn.range_search(queries, logical, radius=6.0)
+    assert sorted(
+        (x.query_id, x.vec_id) for x in got_r.collect()
+    ) == sorted((x.query_id, x.vec_id) for x in want_r.collect())
+    assert not {x.vec_id for x in got_r.collect()} & set(doomed)
+
 
 def test_search_index_serving_api_with_filter(spark, tmp_path):
     """One-call serving over the persisted index: search_index ==
@@ -862,3 +875,107 @@ def test_ivf_range_full_probe_is_exact_and_partial_is_subset(
     }
     assert part <= exact
     assert part  # the 2 nearest cells catch at least the self-matches
+
+
+def test_range_broadcast_queries_flag_controls_the_hint(
+    spark, queries, emb, assigned, centroids, monkeypatch
+):
+    """r13 judge finding: radius search is exactly the op a user will
+    one day point at a CORPUS-sized "query" set (radius-based near-dup
+    blocking), where the unconditional query-side broadcast hint would
+    force a driver-side collect of that side. The flag must be
+    threadable to False on BOTH paths — and then NO broadcast call may
+    see the query-vector relation (`_qv`) or the routes relation
+    (`_cell`, nq*nprobe rows — query-sized); model-sized broadcasts
+    (the NC-row centroid table inside route_queries) stay. Results
+    must be identical either way (the hint is physical-only)."""
+    import pyspark.sql.functions as FF
+
+    orig_broadcast = FF.broadcast
+    seen: list[tuple[str, ...]] = []
+
+    def spy(df):
+        seen.append(tuple(df.columns))
+        return orig_broadcast(df)
+
+    monkeypatch.setattr(FF, "broadcast", spy)
+    r = 1.5
+
+    seen.clear()
+    hinted = knn.range_search(queries, emb, radius=r)
+    n_hinted = hinted.count()
+    assert any("_qv" in c for c in seen), "default must plant the hint"
+
+    seen.clear()
+    unhinted = knn.range_search(
+        queries, emb, radius=r, broadcast_queries=False
+    )
+    assert unhinted.count() == n_hinted
+    assert not any("_qv" in c for c in seen), (
+        f"broadcast_queries=False still hinted a query-sized side: {seen}"
+    )
+
+    seen.clear()
+    ivf_hinted = ivf.ivf_range(
+        queries, assigned, centroids, radius=r, nprobe=NC
+    )
+    n_ivf = ivf_hinted.count()
+    assert any("_qv" in c for c in seen)
+    assert any("_cell" in c for c in seen)
+
+    seen.clear()
+    ivf_unhinted = ivf.ivf_range(
+        queries,
+        assigned,
+        centroids,
+        radius=r,
+        nprobe=NC,
+        broadcast_queries=False,
+    )
+    assert ivf_unhinted.count() == n_ivf == n_hinted  # full probe == exact
+    assert not any("_qv" in c or "_cell" in c for c in seen), (
+        f"broadcast_queries=False still hinted a query-sized side: {seen}"
+    )
+
+
+def test_range_index_serving_api_prunes_and_filters(spark, tmp_path):
+    """One-call radius serving over the persisted index (r14 — the
+    search_index twin for ivf_range): range_index == ivf_range over
+    the in-memory assignment; the scan is partition-pruned to the
+    probed cell directories; a base_filter reaches the parquet scan
+    as a pushed data filter inside them."""
+    from tests.conftest import SF_ORACLE
+    from vector_search_spark import tables
+    from vector_search_spark.operators import kmeans
+
+    emb = tables.load(spark, SF_ORACLE, "embeddings")
+    C = kmeans.init_first_k(emb, 8)
+    assigned = ivf.assign_clusters(emb, C).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    path = str(tmp_path / "rng_index")
+    cpath = str(tmp_path / "rng_cents")
+    ivf.write_index(assigned, path)
+    ivf.save_centroids(spark, C, cpath)
+
+    qs = emb.filter(F.col("vec_id") < 10)
+    got = ivf.range_index(spark, path, cpath, qs, radius=1.5, nprobe=3)
+    want = ivf.ivf_range(
+        qs, ivf.assign_clusters(emb, C), C, radius=1.5, nprobe=3
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.vec_id) for r in df.collect()
+    )
+    assert key(got) == key(want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:300]
+
+    filt = ivf.range_index(
+        spark, path, cpath, qs, radius=1.5, nprobe=3,
+        base_filter=F.col("label") == 2,
+    )
+    rows = filt.join(emb.select("vec_id", "label"), "vec_id").collect()
+    assert rows and {r.label for r in rows} == {2}
+    fplan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "label" in fplan.split("PushedFilters", 1)[1][:400]

@@ -515,6 +515,7 @@ def range_search(
     query_vec_col: str = "embedding",
     base_id_col: str = "vec_id",
     base_vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact radius search (the FAISS ``range_search`` twin — an API
     the reference lacks): every base vector within ``radius`` of each
@@ -525,12 +526,30 @@ def range_search(
     a caller can tighten a kNN cutoff into a radius cutoff without a
     unit conversion.
 
+    BOUNDARY SEMANTICS — intentional deviation from FAISS: hits
+    satisfy ``dist <= radius`` (INCLUSIVE), where FAISS L2
+    ``range_search`` returns strictly ``dist < radius``. Inclusive
+    matches the SQL BETWEEN convention the oracle replays and keeps
+    a kNN cutoff (``dist`` of the k-th neighbor) reusable as a radius
+    verbatim; a caller porting FAISS-tuned radii may see extra
+    exact-boundary hits. ``ivf_range`` uses the same ``<=`` — the two
+    paths are mutually consistent.
+
     Same scan shape as :func:`brute_force_knn`'s scoring: broadcast
     queries x one streaming base pass, codegen'd distance fold, then a
     FILTER — which, unlike top-k, needs no shuffle at all: the result
     streams out of the scan stage. At 100 TB this exact form is the
     oracle/audit path; the serving path is the routed
     ``ivf.ivf_range`` (same contract, nprobe-bounded recall).
+
+    ``broadcast_queries=True`` (default) is the SERVING contract —
+    query batches are caller-bounded, so the hint is safe and removes
+    the shuffle. Pass ``False`` when the "query" side is itself
+    corpus-sized (radius-based near-dup blocking points a corpus at
+    itself): no hint is planted and AQE picks the join strategy from
+    observed sizes — the ``purge_docs`` no-hint precedent. A
+    corpus-sized side under the default hint would force a
+    driver-side collect of that side.
     """
     return score_pairs(
         queries,
@@ -540,4 +559,5 @@ def range_search(
         query_vec_col,
         base_id_col,
         base_vec_col,
+        broadcast_queries=broadcast_queries,
     ).filter(F.col("dist") <= F.lit(float(radius)))
