@@ -28,11 +28,188 @@ __all__ = [
     "payload_metadata",
     "byte_histogram",
     "decode_image",
+    "decode_pixels",
     "audio_features",
     "frame_sample",
 ]
 
 N_BUCKETS = 16
+
+
+# --------------------------------------------------------------------------
+# Pure-numpy pixel decoders (r14): uncompressed formats need NO codec —
+# the audio_features raw-PCM precedent applied to images. These make the
+# image -> vector -> ANN path REAL in a container without Pillow; the
+# Pillow path remains for compressed formats (JPEG/PNG) behind the
+# existing import guard in decode_image.
+# --------------------------------------------------------------------------
+
+
+def _parse_pnm(raw: bytes) -> np.ndarray:
+    """Decode binary netpbm (P5 grayscale / P6 RGB, maxval <= 255) to a
+    (h, w, channels) uint8 array. Pure numpy + header scan — no codec
+    library. Header grammar per the netpbm spec: magic, then width,
+    height, maxval as ASCII decimals separated by whitespace, with
+    ``#``-comments allowed between tokens; a single whitespace byte
+    ends the header, then exactly h*w*channels raster bytes follow.
+    Raises ValueError on other magics, maxval > 255 (2-byte samples —
+    out of scope), or a truncated raster."""
+    magic = raw[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM payload (magic {magic!r})")
+    channels = 1 if magic == b"P5" else 3
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comment lines between header tokens
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(raw) and raw[pos : pos + 1] == b"#":
+            nl = raw.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated comment in netpbm header")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(raw) and raw[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed netpbm header")
+        fields.append(int(raw[start:pos]))
+    w, h, maxval = fields
+    if not (0 < maxval <= 255):
+        raise ValueError(
+            f"netpbm maxval {maxval} unsupported (need 1..255 — 2-byte "
+            "samples are out of scope for the numpy decoder)"
+        )
+    pos += 1  # the single whitespace byte that terminates the header
+    n = h * w * channels
+    data = raw[pos : pos + n]
+    if len(data) != n:
+        raise ValueError(
+            f"truncated netpbm raster: need {n} bytes, have {len(data)}"
+        )
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, channels)
+
+
+def _parse_bmp(raw: bytes) -> np.ndarray:
+    """Decode an uncompressed (BI_RGB) BMP to (h, w, 3) uint8 RGB.
+    Pure numpy + struct-free little-endian header reads. Supports the
+    common on-disk variants: 24-bit BGR and 32-bit BGRA (alpha
+    dropped), bottom-up (positive height — rows stored last-first) and
+    top-down (negative height), with rows padded to 4-byte multiples.
+    Raises ValueError on compressed payloads or other bit depths —
+    those are Pillow's job."""
+    if raw[:2] != b"BM":
+        raise ValueError(f"not a BMP payload (magic {raw[:2]!r})")
+    if len(raw) < 54:
+        raise ValueError("truncated BMP header")
+
+    def u32(off: int) -> int:
+        return int.from_bytes(raw[off : off + 4], "little")
+
+    def i32(off: int) -> int:
+        return int.from_bytes(raw[off : off + 4], "little", signed=True)
+
+    data_off = u32(10)
+    w = i32(18)
+    h_signed = i32(22)
+    bpp = int.from_bytes(raw[28:30], "little")
+    compression = u32(30)
+    if compression != 0:
+        raise ValueError(
+            f"compressed BMP (method {compression}) unsupported by the "
+            "numpy decoder — needs Pillow"
+        )
+    if bpp not in (24, 32):
+        raise ValueError(f"BMP bit depth {bpp} unsupported (24/32 only)")
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h_signed}")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows padded to 4-byte multiples
+    need = data_off + stride * h
+    if len(raw) < need:
+        raise ValueError(
+            f"truncated BMP raster: need {need} bytes, have {len(raw)}"
+        )
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]  # bottom-up storage: flip to top-down
+    # BGR(A) -> RGB; alpha dropped
+    return np.ascontiguousarray(rows[:, :, 2::-1])
+
+
+def _decode_any(raw: bytes) -> np.ndarray:
+    """Dispatch on magic bytes to the numpy decoders; returns
+    (h, w, channels) uint8. Formats without a pure-numpy parser raise
+    ValueError — the caller decides whether Pillow may take over."""
+    if raw[:2] in (b"P5", b"P6"):
+        return _parse_pnm(raw)
+    if raw[:2] == b"BM":
+        return _parse_bmp(raw)
+    raise ValueError(
+        f"no numpy decoder for magic {raw[:2]!r} (have: P5/P6 netpbm, "
+        "uncompressed 24/32-bit BMP)"
+    )
+
+
+def decode_pixels(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL image decode with zero codec dependencies: parse each
+    payload as binary netpbm (P5/P6) or uncompressed BMP via the pure
+    numpy parsers above and emit the raster as data —
+    ``(id, height, width, channels, pixels array<int>)`` with pixels
+    flattened row-major, channel-interleaved, values 0..255. Top-down
+    RGB regardless of on-disk layout (BMP's bottom-up BGR rows are
+    normalized), so the SAME logical pixel comes back from either
+    format — the catalog entry proves this against a closed-form
+    oracle per format.
+
+    Unknown magics raise inside the task (strict by design — this op
+    IS the no-stub path; ``decode_image`` keeps the Pillow fallback
+    and the clearly-marked fake for compressed formats). NULL payloads
+    are excluded up front with a plan filter, the byte_histogram
+    policy. Same execution contract as every stage in this module:
+    mapInPandas, numpy over Arrow batches, per-row map, no shuffle —
+    at 100 TB this scales with input partitions and nothing else.
+    """
+    src = df.filter(F.col(payload_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_p")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ids, hs, ws, chs, pxs = [], [], [], [], []
+            for _id, payload in zip(pdf["_id"], pdf["_p"]):
+                arr = _decode_any(bytes(payload))
+                h, w, c = arr.shape
+                ids.append(_id)
+                hs.append(h)
+                ws.append(w)
+                chs.append(c)
+                pxs.append(arr.reshape(-1).astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "height": hs,
+                    "width": ws,
+                    "channels": chs,
+                    "pixels": pxs,
+                }
+            )
+
+    return src.mapInPandas(
+        fn,
+        f"{id_col} long, height int, width int, channels int, "
+        "pixels array<int>",
+    )
 
 
 def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -118,11 +295,19 @@ def decode_image(
     strict: bool = False,
 ) -> DataFrame:
     """Decode + resize to a (size x size) grayscale float array per
-    payload. With Pillow present: a real decode. Without: ``strict=True``
-    raises NotImplementedError (no codec in this environment);
-    ``strict=False`` produces a DETERMINISTIC FAKE — bytes tiled/
-    truncated into the target shape and scaled to [0,1] — preserving
-    schema, determinism, and batch shape for downstream testing.
+    payload, ``pixels`` in [0,1].
+
+    Decode ladder (r14 — the stub shrank): payloads in an
+    UNCOMPRESSED format (binary netpbm P5/P6, BI_RGB BMP) are decoded
+    by the pure-numpy parsers — a REAL decode with no codec
+    dependency, the ``audio_features`` raw-PCM precedent. Grayscale is
+    Rec.601 luma (0.299 R + 0.587 G + 0.114 B); resize is
+    deterministic nearest-neighbor index sampling. Compressed formats
+    fall through to Pillow when importable; with neither,
+    ``strict=True`` raises NotImplementedError and ``strict=False``
+    produces the DETERMINISTIC FAKE (bytes tiled/truncated into the
+    target shape, scaled to [0,1]) — clearly a stand-in, kept only
+    for schema/batch-shape testing of codec-less compressed inputs.
     NULL payloads are excluded up front (plan filter), same policy as
     byte_histogram."""
     src = df.filter(F.col(payload_col).isNotNull()).select(
@@ -137,28 +322,50 @@ def decode_image(
             have_pil = True
         except Exception:
             have_pil = False
-        if strict and not have_pil:
-            raise NotImplementedError(
-                "decode_image requires an image codec (Pillow); not "
-                "available in this environment — use strict=False for "
-                "the deterministic fake decode"
-            )
         import io
+
+        def gray_resize(arr: np.ndarray) -> np.ndarray:
+            # (h, w, c) uint8 -> (size*size,) float64 in [0, 1]
+            a = arr.astype(np.float64)
+            if a.shape[2] == 1:
+                g = a[:, :, 0]
+            else:
+                g = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+            h, w = g.shape
+            ri = (np.arange(size) * h) // size
+            ci = (np.arange(size) * w) // size
+            return g[np.ix_(ri, ci)].reshape(-1) / 255.0
 
         for pdf in batches:
             ids, pixels = [], []
             for _id, payload in zip(pdf["_id"], pdf["_p"]):
                 raw = bytes(payload)
-                if have_pil:
-                    from PIL import Image
+                try:
+                    arr = gray_resize(_decode_any(raw))
+                except ValueError:
+                    # not an uncompressed format — Pillow's job
+                    if have_pil:
+                        from PIL import Image
 
-                    img = Image.open(io.BytesIO(raw)).convert("L").resize(
-                        (size, size)
-                    )
-                    arr = np.asarray(img, dtype=np.float64).reshape(-1) / 255.0
-                else:
-                    b = np.frombuffer(raw, dtype=np.uint8)
-                    arr = np.resize(b, px).astype(np.float64) / 255.0
+                        img = (
+                            Image.open(io.BytesIO(raw))
+                            .convert("L")
+                            .resize((size, size))
+                        )
+                        arr = (
+                            np.asarray(img, dtype=np.float64).reshape(-1)
+                            / 255.0
+                        )
+                    elif strict:
+                        raise NotImplementedError(
+                            "decode_image: payload is not an uncompressed "
+                            "format (netpbm/BMP decode natively) and no "
+                            "codec (Pillow) is available — use "
+                            "strict=False for the deterministic fake"
+                        )
+                    else:
+                        b = np.frombuffer(raw, dtype=np.uint8)
+                        arr = np.resize(b, px).astype(np.float64) / 255.0
                 ids.append(_id)
                 pixels.append(arr)
             yield pd.DataFrame({id_col: ids, "pixels": pixels})

@@ -14,6 +14,143 @@ from vector_search_spark import tables
 from vector_search_spark.operators import multimodal
 from vector_search_spark.queries import register, rnd
 
+# --- seeded real-image fixture (r14) ---------------------------------------
+# documents.text is prose, not pixels — so the image-decode entry SEEDS
+# deterministic images per doc: logical pixel value at flattened
+# row-major RGB index j is v(doc_id, j) = (doc_id*7 + j*13) % 256, with
+# w = 4 + doc_id % 5, h = 3 + doc_id % 4 (varying dims exercise header
+# parsing, not just raster math). Even ids serialize as binary netpbm
+# P6 (with a comment line — the header grammar's tricky part); odd ids
+# as 24-bit bottom-up BMP (BGR rows, 4-byte padding). BOTH encoders
+# invert to the SAME logical pixels, so one closed-form oracle checks
+# both decoders byte-exactly — the decode is REAL (pure-numpy parsers
+# in operators/multimodal.py, no Pillow), and DuckDB replays v(j)
+# without ever parsing an image.
+
+IMG_DOCS = 200
+
+
+def _bmp_header(w: int, h: int, stride: int) -> bytes:
+    """14-byte file header + 40-byte BITMAPINFOHEADER for an
+    uncompressed 24-bit bottom-up BMP."""
+
+    def u16(x: int) -> bytes:
+        return int(x).to_bytes(2, "little")
+
+    def u32(x: int) -> bytes:
+        return int(x).to_bytes(4, "little")
+
+    return (
+        b"BM"
+        + u32(54 + stride * h)  # file size
+        + u32(0)  # reserved
+        + u32(54)  # pixel data offset
+        + u32(40)  # BITMAPINFOHEADER size
+        + u32(w)
+        + u32(h)  # positive height = bottom-up rows
+        + u16(1)  # planes
+        + u16(24)  # bpp
+        + u32(0)  # BI_RGB (uncompressed)
+        + u32(stride * h)  # image size
+        + u32(2835)  # x pixels/meter (72 dpi)
+        + u32(2835)
+        + u32(0)  # palette colors
+        + u32(0)  # important colors
+    )
+
+
+def _seeded_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) — the deterministic image corpus
+    described above; mapInPandas so bytes are built Arrow-batched,
+    the same execution contract as the decode stage that reads them."""
+    import numpy as np
+    import pandas as pd
+
+    src = docs.select("doc_id").filter(F.col("doc_id") < IMG_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 4 + d % 5
+                h = 3 + d % 4
+                j = np.arange(3 * h * w, dtype=np.int64)
+                rgb = ((d * 7 + j * 13) % 256).astype(np.uint8).reshape(
+                    h, w, 3
+                )
+                if d % 2 == 0:
+                    payload = (
+                        b"P6\n# seeded rgb\n"
+                        + f"{w} {h}\n255\n".encode()
+                        + rgb.tobytes()
+                    )
+                else:
+                    stride = (w * 3 + 3) & ~3
+                    rows = np.zeros((h, stride), dtype=np.uint8)
+                    # bottom-up row order, BGR channel order — the
+                    # on-disk BMP layout the decoder must normalize
+                    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+                    payload = _bmp_header(w, h, stride) + rows.tobytes()
+                ids.append(d)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(fn, "doc_id long, payload binary")
+
+
+@register(
+    "multimodal_image_decode",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS width,
+         3 + doc_id % 4 AS height,
+         CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt
+  FROM documents WHERE doc_id < {IMG_DOCS}
+)
+SELECT doc_id, fmt,
+       CAST(height AS INT) AS height,
+       CAST(width AS INT) AS width,
+       CAST(3 AS INT) AS channels,
+       CAST(3 * height * width AS BIGINT) AS n_vals,
+       CAST(list_sum(list_transform(range(0, 3 * height * width),
+            j -> (doc_id * 7 + j * 13) % 256)) AS BIGINT) AS px_sum,
+       (ROUND(list_sum(list_transform(range(0, 3 * height * width),
+            j -> (doc_id * 7 + j * 13) % 256))
+            * 1.0 / (3 * height * width), 6) + 0.0) AS px_mean
+FROM d
+""",
+    "multimodal",
+)
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec library (multimodal.decode_pixels):
+    seeded P6 netpbm (even ids) and 24-bit bottom-up BMP (odd ids)
+    payloads carry the same closed-form pixels; the pure-numpy parsers
+    must invert both serializations — header grammar, bottom-up row
+    flip, BGR->RGB — byte-exactly, proven by per-image dimension +
+    pixel-sum aggregates against the formula DuckDB replays without
+    parsing any image. Plan: one documents scan -> two chained
+    mapInPandas stages (seed, decode) -> row-local aggregates; no
+    shuffle anywhere."""
+    docs = tables.load(spark, sf_dir, "documents")
+    dec = multimodal.decode_pixels(_seeded_payloads(docs))
+    return dec.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("ppm"))
+        .otherwise(F.lit("bmp"))
+        .alias("fmt"),
+        "height",
+        "width",
+        "channels",
+        F.size("pixels").cast("bigint").alias("n_vals"),
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("px_sum"),
+    ).withColumn(
+        "px_mean", rnd(F.col("px_sum") / F.col("n_vals"))
+    )
+
 
 @register(
     "multimodal_byte_histogram",
