@@ -687,3 +687,112 @@ def test_streaming_delete_equals_batch_delete(spark, tmp_path):
     assert key(live) == key(twin)
     deleted = {3, 7, 11}
     assert not deleted & {vid for vid, _ in key(live)}
+
+
+def test_streaming_token_drift_stream_equals_batch(spark, tmp_path):
+    """The live ingest gate (streaming/drift.py): file-source docs with
+    event times, three micro-batches (two data windows + a watermark
+    flush), availableNow -> the per-window drift rows written to the
+    output artifact must equal (1) the batch twin run through the SAME
+    windowed-counts + drift code on the union, and (2) batch
+    textstats.token_drift run per window against the reference corpus
+    (sum of jsd_term == the window's jsd scalar) — the stream, the
+    batch composition, and the original batch operator are ONE math."""
+    import datetime as dt
+    import glob
+    import os
+    import time
+
+    from vector_search_spark.operators import textstats
+    from vector_search_spark.streaming import drift
+
+    B = 256
+    docs = tables.load(spark, SF_ORACLE, "documents")
+    ref_corpus = docs.filter(F.col("lang") != "en").select("text")
+    ref_path = str(tmp_path / "token_ref")
+    drift.write_token_ref(ref_corpus, ref_path, n_buckets=B)
+    ref = drift.load_token_ref(spark, ref_path)
+    assert 0 < ref.count() <= B  # the persisted model-sized artifact
+
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+    live = (
+        docs.filter((F.col("lang") == "en") & (F.col("doc_id") < 80))
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(t0))
+            .otherwise(F.lit(t0 + dt.timedelta(minutes=1)))
+            .alias("ts"),
+        )
+        .localCheckpoint()
+    )
+    src = tmp_path / "docs_stream"
+    live.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    live.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    # watermark flush: a late lone doc advances event time past both
+    # data windows' ends so append mode emits them; its own window
+    # stays open and never lands in the output
+    spark.createDataFrame(
+        [(9999, "flush doc", t0 + dt.timedelta(minutes=5))],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    now = time.time()
+    for i, p in enumerate(sorted(glob.glob(str(src / "part-*")))):
+        os.utime(p, (now - 100 + i * 10, now - 100 + i * 10))
+
+    out_path = str(tmp_path / "drift_out")
+    q = drift.streaming_token_drift(
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        ref_path,
+        str(tmp_path / "ckpt"),
+        out_path,
+        n_buckets=B,
+        window_duration="1 minute",
+        watermark_delay="30 seconds",
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = spark.read.parquet(out_path)
+    key = lambda df: sorted(
+        (str(r.window_start), r.n_grams, round(r.jsd, 9), r.top_bkt)
+        for r in df.select(
+            "window_start", "n_grams", "jsd", "top_bkt"
+        ).collect()
+    )
+    # (1) == the batch composition over the union (flush window out —
+    # it never closed on the stream side)
+    twin = drift.window_drift_vs_ref(
+        drift.windowed_bucket_counts(
+            spark.read.parquet(str(src)), n_buckets=B,
+            window_duration="1 minute",
+        ),
+        ref,
+        n_buckets=B,
+    ).filter(F.col("window_start") < t0 + dt.timedelta(minutes=5))
+    assert len(key(got)) == 2  # exactly the two closed data windows
+    assert key(got) == key(twin)
+
+    # (2) each window's scalar == batch token_drift on that window's
+    # docs vs the reference corpus, summed over the full bucket domain
+    for parity, wstart in ((0, t0), (1, t0 + dt.timedelta(minutes=1))):
+        win_docs = live.filter(F.col("doc_id") % 2 == parity)
+        want = (
+            textstats.token_drift(win_docs, ref_corpus, n_buckets=B)
+            .agg(F.sum("jsd_term").alias("j"))
+            .collect()[0]
+            .j
+        )
+        got_j = [
+            r.jsd
+            for r in got.collect()
+            if str(r.window_start) == str(wstart)
+        ]
+        assert len(got_j) == 1
+        assert abs(got_j[0] - want) < 1e-9, (parity, got_j[0], want)

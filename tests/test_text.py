@@ -1816,6 +1816,13 @@ def test_nb_logodds_reserved_column_clash_raises(spark):
     df = spark.createDataFrame([(1, "a")], "pred long, text string")
     with pytest.raises(ValueError, match="reserved"):
         textstats.nb_logodds(df, df, df, id_col="pred")
+    # the INTERNAL working columns too (r13 advice: id_col='_sw' used
+    # to bypass the guard and die later as an ambiguous-reference
+    # AnalysisException at `prior + F.col("_sw")`)
+    for col in ("_sw", "_cp", "_cn"):
+        bad = spark.createDataFrame([(1, "a")], f"{col} long, text string")
+        with pytest.raises(ValueError, match="reserved"):
+            textstats.nb_logodds(bad, bad, bad, id_col=col)
 
 
 # --- token-distribution drift monitor (textstats.token_drift) --------------

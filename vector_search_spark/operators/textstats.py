@@ -40,6 +40,11 @@ __all__ = [
     "mixture_weights",
     "waterfill_budget",
     "dsir_logratio",
+    "nb_logodds",
+    "gram_buckets",
+    "bucket_histogram",
+    "drift_from_counts",
+    "token_drift",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio
@@ -1461,7 +1466,12 @@ def nb_logodds(
     """
     if k <= 0:
         raise ValueError(f"smoothing k must be > 0, got {k}")
-    reserved = {"_t", "_w", "n_toks", "log_odds", "pred"}
+    # _sw/_cp/_cn are internal WORKING columns (per-doc weight sum,
+    # per-class token counts): a colliding id_col bypasses this
+    # friendly raise and dies later as an ambiguous-reference
+    # AnalysisException when e.g. `prior + F.col("_sw")` resolves
+    # against the duplicate grouping column (r13 advice).
+    reserved = {"_t", "_w", "_sw", "_cp", "_cn", "n_toks", "log_odds", "pred"}
     if id_col in reserved or text_col in reserved:
         raise ValueError(
             f"nb_logodds: id_col/text_col may not collide with the "
@@ -1573,6 +1583,100 @@ def nb_logodds(
     )
 
 
+def gram_buckets(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    ngram_n: int = 2,
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per hashed n-gram occurrence: ``(_bkt long)`` plus any
+    ``carry_cols`` passed through (an event-time column, a source
+    label). This is the ONE drift featurization kernel (r14 — the
+    cell_arrival_counts "same routing kernel" discipline): batch
+    :func:`token_drift` and the streaming windowed monitor
+    (``streaming/drift.py``) both aggregate exactly this projection,
+    so their histograms can never hash-drift apart."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if ngram_n < 1:
+        raise ValueError(f"ngram_n must be >= 1, got {ngram_n}")
+    cols = [F.col(c) for c in carry_cols]
+    return df.select(
+        *cols,
+        F.explode(T.shingles(T.tokens(text_col), ngram_n)).alias("_gram"),
+    ).select(*cols, (T.h32(F.col("_gram")) % n_buckets).alias("_bkt"))
+
+
+def bucket_histogram(
+    df: DataFrame,
+    out: str = "c",
+    n_buckets: int = 1024,
+    ngram_n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed n-gram bucket histogram ``(_bkt, out)`` — the model-sized
+    (<= n_buckets rows) reduction of a corpus that every drift
+    comparison consumes; map-side combinable. Also the PERSISTED shape:
+    ``streaming/drift.write_token_ref`` parquets exactly this table as
+    the reference artifact a production ingest gate checks snapshots
+    against."""
+    return (
+        gram_buckets(df, n_buckets, ngram_n, text_col)
+        .groupBy("_bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias(out))
+    )
+
+
+def drift_from_counts(
+    spark,
+    ca: DataFrame,
+    cb: DataFrame,
+    n_buckets: int,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Jensen-Shannon drift table from two bucket-count relations
+    ``ca = (_bkt, c_a)`` and ``cb = (_bkt, c_b)`` — :func:`token_drift`
+    with the histograms already in hand (how the streaming monitor
+    calls it: c_a from the live window, c_b from the persisted
+    reference artifact). Same output contract as token_drift; see its
+    docstring for the math and the plan shape. Everything here is
+    model-sized — both inputs are <= n_buckets rows."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    ta = ca.agg(F.coalesce(F.sum("c_a"), F.lit(0)).alias("_ta"))
+    tb = cb.agg(F.coalesce(F.sum("c_b"), F.lit(0)).alias("_tb"))
+    spine = spark.range(n_buckets).select(F.col("id").alias("_bkt"))
+    k = float(smoothing)
+    kb = k * n_buckets
+    p = (F.coalesce(F.col("c_a"), F.lit(0)) + F.lit(k)) / (
+        F.col("_ta").cast("double") + F.lit(kb)
+    )
+    q = (F.coalesce(F.col("c_b"), F.lit(0)) + F.lit(k)) / (
+        F.col("_tb").cast("double") + F.lit(kb)
+    )
+    m = (p + q) / F.lit(2.0)
+    return (
+        spine.join(F.broadcast(ca), "_bkt", "left")
+        .join(F.broadcast(cb), "_bkt", "left")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("_bkt").alias("bkt"),
+            F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+            F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
+            p.alias("p_a"),
+            q.alias("p_b"),
+            (
+                F.lit(0.5) * p * F.log(p / m)
+                + F.lit(0.5) * q * F.log(q / m)
+            ).alias("jsd_term"),
+        )
+    )
+
+
 def token_drift(
     a: DataFrame,
     b: DataFrame,
@@ -1614,55 +1718,8 @@ def token_drift(
     Callers aggregate for the scalar alert or rank for the top-movers
     report.
     """
-    if n_buckets < 2:
-        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    if ngram_n < 1:
-        raise ValueError(f"ngram_n must be >= 1, got {ngram_n}")
-    if smoothing <= 0:
-        raise ValueError(f"smoothing must be > 0, got {smoothing}")
-
-    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
-        return (
-            df.select(
-                F.explode(
-                    T.shingles(T.tokens(text_col), ngram_n)
-                ).alias("_gram")
-            )
-            .select((T.h32(F.col("_gram")) % n_buckets).alias("_bkt"))
-            .groupBy("_bkt")
-            .agg(F.count(F.lit(1)).cast("long").alias(out))
-        )
-
-    ca = bucket_counts(a, "c_a")
-    cb = bucket_counts(b, "c_b")
-    ta = ca.agg(F.coalesce(F.sum("c_a"), F.lit(0)).alias("_ta"))
-    tb = cb.agg(F.coalesce(F.sum("c_b"), F.lit(0)).alias("_tb"))
-    spine = a.sparkSession.range(n_buckets).select(
-        F.col("id").alias("_bkt")
-    )
-    k = float(smoothing)
-    kb = k * n_buckets
-    p = (F.coalesce(F.col("c_a"), F.lit(0)) + F.lit(k)) / (
-        F.col("_ta").cast("double") + F.lit(kb)
-    )
-    q = (F.coalesce(F.col("c_b"), F.lit(0)) + F.lit(k)) / (
-        F.col("_tb").cast("double") + F.lit(kb)
-    )
-    m = (p + q) / F.lit(2.0)
-    return (
-        spine.join(F.broadcast(ca), "_bkt", "left")
-        .join(F.broadcast(cb), "_bkt", "left")
-        .crossJoin(F.broadcast(ta))
-        .crossJoin(F.broadcast(tb))
-        .select(
-            F.col("_bkt").alias("bkt"),
-            F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
-            F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
-            p.alias("p_a"),
-            q.alias("p_b"),
-            (
-                F.lit(0.5) * p * F.log(p / m)
-                + F.lit(0.5) * q * F.log(q / m)
-            ).alias("jsd_term"),
-        )
-    )
+    # guards live in the pieces (gram_buckets / drift_from_counts) —
+    # composition only here, so batch and streaming stay one kernel
+    ca = bucket_histogram(a, "c_a", n_buckets, ngram_n, text_col)
+    cb = bucket_histogram(b, "c_b", n_buckets, ngram_n, text_col)
+    return drift_from_counts(a.sparkSession, ca, cb, n_buckets, smoothing)
