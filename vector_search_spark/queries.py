@@ -260,42 +260,139 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (or move) IN-window so the driver re-verifies exactly the riskiest
 # changes; only queries untouched since their last green may rotate out,
 # and no oracle-paired entry's last green may age past 3 rounds.
-# ROUND-13 ROTATION. This window takes:
+# ROUND-14 ROTATION. This window takes:
 # (a) the flagship (knn_exact — always first),
-# (b) the ENTIRE documented r13 queue — all 42 r10-green oracle-paired
-#     entries (they hit the 3-round limit at r13 close):
-#     docs_dsir_weights .. multimodal_metadata in the r12 tail order,
-# (c) every entry whose code paths changed in r13: dedup_exact and
-#     docs_source_scorecard (per-hash min/count de-windowed to the
-#     two-long-state groupBy + join-back skeleton — values
-#     hash-identical, plan shape changed), corpus_pipeline_funnel and
-#     docs_pii_scrub (the PII module gained an import-time
-#     pattern-quote assert and contract docs — no plan change, but
-#     they consume the touched module, so they re-verify anyway),
-# (d) the two NEW entries (start in-window): docs_purge
-#     (deletion-list purge with per-source conservation accounting +
-#     missing-id hygiene count) and docs_nb_quality (token Naive
-#     Bayes quality classifier, the CCNet/GPT-3 learned-filter
-#     stage),
-# (e) docs_assemble_packs — displaced from the r12 window by the
-#     scorecard (guard-only r12 change, r11-green, r14-due): pulled
-#     early so the displacement debt clears a round ahead.
-# Rotated OUT: the 46 r12 greens whose code is untouched (r15-due:
-# docs_pack_boundaries, docs_line_dedup, customer_rfm,
-# docs_excise_spans, text_maxsim_search, the pack/mixture pair, the
-# full r9-green relational/dedup/tpch set) behind the 42 remaining
-# r11 greens (r14-due). Window slots stay all-oracle-paired;
+# (b) docs_token_drift + knn_range FIRST after it — oracle-paired but
+#     NEVER driver-adjudicated (added late r13 below a full window;
+#     the r13 verdict's mandatory first picks). knn_range also
+#     re-verifies this round's broadcast_queries threading through
+#     knn.range_search (flag added, default unchanged),
+# (c) the ENTIRE documented r14 queue — all 42 r11-green oracle-paired
+#     entries (they hit the 3-round limit at r14 close):
+#     events_hourly_zscore .. text_chunk_retrieval in the r13 tail
+#     order,
+# (d) docs_nb_quality — its module path changed this round
+#     (nb_logodds reserved-name guard gained the internal working
+#     columns _sw/_cp/_cn; guard-only, the r13 pii precedent: the
+#     consumer re-verifies anyway),
+# (e) the NEW entry (starts in-window): multimodal_image_decode
+#     (pure-numpy PPM/BMP pixel decode — the real-image-decode ask;
+#     seeded dual-format corpus, closed-form pixel oracle),
+# (f) three r12 greens pulled a round EARLY (r15-due, window had
+#     slots): docs_pack_boundaries, docs_line_dedup, customer_rfm —
+#     eases the r15 rotation the way docs_assemble_packs did in r13.
+# Rotated OUT: the 48 untouched r13 greens (r16-due) behind the 43
+# remaining r12 greens (r15-due). Window slots stay all-oracle-paired;
 # rows-only entries remain at the very tail.
-# R14 QUEUE (first picks): docs_token_drift + knn_range (added late
-# r13 below a full window — never adjudicated, MUST lead the r14
-# window), then the 42 r11 greens (events_hourly_zscore ..
-# text_chunk_retrieval, tail order below) — they go 3-rounds-stale at
-# r14 close; then the 46 r12 greens (r15-due).
+# R15 QUEUE (first picks): the 43 remaining r12 greens
+# (docs_excise_spans .. tpch_q16, tail order below) — they go
+# 3-rounds-stale at r15 close; then the 48 r13 greens (r16-due).
+# NOTE: ivf.py also changed this round (ivf_range broadcast flag,
+# delete_ids lineage checkpoint, new range_index serving API) but no
+# oracle-paired entry consumes those paths — knn_range pairs the
+# EXACT range_search; ivf_range/range_index/delete_ids are pytest-
+# adjudicated (full-probe==exact, pruning-plan, lifecycle tests), the
+# documented sink/maintenance policy.
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
-    # (a) flagship; (b) the full 42-entry r13 queue (r10 greens);
-    # (c) r13 code changes; (d) new; (e) r12-displaced early pull
+    # (a) flagship; (b) never-adjudicated pair
     "knn_exact",
+    "docs_token_drift",
+    "knn_range",
+    # (c) the full 42-entry r14 queue (r11 greens)
+    "events_hourly_zscore",
+    "docs_budget_waterfill",
+    "docs_materialize_mixture",
+    "docs_shuffle_shards",
+    "docs_mixture_weights",
+    "pq_decode",
+    "knn_graph_degree",
+    "nn_descent_graph",
+    "ivf_bq_knn",
+    "ivf_recall_curve",
+    "ivf_cell_stats",
+    "text_bigram_logprob",
+    "knn_cosine",
+    "knn_graph",
+    "ann_lsh",
+    "text_simhash",
+    "text_fingerprint",
+    "dedup_minhash_signatures",
+    "docs_sample_hash",
+    "docs_dup_rate_by_source",
+    "sq_encode",
+    "sq_knn",
+    "dedup_embedding",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "docs_stratified_sample",
+    "text_chunks",
+    "text_language_id",
+    "text_quality",
+    "text_token_count",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q19",
+    "tpch_q22",
+    "semi_join_late_orders",
+    "anti_join_idle_customers",
+    "rank_eval_ndcg",
+    "text_chunk_retrieval",
+    # (d) guard-touched module; (e) new; (f) r15-due early pulls
+    "docs_nb_quality",
+    "multimodal_image_decode",
+    "docs_pack_boundaries",
+    "docs_line_dedup",
+    "customer_rfm",
+    # ---- tail: r15 queue (43 remaining r12 greens, r15-due) ----
+    "docs_excise_spans",
+    "text_maxsim_search",
+    "docs_pack_sequences",
+    "docs_mixture_pipeline",
+    "asof_purchase_view",
+    "cube_events",
+    "docs_split_assign",
+    "events_approx_distinct",
+    "events_daily_json",
+    "events_session_window",
+    "events_sliding_window",
+    "events_tumbling_hourly",
+    "grouping_sets_events",
+    "promo_revenue_monthly",
+    "range_join_purchase_follow",
+    "rollup_lineitem",
+    "sessionize_events",
+    "setop_converting_days",
+    "window_customer_orders",
+    "dedup_edit_distance",
+    "dedup_minhash_lsh",
+    "docs_lang_mismatch",
+    "docs_length_percentile_filter",
+    "events_pivot",
+    "events_transitions",
+    "events_value_histogram",
+    "knn_quota",
+    "prototype_classify",
+    "text_hash_embed_knn",
+    "text_repetition",
+    "text_token_entropy",
+    "tpch_q4",
+    "kmeans_assign",
+    "kmeans_lloyd",
+    "dedup_lsh_band_curve",
+    "text_unigram_logprob",
+    "pq_sdc_pairs",
+    "ngram_heavy_hitters",
+    "dedup_groups",
+    "dedup_keep_canonical",
+    "dedup_semantic",
+    "tpch_q21",
+    "tpch_q16",
+    # ---- 48 r13 greens rotated out this round (r16-due) ----
     "docs_dsir_weights",
     "docs_dsir_weights_sampled",
     "lineitem_corr",
@@ -343,103 +440,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "corpus_pipeline_funnel",
     "docs_pii_scrub",
     "docs_purge",
-    "docs_nb_quality",
     "docs_assemble_packs",
-    # ---- tail: docs_token_drift (NEW, added below a full window —
-    # the docs_pack_boundaries r11 precedent: the mandatory 42-entry
-    # rotation outranks new-starts-in-window; it is the r14 window's
-    # FIRST pick), then the r14 queue (42 r11 greens), then the 46
-    # r12 greens rotated out this round (r15-due), then rows-only ----
-    "docs_token_drift",
-    "knn_range",
-    "events_hourly_zscore",
-    "docs_budget_waterfill",
-    "docs_materialize_mixture",
-    "docs_shuffle_shards",
-    "docs_mixture_weights",
-    "pq_decode",
-    "knn_graph_degree",
-    "nn_descent_graph",
-    "ivf_bq_knn",
-    "ivf_recall_curve",
-    "ivf_cell_stats",
-    "text_bigram_logprob",
-    "knn_cosine",
-    "knn_graph",
-    "ann_lsh",
-    "text_simhash",
-    "text_fingerprint",
-    "dedup_minhash_signatures",
-    "docs_sample_hash",
-    "docs_dup_rate_by_source",
-    "sq_encode",
-    "sq_knn",
-    "dedup_embedding",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "docs_stratified_sample",
-    "text_chunks",
-    "text_language_id",
-    "text_quality",
-    "text_token_count",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q19",
-    "tpch_q22",
-    "semi_join_late_orders",
-    "anti_join_idle_customers",
-    "rank_eval_ndcg",
-    "text_chunk_retrieval",
-    "docs_pack_boundaries",
-    "docs_line_dedup",
-    "customer_rfm",
-    "docs_excise_spans",
-    "text_maxsim_search",
-    "docs_pack_sequences",
-    "docs_mixture_pipeline",
-    "asof_purchase_view",
-    "cube_events",
-    "docs_split_assign",
-    "events_approx_distinct",
-    "events_daily_json",
-    "events_session_window",
-    "events_sliding_window",
-    "events_tumbling_hourly",
-    "grouping_sets_events",
-    "promo_revenue_monthly",
-    "range_join_purchase_follow",
-    "rollup_lineitem",
-    "sessionize_events",
-    "setop_converting_days",
-    "window_customer_orders",
-    "dedup_edit_distance",
-    "dedup_minhash_lsh",
-    "docs_lang_mismatch",
-    "docs_length_percentile_filter",
-    "events_pivot",
-    "events_transitions",
-    "events_value_histogram",
-    "knn_quota",
-    "prototype_classify",
-    "text_hash_embed_knn",
-    "text_repetition",
-    "text_token_entropy",
-    "tpch_q4",
-    "kmeans_assign",
-    "kmeans_lloyd",
-    "dedup_lsh_band_curve",
-    "text_unigram_logprob",
-    "pq_sdc_pairs",
-    "ngram_heavy_hitters",
-    "dedup_groups",
-    "dedup_keep_canonical",
-    "dedup_semantic",
-    "tpch_q21",
-    "tpch_q16",
+    # ---- rows-only entries (never in-window by design) ----
     "bq_rotated_knn",
     "hnsw_knn",
     "pca_knn",
