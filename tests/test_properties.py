@@ -963,3 +963,42 @@ def test_token_drift_matches_python_model(session, seed, n_docs, n_buckets):
         assert math.isclose(r.jsd_term, e_jt, rel_tol=1e-9, abs_tol=1e-12)
         tot += r.jsd_term
     assert -1e-12 <= tot <= math.log(2.0) + 1e-12
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+)
+@settings(max_examples=40, deadline=None)
+def test_pixel_decoders_invert_serialization(seed, h, w):
+    """Pure-numpy image decoders (r14): for arbitrary dimensions —
+    including the w % 4 != 0 cases where BMP row padding matters and
+    1-pixel degenerate shapes — serializing a random raster as P6/P5
+    netpbm and as bottom-up/top-down BMP and parsing it back must be
+    the identity. No Spark: the parsers are plain functions; the
+    mapInPandas stage is covered by the source tests."""
+    from vector_search_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ppm = (
+        b"P6\n# prop\n" + f"{w} {h}\n255\n".encode() + rgb.tobytes()
+    )
+    assert (mm._parse_pnm(ppm) == rgb).all()
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    pgm = f"P5 {w} {h} 255\n".encode() + gray.tobytes()
+    assert (mm._parse_pnm(pgm)[:, :, 0] == gray).all()
+
+    from vector_search_spark.queries_multimodal import _bmp_header
+
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    bottom_up = _bmp_header(w, h, stride) + rows.tobytes()
+    assert (mm._parse_bmp(bottom_up) == rgb).all()
+    rows_td = np.zeros((h, stride), dtype=np.uint8)
+    rows_td[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)
+    hdr = _bmp_header(w, h, stride)
+    hdr = hdr[:22] + int(-h).to_bytes(4, "little", signed=True) + hdr[26:]
+    assert (mm._parse_bmp(hdr + rows_td.tobytes()) == rgb).all()

@@ -2184,3 +2184,58 @@ def q_knn_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < RANGE_QUERIES)
     out = _knn.range_search(queries, emb, radius=RANGE_RADIUS)
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"))
+
+
+@register(
+    "ivf_range",
+    f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT CAST(vec_id AS INT) AS cluster_id, v AS cv FROM pts WHERE vec_id < {IVF_NC}),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT p.vec_id, c.cluster_id, {_L2.format(a="p.v", b="c.cv")} AS d
+    FROM pts p CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id < {RANGE_QUERIES}),
+routes AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.query_id, c.cluster_id, {_L2.format(a="q.qv", b="c.cv")} AS d
+    FROM q CROSS JOIN cents c)
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cluster_id) <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT r.query_id, a.vec_id, {_L2.format(a="q.qv", b="p.v")} AS d
+  FROM routes r
+  JOIN assigned a ON a.cluster_id = r.cluster_id
+  JOIN q ON q.query_id = r.query_id
+  JOIN pts p ON p.vec_id = a.vec_id
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist
+FROM scored WHERE d <= {RANGE_RADIUS}
+""",
+    "vector",
+    "range",
+    "ivf",
+)
+def q_ivf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUTED radius search (ivf.ivf_range — knn_range's serving path,
+    r14): deterministic first-NC centroids -> route each query to its
+    nprobe nearest cells -> keep every hit within squared-L2 1.5 in
+    only those cells. The oracle replays routing + pruning + the
+    radius filter in SQL, so the driver hash adjudicates the PRUNING
+    semantics of the radius path (knn_range covers the exact path);
+    membership is boundary-safe for the same reason knn_range is (raw
+    predicate, nearest boundary gap ~6e-6). Same tie-break contracts
+    as ivf_knn: assignment first-min, routing (d, cluster_id). The
+    partition-pruned scan + zero-shuffle filter tail is plan-asserted
+    in tests/test_ivf.py; ivf.range_index is the one-call persisted
+    form."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, IVF_NC)
+    assigned = ivf.assign_clusters(emb, C)
+    queries = emb.filter(F.col("vec_id") < RANGE_QUERIES)
+    out = ivf.ivf_range(
+        queries, assigned, C, radius=RANGE_RADIUS, nprobe=IVF_NPROBE
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"))
