@@ -726,23 +726,36 @@ def test_streaming_token_drift_stream_equals_batch(spark, tmp_path):
         )
         .localCheckpoint()
     )
+    # One file per micro-batch, COPIED into the source dir under
+    # explicit names with strictly increasing mtimes. Three separate
+    # append writes would each produce a part-00000-<uuid> file, and
+    # ordering those by sorted() orders by the random uuid — when the
+    # flush file sorted (hence mtime'd) before the window-1 file, the
+    # window-1 docs arrived behind the 09:04:30 watermark and were
+    # rightly DROPPED (flaky: real late-data semantics, wrong test).
+    import shutil
+
     src = tmp_path / "docs_stream"
-    live.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(src))
-    live.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(str(src))
-    # watermark flush: a late lone doc advances event time past both
-    # data windows' ends so append mode emits them; its own window
-    # stays open and never lands in the output
-    spark.createDataFrame(
-        [(9999, "flush doc", t0 + dt.timedelta(minutes=5))],
-        "doc_id long, text string, ts timestamp",
-    ).coalesce(1).write.mode("append").parquet(str(src))
+    src.mkdir()
+    batches = [
+        live.filter(F.col("doc_id") % 2 == 0),
+        live.filter(F.col("doc_id") % 2 == 1),
+        # watermark flush: a late lone doc advances event time past
+        # both data windows' ends so append mode emits them; its own
+        # window stays open and never lands in the output
+        spark.createDataFrame(
+            [(9999, "flush doc", t0 + dt.timedelta(minutes=5))],
+            "doc_id long, text string, ts timestamp",
+        ),
+    ]
     now = time.time()
-    for i, p in enumerate(sorted(glob.glob(str(src / "part-*")))):
-        os.utime(p, (now - 100 + i * 10, now - 100 + i * 10))
+    for i, b in enumerate(batches):
+        stage = tmp_path / f"stage_{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*"))
+        dst = src / f"batch{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
 
     out_path = str(tmp_path / "drift_out")
     q = drift.streaming_token_drift(
