@@ -79,6 +79,9 @@ CHANGED_THIS_ROUND = [
     # round 14 (late): routed radius search gets its own oracle-paired
     # entry (pruning semantics adjudication for the radius path)
     "ivf_range",
+    # round 14 (late): the raw-PCM audio decode gets its own
+    # oracle-paired entry (multimodal decode symmetry with the image)
+    "multimodal_audio_features",
 ]
 
 TOP_N = 20

@@ -206,3 +206,94 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.pseudo_width").alias("pseudo_width"),
         F.col("meta.pseudo_height").alias("pseudo_height"),
     )
+
+
+# --- seeded raw-PCM fixture (r14, late) -------------------------------------
+# audio_features has been a REAL decode since r11 (int16 little-endian
+# PCM needs no codec) but carried no oracle-paired entry. Same recipe
+# as the image entry: seed deterministic samples per doc,
+# s(doc_id, j) = ((doc_id*31 + j*17) % 65536) - 32768, serialized as
+# int16 LE bytes; DuckDB replays the closed form — never parsing bytes
+# — so the driver hash adjudicates the PCM decode + windowed RMS/ZCR
+# math end-to-end. n_samples = 192 + (doc_id % 3) * 64 covers the
+# operator's window-edge cases in one entry: 192 (single short
+# window), 256 (exactly one full window), 320 (floor(n/256) = 1 ->
+# the trailing 64 samples are ignored BY CONTRACT, and the oracle
+# replays that truncation).
+
+AUDIO_DOCS = 120
+AUDIO_WINDOW = 256
+
+
+def _seeded_pcm(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) — int16 LE PCM from the closed form."""
+    import numpy as np
+    import pandas as pd
+
+    src = docs.select("doc_id").filter(F.col("doc_id") < AUDIO_DOCS)
+
+    def fn(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 192 + (d % 3) * 64
+                j = np.arange(n, dtype=np.int64)
+                s = ((d * 31 + j * 17) % 65536) - 32768
+                ids.append(d)
+                payloads.append(s.astype("<i2").tobytes())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return src.mapInPandas(fn, "doc_id long, payload binary")
+
+
+@register(
+    "multimodal_audio_features",
+    f"""
+WITH d AS (
+  SELECT doc_id, 192 + (doc_id % 3) * 64 AS n
+  FROM documents WHERE doc_id < {AUDIO_DOCS}
+),
+wins AS (
+  SELECT doc_id, n, unnest(range(0, greatest(n // {AUDIO_WINDOW}, 1))) AS wi
+  FROM d
+),
+segs AS (
+  SELECT doc_id, wi,
+         list_transform(
+           range(wi * {AUDIO_WINDOW}, least((wi + 1) * {AUDIO_WINDOW}, n)),
+           j -> (((doc_id * 31 + j * 17) % 65536) - 32768) / 32768.0
+         ) AS seg
+  FROM wins
+)
+SELECT doc_id, CAST(wi AS INT) AS win_idx,
+       (ROUND(sqrt(list_sum(list_transform(seg, x -> x * x)) / len(seg)), 6) + 0.0) AS rms,
+       (ROUND(CASE WHEN len(seg) > 1 THEN
+          list_sum(list_transform(range(2, len(seg) + 1),
+            i -> CASE WHEN (seg[i] < 0) != (seg[i-1] < 0) THEN 1 ELSE 0 END))
+          * 1.0 / (len(seg) - 1)
+        ELSE 0.0 END, 6) + 0.0) AS zcr
+FROM segs
+""",
+    "multimodal",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raw-PCM audio decode (multimodal.audio_features): seeded
+    int16 LE samples -> per-window RMS energy + zero-crossing rate,
+    value-adjudicated against the closed-form oracle (DuckDB replays
+    the sample formula, the window slicing INCLUDING the trailing-
+    partial-window truncation contract, and the RMS/ZCR math — it
+    never parses bytes, so a hash match proves the byte decode
+    inverted the seeding). Completes the multimodal symmetry: image
+    and audio decodes are now BOTH driver-adjudicated. Plan: one
+    documents scan -> two chained mapInPandas stages, no shuffle."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = multimodal.audio_features(
+        _seeded_pcm(docs), window=AUDIO_WINDOW
+    )
+    return out.select(
+        "doc_id",
+        "win_idx",
+        rnd("rms").alias("rms"),
+        rnd("zcr").alias("zcr"),
+    )
