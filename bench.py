@@ -82,6 +82,9 @@ CHANGED_THIS_ROUND = [
     # round 14 (late): the raw-PCM audio decode gets its own
     # oracle-paired entry (multimodal decode symmetry with the image)
     "multimodal_audio_features",
+    # round 14 (late): compressed-domain radius search (FAISS
+    # range_search on IVFPQ — completes the radius family)
+    "ivf_adc_range",
 ]
 
 TOP_N = 20

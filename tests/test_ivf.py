@@ -979,3 +979,85 @@ def test_range_index_serving_api_prunes_and_filters(spark, tmp_path):
     assert rows and {r.label for r in rows} == {2}
     fplan = filt._jdf.queryExecution().executedPlan().toString()
     assert "label" in fplan.split("PushedFilters", 1)[1][:400]
+
+
+def test_ivf_adc_range_consistent_with_adc_topk(
+    spark, queries, emb, assigned, centroids
+):
+    """Compressed-domain radius search: at any nprobe, ivf_adc_range(r)
+    must equal the FULL ivf_adc_topk candidate table (k = corpus size,
+    same nprobe — same LUTs via the shared prep) filtered at r; a
+    partial probe returns a subset of full probe; the radius is
+    monotone. The refactor shares _adc_lut_routes, so a divergence
+    here would mean the mask tail itself is wrong."""
+    from vector_search_spark.operators import pq
+
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(assigned, model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    ).localCheckpoint()
+    n = emb.count()
+    r = 1.2
+    for probes in (2, NC):
+        want = {
+            (x.query_id, x.vec_id): x.dist
+            for x in ivf.ivf_adc_topk(
+                queries, codes, centroids, model, k=n, nprobe=probes
+            ).collect()
+            if x.dist <= r
+        }
+        got = {
+            (x.query_id, x.vec_id): x.dist
+            for x in ivf.ivf_adc_range(
+                queries, codes, centroids, model, radius=r, nprobe=probes
+            ).collect()
+        }
+        assert set(got) == set(want), probes
+        for pair, d in got.items():
+            assert abs(d - want[pair]) < 1e-12
+    part = set(
+        (x.query_id, x.vec_id)
+        for x in ivf.ivf_adc_range(
+            queries, codes, centroids, model, radius=r, nprobe=2
+        ).collect()
+    )
+    full = set(
+        (x.query_id, x.vec_id)
+        for x in ivf.ivf_adc_range(
+            queries, codes, centroids, model, radius=r, nprobe=NC
+        ).collect()
+    )
+    assert part <= full and full
+    small = ivf.ivf_adc_range(
+        queries, codes, centroids, model, radius=0.8, nprobe=NC
+    ).count()
+    large = ivf.ivf_adc_range(
+        queries, codes, centroids, model, radius=1.6, nprobe=NC
+    ).count()
+    assert small <= large
+
+
+def test_ivf_adc_range_residual_zero_radius_hits_self(
+    spark, queries, emb, assigned, centroids
+):
+    """Residual IVFADC range at a tiny radius must still find each
+    query's own code (its ADC self-distance is only quantization
+    error) — and nothing outside the radius leaks in (mask, not
+    top-k: output is distance-bounded, never count-bounded)."""
+    from vector_search_spark.operators import pq
+
+    res = ivf.residuals(assigned, centroids).localCheckpoint()
+    model, _ = pq.train_pq(
+        res, m=8, k=16, seed=42, max_iter=15, vec_col="residual"
+    )
+    codes = pq.encode(res, model, vec_col="residual").join(
+        res.select("vec_id", "cluster_id"), "vec_id"
+    )
+    out = ivf.ivf_adc_range(
+        queries, codes, centroids, model, radius=0.9, nprobe=NC,
+        residual=True,
+    ).collect()
+    hits = {(x.query_id, x.vec_id) for x in out}
+    selfs = [qid for qid, vid in hits if qid == vid]
+    assert len(selfs) >= NQ * 0.9  # ~all self-codes inside the radius
+    assert all(x.dist <= 0.9 for x in out)

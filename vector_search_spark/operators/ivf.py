@@ -336,35 +336,22 @@ def residuals(
     )
 
 
-def ivf_adc_topk(
+def _adc_lut_routes(
     queries: DataFrame,
-    codes: DataFrame,
     centroids: np.ndarray,
     model,
-    k: int = 10,
-    nprobe: int = 4,
-    residual: bool = False,
-    query_id_col: str = "vec_id",
-    query_vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    code_col: str = "code",
-    cluster_col: str = "cluster_id",
-) -> DataFrame:
-    """IVFADC (Jégou et al. 2011): coarse routing + asymmetric-distance
-    scoring over PQ codes inside the probed cells only.
-
-    ``codes`` must carry ``(id_col, code_col, cluster_col)``. Per query
-    the cost is an (M x K) LUT build (driver, tiny) + M gathers per
-    candidate in its nprobe cells; the scan is partition-pruned exactly
-    as in :func:`ivf_topk`. Returns (query_id, vec_id, dist, rank).
-
-    ``residual=True`` is the paper-faithful variant: codes were produced
-    from :func:`residuals` output, and each (query, cell) pair gets its
-    own LUT built from the query's residual against THAT cell's
-    centroid — still driver-tiny (routed-pairs x M x K doubles).
-    """
-    from vector_search_spark.operators import pq as _pq
-
+    nprobe: int,
+    residual: bool,
+    query_id_col: str,
+    query_vec_col: str,
+):
+    """Shared IVFADC query-side prep (r14 — factored so the topk and
+    range paths build the SAME routed per-cell LUTs): route queries,
+    collect the (model-sized) query batch, and build per-cell ADC
+    lookup tables. Returns ``(qids, cell_to_q, routed_cells, m)``
+    where ``cell_to_q[cell] = (query positions, (nq_cell, M, K)
+    LUT)``. Driver state is routed-pairs x M x K doubles — bounded by
+    the caller's query batch, never the corpus."""
     routes = route_queries(
         queries, centroids, nprobe, query_id_col, query_vec_col
     ).toPandas()
@@ -405,7 +392,42 @@ def ivf_adc_topk(
         else:
             lut_c = glob[qidx]
         cell_to_q[int(cell)] = (qidx, lut_c)
-    routed_cells = sorted(cell_to_q)
+    return qids, cell_to_q, sorted(cell_to_q), m
+
+
+def ivf_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: np.ndarray,
+    model,
+    k: int = 10,
+    nprobe: int = 4,
+    residual: bool = False,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011): coarse routing + asymmetric-distance
+    scoring over PQ codes inside the probed cells only.
+
+    ``codes`` must carry ``(id_col, code_col, cluster_col)``. Per query
+    the cost is an (M x K) LUT build (driver, tiny) + M gathers per
+    candidate in its nprobe cells; the scan is partition-pruned exactly
+    as in :func:`ivf_topk`. Returns (query_id, vec_id, dist, rank).
+
+    ``residual=True`` is the paper-faithful variant: codes were produced
+    from :func:`residuals` output, and each (query, cell) pair gets its
+    own LUT built from the query's residual against THAT cell's
+    centroid — still driver-tiny (routed-pairs x M x K doubles).
+    """
+    from vector_search_spark.operators import pq as _pq
+
+    qids, cell_to_q, routed_cells, m = _adc_lut_routes(
+        queries, centroids, model, nprobe, residual,
+        query_id_col, query_vec_col,
+    )
     bc = queries.sparkSession.sparkContext.broadcast((qids, cell_to_q))
 
     src = codes.select(
@@ -458,6 +480,90 @@ def ivf_adc_topk(
 
     scored = src.mapInPandas(fn, "query_id long, vec_id long, dist double")
     return topk_per_query(scored, k)
+
+
+def ivf_adc_range(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: np.ndarray,
+    model,
+    radius: float,
+    nprobe: int = 4,
+    residual: bool = False,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Compressed-domain radius search — FAISS range_search on an
+    IVFPQ index, completing the radius family (exact
+    ``knn.range_search`` / routed ``ivf_range`` / persisted
+    ``range_index`` / compressed THIS): every code whose ASYMMETRIC
+    distance (LUT-summed ADC approximation of L2² — the radius is in
+    ADC space, which under- and over-estimates true L2² per the PQ
+    error; callers calibrate or refine exactly as with ADC top-k)
+    is within ``radius``, inside the ``nprobe`` routed cells only.
+
+    Same query-side prep as :func:`ivf_adc_topk` (shared
+    ``_adc_lut_routes`` — the two paths can never disagree on LUTs or
+    routing), same partition-prunable code scan; the tail is a
+    row-local numpy mask instead of partial-top-k + window, so the
+    result STREAMS out of the scan stage with zero shuffle — the
+    output-sensitive shape radius search wants at 100 TB. INCLUSIVE
+    ``dist <= radius`` boundary, consistent with the whole family.
+    ``residual=True`` is the Jégou IVFADC form (per-(query, cell)
+    residual LUTs).
+    """
+    from vector_search_spark.operators import pq as _pq
+
+    qids, cell_to_q, routed_cells, m = _adc_lut_routes(
+        queries, centroids, model, nprobe, residual,
+        query_id_col, query_vec_col,
+    )
+    bc = queries.sparkSession.sparkContext.broadcast((qids, cell_to_q))
+    r = float(radius)
+
+    src = codes.select(
+        F.col(id_col).alias("_id"),
+        F.col(code_col).alias("_c"),
+        F.col(cluster_col).alias("_cell"),
+    ).filter(F.col("_cell").isin(routed_cells))
+
+    def fn(batches):
+        b_qids, b_map = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for cell, grp in pdf.groupby("_cell"):
+                hit = b_map.get(int(cell))
+                if hit is None or not len(grp):
+                    continue
+                qidx, lut_c = hit
+                vids = grp["_id"].to_numpy(dtype=np.int64)
+                cm = _pq._code_matrix(grp["_c"])
+                D = np.zeros((len(qidx), len(vids)))
+                for mi in range(m):
+                    D += lut_c[:, mi, :][
+                        np.arange(len(qidx))[:, None], cm[:, mi][None, :]
+                    ]
+                qi, vj = np.nonzero(D <= r)
+                if not len(qi):
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": b_qids[qidx[qi]],
+                            "vec_id": vids[vj],
+                            "dist": D[qi, vj],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return src.mapInPandas(fn, "query_id long, vec_id long, dist double")
 
 
 def search_index(

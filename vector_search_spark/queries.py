@@ -284,10 +284,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotated OUT: the 48 untouched r13 greens (r16-due) behind the 43
 # remaining r12 greens (r15-due). Window slots stay all-oracle-paired;
 # rows-only entries remain at the very tail.
-# R15 QUEUE (first picks): ivf_range + multimodal_audio_features —
-# NEW late-r14 below a full window (the docs_pack_boundaries/
-# docs_token_drift precedent: oracle-paired, never
-# driver-adjudicated, MUST lead the r15 window) — then the 43
+# R15 QUEUE (first picks): ivf_range + multimodal_audio_features +
+# ivf_adc_range — NEW late-r14 below a full window (the
+# docs_pack_boundaries/docs_token_drift precedent: oracle-paired,
+# never driver-adjudicated, MUST lead the r15 window) — then the 43
 # remaining r12 greens (docs_excise_spans .. tpch_q16, tail order
 # below), which go 3-rounds-stale at r15 close; then the 48 r13
 # greens (r16-due).
@@ -352,11 +352,12 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_pack_boundaries",
     "docs_line_dedup",
     "customer_rfm",
-    # ---- tail head: ivf_range + multimodal_audio_features (NEW late
-    # r14, below a full window — r15's mandatory first picks), then
-    # the r15 queue ----
+    # ---- tail head: ivf_range + multimodal_audio_features +
+    # ivf_adc_range (NEW late r14, below a full window — r15's
+    # mandatory first picks), then the r15 queue ----
     "ivf_range",
     "multimodal_audio_features",
+    "ivf_adc_range",
     # ---- r15 queue (43 remaining r12 greens, r15-due) ----
     "docs_excise_spans",
     "text_maxsim_search",

@@ -387,7 +387,7 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
 
-_IVFADC_SQL = f"""
+_IVFADC_CTES = f"""
 WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM pts WHERE vec_id < {IVF_NC}),
 assigned AS (
@@ -447,7 +447,12 @@ adc AS (
   JOIN lut l ON l.cell = co.cell AND l.m = co.m AND l.k_id = co.code
   GROUP BY l.query_id, co.vec_id
 )
-SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+"""
+
+# _IVFADC_SQL == _IVFADC_CTES + the ranked tail, byte-identical to the
+# pre-r14 single literal (the range entry reuses the CTE chain with a
+# radius-filter tail instead)
+_IVFADC_SQL = _IVFADC_CTES + """SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
 FROM adc
 QUALIFY "rank" <= 10
@@ -484,6 +489,52 @@ def q_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, codes, C, model, k=10, nprobe=IVF_NPROBE, residual=True
     )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
+ADC_RADIUS = 1.0  # ADC-space squared-L2; boundary gap >= 5.0e-4 at every SF
+
+
+@register(
+    "ivf_adc_range",
+    _IVFADC_CTES
+    + f"""SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist
+FROM adc WHERE d <= {ADC_RADIUS}
+""",
+    "vector",
+    "ivf",
+    "pq",
+    "range",
+)
+def q_ivf_adc_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain radius search (ivf.ivf_adc_range — FAISS
+    range_search on IVFPQ, r14): the ivf_adc_knn pipeline — residual
+    codes, per-(query, cell) LUTs, routed cells — with a radius filter
+    tail instead of top-k, so the result streams out of the code scan
+    with zero shuffle. The oracle reuses the IVFADC CTE chain verbatim
+    and swaps the ranked tail for `WHERE d <= 1.0`; membership is in
+    ADC space on BOTH sides, and the nearest ADC distance to the
+    boundary is >= 5.0e-4 at every SF (measured) vs ~1e-12 cross-engine
+    noise, so the set is stable. Together with knn_range (exact) and
+    ivf_range (routed raw vectors) every radius path is
+    value-adjudicated."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, IVF_NC)
+    assigned = ivf.assign_clusters(emb, C)
+    res = ivf.residuals(assigned, C).localCheckpoint()
+    sel = res.filter(
+        (F.col("vec_id") >= IVF_NC) & (F.col("vec_id") < IVF_NC + PQ_K)
+    ).orderBy("vec_id")
+    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual")
+    model = pq.model_from_vectors(mat, PQ_M, PQ_K)
+    codes = pq.encode(res, model, vec_col="residual").join(
+        res.select("vec_id", "cluster_id"), "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    out = ivf.ivf_adc_range(
+        queries, codes, C, model, radius=ADC_RADIUS, nprobe=IVF_NPROBE,
+        residual=True,
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"))
 
 
 # --------------------------------------------------------------------------
