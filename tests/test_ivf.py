@@ -1061,3 +1061,29 @@ def test_ivf_adc_range_residual_zero_radius_hits_self(
     selfs = [qid for qid, vid in hits if qid == vid]
     assert len(selfs) >= NQ * 0.9  # ~all self-codes inside the radius
     assert all(x.dist <= 0.9 for x in out)
+
+
+def test_ivf_adc_range_plan_has_no_topk_window(
+    spark, queries, emb, assigned, centroids
+):
+    """The compressed radius path's whole point vs ivf_adc_topk is the
+    missing global reduction: the scored stream is mask-filtered in the
+    Arrow batch and never ranked, so the optimized plan must contain NO
+    Window operator and no shuffle above the code scan (bench pins the
+    same fact as one-fewer-job: 15 vs topk's 16). A Window sneaking in
+    would silently reintroduce the per-query rank exchange radius
+    search exists to avoid."""
+    from vector_search_spark.operators import pq
+
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(assigned, model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    )
+    out = ivf.ivf_adc_range(
+        queries, codes, centroids, model, radius=1.2, nprobe=NPROBE
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    # no per-query rank exchange anywhere: the only exchanges allowed
+    # are on the (broadcast/join) build side of the codes prep
+    assert "Exchange hashpartitioning(query_id" not in plan
