@@ -539,3 +539,25 @@ def test_real_image_pixels_feed_knn(spark):
             )
         ]
         assert got == want, (qid, got, want)
+
+
+def test_decode_image_corrupt_uncompressed_payload_raises(spark):
+    """A payload with a RECOGNIZED uncompressed magic but a corrupt
+    body (truncated raster) must raise through decode_image even in
+    non-strict mode — only unrecognized magics may fall to the
+    Pillow/fake ladder. Silently fake-decoding a corrupt real image
+    would poison downstream vectors."""
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    bad = _ppm_bytes(rgb)[:-5]  # recognized magic, truncated raster
+    df = spark.createDataFrame(
+        [(1, bytearray(bad))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        multimodal.decode_image(df, strict=False).collect()
+    # unrecognized magic still reaches the deterministic fake
+    ok = spark.createDataFrame(
+        [(2, bytearray(b"plain text payload"))],
+        "doc_id long, payload binary",
+    )
+    assert multimodal.decode_image(ok, strict=False).count() == 1

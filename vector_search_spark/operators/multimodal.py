@@ -342,7 +342,15 @@ def decode_image(
                 raw = bytes(payload)
                 try:
                     arr = gray_resize(_decode_any(raw))
-                except ValueError:
+                except ValueError as e:
+                    # Only an UNRECOGNIZED magic falls through the
+                    # ladder. A recognized-but-corrupt uncompressed
+                    # payload (truncated raster, bad maxval,
+                    # compressed BMP) must RAISE: silently
+                    # fake-decoding garbage that claimed to be a real
+                    # image would poison every vector downstream.
+                    if "no numpy decoder" not in str(e):
+                        raise
                     # not an uncompressed format — Pillow's job
                     if have_pil:
                         from PIL import Image
