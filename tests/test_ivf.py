@@ -1087,3 +1087,39 @@ def test_ivf_adc_range_plan_has_no_topk_window(
     # no per-query rank exchange anywhere: the only exchanges allowed
     # are on the (broadcast/join) build side of the codes prep
     assert "Exchange hashpartitioning(query_id" not in plan
+
+
+def test_adc_range_index_serving_api_prunes(spark, tmp_path, emb, queries):
+    """One-call compressed radius serving over the persisted artifacts
+    (codes + coarse centroids + PQ model all reopened from disk):
+    equals ivf_adc_range over the in-memory relations, and the code
+    scan partition-prunes to the probed cells."""
+    from vector_search_spark.operators import pq
+
+    C = kmeans.init_first_k(emb, 8)
+    assigned = ivf.assign_clusters(emb, C)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(assigned, model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    )
+    cp = str(tmp_path / "codes")
+    cc = str(tmp_path / "cents")
+    mp = str(tmp_path / "pqmodel")
+    ivf.write_index(codes, cp)
+    ivf.save_centroids(spark, C, cc)
+    pq.save_model(spark, model, mp)
+
+    got = ivf.adc_range_index(
+        spark, cp, cc, mp, queries, radius=1.2, nprobe=3
+    )
+    want = ivf.ivf_adc_range(
+        queries, codes, C, model, radius=1.2, nprobe=3
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.vec_id, round(r.dist, 9)) for r in df.collect()
+    )
+    assert key(got) == key(want) and got.count() > 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:300]
+    assert "Window" not in plan  # the radius family's no-rank invariant

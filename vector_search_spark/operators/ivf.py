@@ -631,6 +631,41 @@ def range_index(
     return ivf_range(queries, base, C, radius=radius, nprobe=nprobe, **kwargs)
 
 
+def adc_range_index(
+    spark,
+    codes_path: str,
+    centroids_path: str,
+    model_path: str,
+    queries: DataFrame,
+    radius: float,
+    nprobe: int = 4,
+    residual: bool = False,
+    base_filter=None,
+    **kwargs,
+) -> DataFrame:
+    """One-call COMPRESSED radius serving over the persisted artifacts
+    — :func:`range_index`'s twin for :func:`ivf_adc_range`, closing
+    the serving matrix (topk/radius x raw/compressed, all one-call):
+    load the coarse model (:func:`load_centroids`) and the PQ model
+    (``pq.load_model``), open the cell-partitioned code parquet, and
+    keep every code within the ADC-space ``radius`` in only the
+    probed cells. Same partition-pruned scan and pushed
+    ``base_filter`` semantics as search_index/range_index; same
+    INCLUSIVE boundary as the whole radius family. ``kwargs`` pass
+    through to :func:`ivf_adc_range` (column names)."""
+    from vector_search_spark.operators import pq as _pq
+
+    C = load_centroids(spark, centroids_path)
+    model = _pq.load_model(spark, model_path)
+    codes = spark.read.parquet(codes_path)
+    if base_filter is not None:
+        codes = codes.filter(base_filter)
+    return ivf_adc_range(
+        queries, codes, C, model, radius=radius, nprobe=nprobe,
+        residual=residual, **kwargs,
+    )
+
+
 def save_centroids(spark, centroids: np.ndarray, path: str) -> None:
     """Persist the coarse-quantizer model beside the cell directories.
     rebalance_index RETURNS a grown centroid table — the index is only
