@@ -65,26 +65,18 @@ HEADLINE = [
 # top-N cut. Checked against the catalog at startup — a stale name
 # here fails loudly instead of silently guarding nothing.
 CHANGED_THIS_ROUND = [
-    # round 14: new capability — pure-numpy PPM/BMP pixel decode
-    "multimodal_image_decode",
-    # round 14: broadcast_queries threading through knn.range_search
-    # (flag added, default path unchanged — re-measured anyway)
-    "knn_range",
-    # round 14: nb_logodds reserved-name guard gained _sw/_cp/_cn
-    # (guard-only; consumer re-measured per the r13 pii precedent)
-    "docs_nb_quality",
-    # round 14: token_drift refactored onto the shared gram-bucket
-    # kernel for the streaming twin (values identical, plan unchanged)
-    "docs_token_drift",
-    # round 14 (late): routed radius search gets its own oracle-paired
-    # entry (pruning semantics adjudication for the radius path)
-    "ivf_range",
-    # round 14 (late): the raw-PCM audio decode gets its own
-    # oracle-paired entry (multimodal decode symmetry with the image)
-    "multimodal_audio_features",
-    # round 14 (late): compressed-domain radius search (FAISS
-    # range_search on IVFPQ — completes the radius family)
+    # round 15: new capability — TRUE-metric compressed radius (ADC
+    # over-fetch + exact re-score; the serving matrix's last asymmetry)
+    "ivf_adc_range_refined",
+    # round 15: its stage 1 — shares _adc_lut_routes and the mask tail
+    # with the new entry's candidate pass (code untouched, contract
+    # re-measured beside the consumer)
     "ivf_adc_range",
+    # round 15: decode ladder dispatch re-typed (UnsupportedImageFormat
+    # instead of a message match) + _parse_pnm degenerate-dims guard —
+    # behavior-preserving, consumer re-measured per the guard-change
+    # precedent
+    "multimodal_image_decode",
 ]
 
 TOP_N = 20
@@ -320,10 +312,21 @@ def main() -> None:
     # BENCH_DETAIL as drift_canary; cross-round comparisons should
     # divide observed ratios by this run's canary band before calling
     # anything a regression.
-    CANARY = ["tpch_q12", "tpch_q13", "tpch_q19", "knn_exact"]
+    # hnsw_knn added r15: the one outside-band mover in r14 (1.21x at
+    # stable jobs, untouched code) — canary membership gives it
+    # same-process same-code attribution instead of a watch flag.
+    CANARY = ["tpch_q12", "tpch_q13", "tpch_q19", "knn_exact", "hnsw_knn"]
     drift_canary: dict[str, dict] = {}
     for name in CANARY:
-        if name not in catalog or timings.get(name) != timings.get(name):
+        # r15 advice fix: a name present in catalog but absent from
+        # timings (e.g. filtered out by an env subset) previously fell
+        # through the NaN self-inequality check (None != None is False)
+        # and crashed on timings[name] at the END of the full run.
+        if (
+            name not in catalog
+            or name not in timings
+            or timings[name] != timings[name]
+        ):
             continue
         best2 = float("inf")
         jobs2 = 0

@@ -561,3 +561,34 @@ def test_decode_image_corrupt_uncompressed_payload_raises(spark):
         "doc_id long, payload binary",
     )
     assert multimodal.decode_image(ok, strict=False).count() == 1
+
+
+def test_decode_any_exception_typing():
+    """The unrecognized-magic/corrupt-payload split is a TYPED contract
+    (r15 advice fix), not a message match: only UnsupportedImageFormat
+    may route a payload to the Pillow/strict/fake ladder. Rewording an
+    error message must never re-route corrupt uncompressed payloads to
+    the fake decoder (the c0194a9 poisoning bug)."""
+    # unrecognized magic -> the dedicated subtype
+    with pytest.raises(multimodal.UnsupportedImageFormat):
+        multimodal._decode_any(b"GIF89a....")
+    assert issubclass(multimodal.UnsupportedImageFormat, ValueError)
+    # recognized-but-corrupt -> plain ValueError, NOT the subtype
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    for bad in (_ppm_bytes(rgb)[:-2], _bmp24_bytes(rgb)[:-4]):
+        with pytest.raises(ValueError) as ei:
+            multimodal._decode_any(bad)
+        assert not isinstance(
+            ei.value, multimodal.UnsupportedImageFormat
+        ), "corrupt recognized payload must not look like unknown format"
+
+
+def test_parse_pnm_degenerate_dimensions_raise():
+    """A crafted zero-dimension netpbm header raises a ValueError that
+    names the payload problem (r15 advice fix) instead of an opaque
+    downstream IndexError — mirroring _parse_bmp's guard."""
+    with pytest.raises(ValueError, match="degenerate"):
+        multimodal._parse_pnm(b"P6\n0 5\n255\n")
+    with pytest.raises(ValueError, match="degenerate"):
+        multimodal._parse_pnm(b"P5\n4 0\n255\n")

@@ -77,6 +77,11 @@ def _parse_pnm(raw: bytes) -> np.ndarray:
             raise ValueError("malformed netpbm header")
         fields.append(int(raw[start:pos]))
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        # mirror _parse_bmp's guard (r15 advice fix): a crafted
+        # "P6 0 5 255" payload would otherwise yield an empty raster
+        # that fails downstream with an opaque IndexError
+        raise ValueError(f"degenerate netpbm dimensions {w}x{h}")
     if not (0 < maxval <= 255):
         raise ValueError(
             f"netpbm maxval {maxval} unsupported (need 1..255 — 2-byte "
@@ -143,15 +148,28 @@ def _parse_bmp(raw: bytes) -> np.ndarray:
     return np.ascontiguousarray(rows[:, :, 2::-1])
 
 
+class UnsupportedImageFormat(ValueError):
+    """Raised by :func:`_decode_any` ONLY when the payload's magic is
+    not one the numpy decoders recognize at all — the signal that a
+    compressed-format fallback (Pillow / strict gate / deterministic
+    fake) may take over. A recognized-but-corrupt payload raises plain
+    ValueError instead, which callers must NOT swallow (r15 advice fix:
+    previously this split was a substring match on the error message,
+    one rewording away from re-routing corrupt payloads to the fake
+    decoder — the exact poisoning bug commit c0194a9 fixed)."""
+
+
 def _decode_any(raw: bytes) -> np.ndarray:
     """Dispatch on magic bytes to the numpy decoders; returns
     (h, w, channels) uint8. Formats without a pure-numpy parser raise
-    ValueError — the caller decides whether Pillow may take over."""
+    UnsupportedImageFormat — the caller decides whether Pillow may
+    take over. Recognized formats that fail to parse raise plain
+    ValueError (must propagate)."""
     if raw[:2] in (b"P5", b"P6"):
         return _parse_pnm(raw)
     if raw[:2] == b"BM":
         return _parse_bmp(raw)
-    raise ValueError(
+    raise UnsupportedImageFormat(
         f"no numpy decoder for magic {raw[:2]!r} (have: P5/P6 netpbm, "
         "uncompressed 24/32-bit BMP)"
     )
@@ -342,15 +360,15 @@ def decode_image(
                 raw = bytes(payload)
                 try:
                     arr = gray_resize(_decode_any(raw))
-                except ValueError as e:
+                except UnsupportedImageFormat:
                     # Only an UNRECOGNIZED magic falls through the
-                    # ladder. A recognized-but-corrupt uncompressed
-                    # payload (truncated raster, bad maxval,
-                    # compressed BMP) must RAISE: silently
-                    # fake-decoding garbage that claimed to be a real
-                    # image would poison every vector downstream.
-                    if "no numpy decoder" not in str(e):
-                        raise
+                    # ladder (typed exception, not a message match —
+                    # r15 advice fix). A recognized-but-corrupt
+                    # uncompressed payload (truncated raster, bad
+                    # maxval, compressed BMP) raises plain ValueError
+                    # and must PROPAGATE: silently fake-decoding
+                    # garbage that claimed to be a real image would
+                    # poison every vector downstream.
                     # not an uncompressed format — Pillow's job
                     if have_pil:
                         from PIL import Image

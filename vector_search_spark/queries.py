@@ -260,105 +260,45 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (or move) IN-window so the driver re-verifies exactly the riskiest
 # changes; only queries untouched since their last green may rotate out,
 # and no oracle-paired entry's last green may age past 3 rounds.
-# ROUND-14 ROTATION. This window takes:
+# ROUND-15 ROTATION. This window takes:
 # (a) the flagship (knn_exact — always first),
-# (b) docs_token_drift + knn_range FIRST after it — oracle-paired but
-#     NEVER driver-adjudicated (added late r13 below a full window;
-#     the r13 verdict's mandatory first picks). knn_range also
-#     re-verifies this round's broadcast_queries threading through
-#     knn.range_search (flag added, default unchanged),
-# (c) the ENTIRE documented r14 queue — all 42 r11-green oracle-paired
-#     entries (they hit the 3-round limit at r14 close):
-#     events_hourly_zscore .. text_chunk_retrieval in the r13 tail
-#     order,
-# (d) docs_nb_quality — its module path changed this round
-#     (nb_logodds reserved-name guard gained the internal working
-#     columns _sw/_cp/_cn; guard-only, the r13 pii precedent: the
-#     consumer re-verifies anyway),
-# (e) the NEW entry (starts in-window): multimodal_image_decode
-#     (pure-numpy PPM/BMP pixel decode — the real-image-decode ask;
-#     seeded dual-format corpus, closed-form pixel oracle),
-# (f) three r12 greens pulled a round EARLY (r15-due, window had
-#     slots): docs_pack_boundaries, docs_line_dedup, customer_rfm —
-#     eases the r15 rotation the way docs_assemble_packs did in r13.
-# Rotated OUT: the 48 untouched r13 greens (r16-due) behind the 43
-# remaining r12 greens (r15-due). Window slots stay all-oracle-paired;
-# rows-only entries remain at the very tail.
-# R15 QUEUE (first picks): ivf_range + multimodal_audio_features +
-# ivf_adc_range — NEW late-r14 below a full window (the
-# docs_pack_boundaries/docs_token_drift precedent: oracle-paired,
-# never driver-adjudicated, MUST lead the r15 window) — then the 43
-# remaining r12 greens (docs_excise_spans .. tpch_q16, tail order
-# below), which go 3-rounds-stale at r15 close; then the 48 r13
-# greens (r16-due).
-# NOTE: ivf.py also changed this round (ivf_range broadcast flag,
-# delete_ids lineage checkpoint, new range_index serving API) but no
-# oracle-paired entry consumes those paths — knn_range pairs the
-# EXACT range_search; ivf_range/range_index/delete_ids are pytest-
-# adjudicated (full-probe==exact, pruning-plan, lifecycle tests), the
-# documented sink/maintenance policy.
+# (b) the three MANDATORY first picks (r14 verdict ask #1): ivf_range +
+#     multimodal_audio_features + ivf_adc_range — oracle-paired, added
+#     late-r14 below a full window, NEVER driver-adjudicated (the
+#     docs_token_drift precedent),
+# (c) the NEW entry (starts in-window): ivf_adc_range_refined
+#     (TRUE-metric compressed radius — ADC over-fetch at 1.6 then
+#     exact re-score <= 1.35; closes the r14 verdict's serving-matrix
+#     asymmetry, ivf.py changed for it this round),
+# (d) multimodal_image_decode — its module changed this round
+#     (UnsupportedImageFormat typed dispatch + _parse_pnm degenerate-
+#     dimension guard; the guard-only-change precedent: the consumer
+#     re-verifies anyway),
+# (e) the ENTIRE documented r15 queue — all 43 r12-green oracle-paired
+#     entries (they hit the 3-round limit at r15 close):
+#     docs_excise_spans .. tpch_q16 in the r14 tail order,
+# (f) one r13 green pulled a round EARLY (r16-due, window had a slot):
+#     docs_dsir_weights — eases the r16 rotation the way
+#     docs_pack_boundaries/customer_rfm did in r14.
+# Rotated OUT: the 48 r14 greens (r17-due) behind the 47 remaining r13
+# greens (r16-due). Window slots stay all-oracle-paired; rows-only
+# entries remain at the very tail.
+# R16 QUEUE (first picks): the 47 remaining r13 greens
+# (docs_dsir_weights_sampled .. docs_assemble_packs, tail order
+# below), which go 3-rounds-stale at r16 close; then the 48 r14
+# greens (r17-due). No oracle-paired entry is unadjudicated after
+# this window runs.
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
-    # (a) flagship; (b) never-adjudicated pair
+    # (a) flagship; (b) mandatory never-adjudicated first picks;
+    # (c) new; (d) changed-module
     "knn_exact",
-    "docs_token_drift",
-    "knn_range",
-    # (c) the full 42-entry r14 queue (r11 greens)
-    "events_hourly_zscore",
-    "docs_budget_waterfill",
-    "docs_materialize_mixture",
-    "docs_shuffle_shards",
-    "docs_mixture_weights",
-    "pq_decode",
-    "knn_graph_degree",
-    "nn_descent_graph",
-    "ivf_bq_knn",
-    "ivf_recall_curve",
-    "ivf_cell_stats",
-    "text_bigram_logprob",
-    "knn_cosine",
-    "knn_graph",
-    "ann_lsh",
-    "text_simhash",
-    "text_fingerprint",
-    "dedup_minhash_signatures",
-    "docs_sample_hash",
-    "docs_dup_rate_by_source",
-    "sq_encode",
-    "sq_knn",
-    "dedup_embedding",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "docs_stratified_sample",
-    "text_chunks",
-    "text_language_id",
-    "text_quality",
-    "text_token_count",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q19",
-    "tpch_q22",
-    "semi_join_late_orders",
-    "anti_join_idle_customers",
-    "rank_eval_ndcg",
-    "text_chunk_retrieval",
-    # (d) guard-touched module; (e) new; (f) r15-due early pulls
-    "docs_nb_quality",
-    "multimodal_image_decode",
-    "docs_pack_boundaries",
-    "docs_line_dedup",
-    "customer_rfm",
-    # ---- tail head: ivf_range + multimodal_audio_features +
-    # ivf_adc_range (NEW late r14, below a full window — r15's
-    # mandatory first picks), then the r15 queue ----
     "ivf_range",
     "multimodal_audio_features",
     "ivf_adc_range",
-    # ---- r15 queue (43 remaining r12 greens, r15-due) ----
+    "ivf_adc_range_refined",
+    "multimodal_image_decode",
+    # (e) the full 43-entry r15 queue (r12 greens)
     "docs_excise_spans",
     "text_maxsim_search",
     "docs_pack_sequences",
@@ -402,8 +342,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "dedup_semantic",
     "tpch_q21",
     "tpch_q16",
-    # ---- 48 r13 greens rotated out this round (r16-due) ----
+    # (f) r16-due early pull
     "docs_dsir_weights",
+    # ---- 47 remaining r13 greens (r16-due) ----
     "docs_dsir_weights_sampled",
     "lineitem_corr",
     "events_hll_rollup",
@@ -451,6 +392,55 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_pii_scrub",
     "docs_purge",
     "docs_assemble_packs",
+    # ---- 48 r14 greens rotated out this round (r17-due) ----
+    "docs_token_drift",
+    "knn_range",
+    "events_hourly_zscore",
+    "docs_budget_waterfill",
+    "docs_materialize_mixture",
+    "docs_shuffle_shards",
+    "docs_mixture_weights",
+    "pq_decode",
+    "knn_graph_degree",
+    "nn_descent_graph",
+    "ivf_bq_knn",
+    "ivf_recall_curve",
+    "ivf_cell_stats",
+    "text_bigram_logprob",
+    "knn_cosine",
+    "knn_graph",
+    "ann_lsh",
+    "text_simhash",
+    "text_fingerprint",
+    "dedup_minhash_signatures",
+    "docs_sample_hash",
+    "docs_dup_rate_by_source",
+    "sq_encode",
+    "sq_knn",
+    "dedup_embedding",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "docs_stratified_sample",
+    "text_chunks",
+    "text_language_id",
+    "text_quality",
+    "text_token_count",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q19",
+    "tpch_q22",
+    "semi_join_late_orders",
+    "anti_join_idle_customers",
+    "rank_eval_ndcg",
+    "text_chunk_retrieval",
+    "docs_nb_quality",
+    "docs_pack_boundaries",
+    "docs_line_dedup",
+    "customer_rfm",
     # ---- rows-only entries (never in-window by design) ----
     "bq_rotated_knn",
     "hnsw_knn",

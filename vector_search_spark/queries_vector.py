@@ -537,6 +537,62 @@ def q_ivf_adc_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"))
 
 
+# Refined-radius constants (r15): stage-1 candidate ADC radius =
+# REFINED_TRUE_RADIUS + REFINED_MARGIN = 1.6 (nearest ADC distance to
+# that boundary >= 2.75e-4 at every SF, measured); true-metric radius
+# 1.35 (nearest exact distance among the ADC<=1.6 survivors >= 5.9e-4
+# at every SF, measured) — both gaps orders of magnitude above ~1e-12
+# cross-engine float noise, so membership is stable on both stages.
+REFINED_TRUE_RADIUS = 1.35
+REFINED_MARGIN = 0.25
+
+
+@register(
+    "ivf_adc_range_refined",
+    _IVFADC_CTES
+    + f"""SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist FROM (
+  SELECT a.query_id, a.vec_id, {_L2.format(a="q.qv", b="p.v")} AS d
+  FROM adc a JOIN q USING (query_id) JOIN pts p ON p.vec_id = a.vec_id
+  WHERE a.d <= {REFINED_TRUE_RADIUS + REFINED_MARGIN}
+) WHERE d <= {REFINED_TRUE_RADIUS}
+""",
+    "vector",
+    "ivf",
+    "pq",
+    "range",
+)
+def q_ivf_adc_range_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-METRIC compressed radius search (ivf.ivf_adc_range_refined,
+    r15 — the serving matrix's last asymmetry closed): the ivf_adc_range
+    pipeline over-fetches candidates at ADC radius 1.6 (= 1.35 + 0.25
+    margin), then joins ONLY the survivors back to the raw vectors and
+    keeps exact L2² <= 1.35 — so the returned distances and membership
+    are in the TRUE metric, unlike ivf_adc_range's ADC space. The
+    oracle reuses the IVFADC CTE chain verbatim and replays both
+    stages: `WHERE a.d <= 1.6` (ADC pre-filter) then the exact-L2
+    recompute + `<= 1.35` tail. Boundary gaps measured at every SF
+    (see REFINED_* constants). Together with pq_refine_knn this
+    value-adjudicates both exact-refine repairs (top-k and radius)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, IVF_NC)
+    assigned = ivf.assign_clusters(emb, C)
+    res = ivf.residuals(assigned, C).localCheckpoint()
+    sel = res.filter(
+        (F.col("vec_id") >= IVF_NC) & (F.col("vec_id") < IVF_NC + PQ_K)
+    ).orderBy("vec_id")
+    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual")
+    model = pq.model_from_vectors(mat, PQ_M, PQ_K)
+    codes = pq.encode(res, model, vec_col="residual").join(
+        res.select("vec_id", "cluster_id"), "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    out = ivf.ivf_adc_range_refined(
+        queries, codes, C, model, radius=REFINED_TRUE_RADIUS, points=emb,
+        nprobe=IVF_NPROBE, margin=REFINED_MARGIN, residual=True,
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"))
+
+
 # --------------------------------------------------------------------------
 # Random-hyperplane LSH ANN (bucketed similarity search, brief-mandated)
 # --------------------------------------------------------------------------
