@@ -592,3 +592,77 @@ def test_parse_pnm_degenerate_dimensions_raise():
         multimodal._parse_pnm(b"P6\n0 5\n255\n")
     with pytest.raises(ValueError, match="degenerate"):
         multimodal._parse_pnm(b"P5\n4 0\n255\n")
+
+
+def test_real_audio_features_feed_knn(spark):
+    """Audio -> vector -> ANN, fully real, no codec (r15 — the image
+    precedent test_real_image_pixels_feed_knn applied to the audio
+    path): seeded int16 LE PCM payloads run through audio_features,
+    the per-window (rms, zcr) rows assemble into a fixed-length
+    feature vector per doc in win_idx order, and brute_force_knn
+    ranks those vectors exactly as straight-numpy distances over the
+    SAME decode math do — ranked-retrieval closure for the audio
+    modality, not just the decode round-trip."""
+    from vector_search_spark.operators import knn
+
+    window, n_win = 64, 6
+    rng = np.random.default_rng(21)
+    pcm = {
+        i: rng.integers(-32768, 32768, size=window * n_win, dtype=np.int64)
+        for i in range(10)
+    }
+    df = spark.createDataFrame(
+        [
+            (i, bytearray(s.astype("<i2").tobytes()))
+            for i, s in pcm.items()
+        ],
+        "doc_id long, payload binary",
+    )
+    feats = multimodal.audio_features(df, window=window)
+    vecs_df = feats.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("win_idx", "rms", "zcr"))
+                ),
+                lambda s: F.array(s["rms"], s["zcr"]),
+            )
+        ).alias("feat")
+    )
+    vecs_df = vecs_df.localCheckpoint()
+    out = knn.brute_force_knn(
+        vecs_df.filter(F.col("doc_id") < 3), vecs_df, k=3,
+        query_id_col="doc_id", query_vec_col="feat",
+        base_id_col="doc_id", base_vec_col="feat",
+    )
+    # straight-numpy oracle over the SAME decode + featurization math
+    oracle_vecs = {}
+    for i, s in pcm.items():
+        x = s.astype(np.float64) / 32768.0
+        v = []
+        for wi in range(n_win):
+            seg = x[wi * window : (wi + 1) * window]
+            v.append(float(np.sqrt((seg * seg).mean())))
+            v.append(
+                float((np.signbit(seg[1:]) != np.signbit(seg[:-1])).mean())
+            )
+        oracle_vecs[i] = np.asarray(v)
+    # sanity: the Spark-side vectors ARE the numpy vectors
+    got_vecs = {r.doc_id: np.asarray(r.feat) for r in vecs_df.collect()}
+    assert set(got_vecs) == set(oracle_vecs)
+    for i in got_vecs:
+        assert got_vecs[i] == pytest.approx(oracle_vecs[i], abs=1e-12), i
+    for qid in range(3):
+        d = sorted(
+            (float(((oracle_vecs[qid] - v) ** 2).sum()), i)
+            for i, v in oracle_vecs.items()
+        )
+        want = [i for _, i in d[:3]]
+        got = [
+            r.vec_id
+            for r in sorted(
+                out.filter(F.col("query_id") == qid).collect(),
+                key=lambda r: r.rank,
+            )
+        ]
+        assert got == want, (qid, got, want)
