@@ -1281,3 +1281,45 @@ def test_rebalance_fixed_point_bounds_cell_sizes(spark, tmp_path):
     ]
     mean = sum(counts) / len(counts)
     assert max(counts) <= skew * mean, (sorted(counts), mean)
+
+
+def test_calibrate_adc_margin_makes_refine_exact_at_any_radius(
+    spark, queries, emb, assigned, centroids
+):
+    """calibrate_adc_margin(quantile=1.0) measures the worst ADC
+    overshoot over the routed pairs; because the bound is uniform in
+    the radius, full-probe refine with that ONE margin must equal
+    knn.range_search exactly at EVERY radius — the in-plan form of the
+    calibration the refined docstring prescribes."""
+    from vector_search_spark.operators import pq
+
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(assigned, model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    ).localCheckpoint()
+    margin = ivf.calibrate_adc_margin(
+        queries, codes, centroids, model, points=emb, nprobe=NC,
+        quantile=1.0,
+    )
+    assert margin > 0.0  # a lossy code always overshoots somewhere
+    for r in (0.9, 1.3, 1.6):
+        want = {
+            (x.query_id, x.vec_id): x.dist
+            for x in knn.range_search(queries, emb, radius=r).collect()
+        }
+        got = {
+            (x.query_id, x.vec_id): x.dist
+            for x in ivf.ivf_adc_range_refined(
+                queries, codes, centroids, model, radius=r, points=emb,
+                nprobe=NC, margin=margin,
+            ).collect()
+        }
+        assert set(got) == set(want), r
+        for p, d in got.items():
+            assert abs(d - want[p]) < 1e-9
+    # a sub-1.0 quantile returns a no-larger margin (bounded miss trade)
+    m50 = ivf.calibrate_adc_margin(
+        queries, codes, centroids, model, points=emb, nprobe=NC,
+        quantile=0.5,
+    )
+    assert 0.0 <= m50 <= margin

@@ -620,11 +620,11 @@ def ivf_adc_range_refined(
     so a true hit may score above ``radius`` in ADC space and be lost
     before stage 2 can rescue it. ``margin`` (additive, in the squared-
     L2 units of ``radius``) widens the stage-1 net; with ``nprobe ==
-    NC`` and a margin covering the worst per-point quantization error
-    (bounded by ``max_x (2*sqrt(adc(x)*e(x)) + e(x))`` with ``e(x)``
-    the reconstruction error — in practice: measure the max
-    |true - adc| gap on a held-out sample and add slack), the result
-    equals :func:`knn.range_search` EXACTLY — that equality is tested
+    NC`` and a margin covering the worst ADC overshoot
+    (:func:`calibrate_adc_margin` measures exactly this, in-plan:
+    ``margin = quantile(max(adc - true, 0))`` over routed pairs —
+    uniform in the radius at quantile 1.0), the result equals
+    :func:`knn.range_search` EXACTLY — that equality is tested
     in tests/test_ivf.py. The default ``margin=0.0`` keeps stage 1
     cheapest but only repairs overestimates (hits are then a subset of
     the true-radius set, with exact distances).
@@ -658,6 +658,80 @@ def ivf_adc_range_refined(
         .select("query_id", "vec_id", l2_sqr("_qv", "_pv").alias("dist"))
         .filter(F.col("dist") <= F.lit(float(radius)))
     )
+
+
+def calibrate_adc_margin(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: np.ndarray,
+    model,
+    points: DataFrame,
+    nprobe: int = 4,
+    quantile: float = 1.0,
+    residual: bool = False,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    cluster_col: str = "cluster_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Measure the over-fetch margin :func:`ivf_adc_range_refined`
+    needs — the calibration its docstring prescribes, done in-plan
+    instead of by hand. For every (query, candidate) pair in the
+    routed cells this computes gap = max(adc_dist - true_dist, 0) —
+    how far ADC can OVERSHOOT the true L2² — and returns the requested
+    ``quantile`` of it (default 1.0 = the max).
+
+    Why this is the right quantity: stage 1 drops a true hit exactly
+    when ``true <= radius < adc``. If ``adc - true <= g`` holds for
+    every pair, then every true hit has ``adc <= radius + g``, so
+    ``margin = g`` guarantees the over-fetch net catches it — for ANY
+    radius, not just one (the bound is uniform in the radius). With
+    ``quantile=1.0`` over the pairs that full-probe refine will
+    actually see, refine at ``nprobe == NC`` equals
+    :func:`knn.range_search` exactly (tested). Quantiles < 1.0 trade
+    a bounded miss rate for a smaller stage-1 candidate set —
+    production practice on a held-out query sample.
+
+    Cost and scale shape: the same routed join as the radius ops
+    (partition-pruned code scan; caller bounds the query/calibration
+    sample), exact re-score joined per pair, then ONE model-sized
+    aggregate — a single float rides to the driver. Run it on a
+    sample at index-build time and persist the margin beside the
+    model artifacts.
+    """
+    from vector_search_spark.functions.distance import l2_sqr
+
+    adc = ivf_adc_range(
+        queries, codes, centroids, model, radius=float("inf"),
+        nprobe=nprobe, residual=residual, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, id_col=id_col, code_col=code_col,
+        cluster_col=cluster_col,
+    ).withColumnRenamed("dist", "_adc")
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("_qv"),
+    )
+    pv = points.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_pv")
+    )
+    gaps = (
+        adc.join(pv, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            F.greatest(
+                F.col("_adc") - l2_sqr("_qv", "_pv"), F.lit(0.0)
+            ).alias("_gap")
+        )
+    )
+    if quantile >= 1.0:
+        row = gaps.agg(F.max("_gap").alias("m")).collect()[0]
+        return float(row.m or 0.0)
+    row = gaps.agg(
+        F.expr(f"percentile(_gap, {float(quantile)})").alias("m")
+    ).collect()[0]
+    return float(row.m or 0.0)
 
 
 def search_index(
