@@ -38,6 +38,12 @@ def test_catalog_plan_shapes_match_committed_artifact(spark):
             f"{SF_ORACLE} — plan shape may legitimately differ across SFs"
         )
     committed = artifact["entries"]
+    # Earlier test modules .cache() shared tables (e.g. test_ivf's
+    # embeddings fixture); Spark's cache manager then substitutes
+    # InMemoryTableScan into ANY later plan over the same parquet,
+    # which is cache-state noise, not catalog plan shape. The artifact
+    # is generated in a fresh cache-free process — align conditions.
+    spark.catalog.clearCache()
     catalog = get_catalog()
     assert set(committed) == set(catalog), (
         "catalog/artifact entry sets differ — regenerate the artifact: "
