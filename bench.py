@@ -77,6 +77,9 @@ CHANGED_THIS_ROUND = [
     # behavior-preserving, consumer re-measured per the guard-change
     # precedent
     "multimodal_image_decode",
+    # round 15 (late): routed two-stage search with exact re-ranking
+    # (IVFPQ + IndexRefine — the refined half of the topk serving side)
+    "ivf_adc_knn_refined",
 ]
 
 TOP_N = 20

@@ -1323,3 +1323,104 @@ def test_calibrate_adc_margin_makes_refine_exact_at_any_radius(
         quantile=0.5,
     )
     assert 0.0 <= m50 <= margin
+
+
+def test_ivf_adc_topk_refined_full_probe_full_shortlist_is_exact(
+    spark, queries, emb, assigned, centroids, exact
+):
+    """Routed two-stage search (IVFPQ + IndexRefine): at nprobe == NC
+    with the shortlist covering the corpus, ivf_adc_topk_refined must
+    equal brute_force_knn EXACTLY — ids, exact distances, ranks. At a
+    modest shortlist the exact re-rank can only help: recall >= the
+    raw ADC ranking's, and every returned distance is the true
+    metric."""
+    from vector_search_spark.operators import pq
+
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(assigned, model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    ).localCheckpoint()
+    n = emb.count()
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.dist)
+        for r in ivf.ivf_adc_topk_refined(
+            queries, codes, centroids, model, points=emb, k=K,
+            shortlist=n, nprobe=NC,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.vec_id, r.dist) for r in exact.collect()
+    }
+    assert set(got) == set(want)
+    for key, (vid, d) in got.items():
+        assert vid == want[key][0] and abs(d - want[key][1]) < 1e-9, key
+
+    # modest shortlist: refine recall >= raw ADC recall, exact dists
+    truth = {
+        r.query_id: set() for r in exact.collect()
+    }
+    for r in exact.collect():
+        truth[r.query_id].add(r.vec_id)
+    def recall(df):
+        hits = 0
+        for r in df.collect():
+            if r.vec_id in truth[r.query_id]:
+                hits += 1
+        return hits / (len(truth) * K)
+    raw = ivf.ivf_adc_topk(
+        queries, codes, centroids, model, k=K, nprobe=NC
+    )
+    ref = ivf.ivf_adc_topk_refined(
+        queries, codes, centroids, model, points=emb, k=K,
+        shortlist=5 * K, nprobe=NC,
+    )
+    assert recall(ref) >= recall(raw)
+    td = {
+        (r.query_id, r.vec_id): r.dist
+        for r in knn.brute_force_knn(queries, emb, k=n).collect()
+    }
+    for r in ref.collect():
+        assert abs(r.dist - td[(r.query_id, r.vec_id)]) < 1e-9
+
+
+def test_adc_search_index_serving_api(spark, tmp_path, emb, queries):
+    """One-call compressed TOP-K serving over the persisted artifacts
+    (the serving matrix's missing cell): equals ivf_adc_topk over the
+    in-memory relations and partition-prunes the code scan; with
+    points_path it equals ivf_adc_topk_refined (true-metric re-rank)."""
+    from vector_search_spark.operators import pq
+
+    C = kmeans.init_first_k(emb, 8)
+    assigned = ivf.assign_clusters(emb, C)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(assigned, model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    )
+    cp, cc, mp, pp = (
+        str(tmp_path / d) for d in ("codes", "cents", "pqmodel", "points")
+    )
+    ivf.write_index(codes, cp)
+    ivf.save_centroids(spark, C, cc)
+    pq.save_model(spark, model, mp)
+    assigned.write.parquet(pp)
+
+    got = ivf.adc_search_index(spark, cp, cc, mp, queries, k=5, nprobe=3)
+    want = ivf.ivf_adc_topk(queries, codes, C, model, k=5, nprobe=3)
+    key = lambda df: sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.dist, 9))
+        for r in df.collect()
+    )
+    assert key(got) == key(want) and got.count() > 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:300]
+
+    got_r = ivf.adc_search_index(
+        spark, cp, cc, mp, queries, k=5, nprobe=3,
+        points_path=pp, shortlist=20,
+    )
+    want_r = ivf.ivf_adc_topk_refined(
+        queries, codes, C, model, points=assigned, k=5,
+        shortlist=20, nprobe=3,
+    )
+    assert key(got_r) == key(want_r) and got_r.count() > 0

@@ -660,6 +660,116 @@ def ivf_adc_range_refined(
     )
 
 
+def ivf_adc_topk_refined(
+    queries: DataFrame,
+    codes: DataFrame,
+    centroids: np.ndarray,
+    model,
+    points: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    residual: bool = False,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    cluster_col: str = "cluster_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ROUTED two-stage search with exact re-ranking — FAISS
+    ``IndexIVFPQ + IndexRefine``: :func:`pq.refine_topk` is this shape
+    WITHOUT coarse routing (its stage 1 scans every code), so a user
+    serving IVFADC top-k who wants true-metric distances had to
+    compose the stages by hand. Stage 1 is :func:`ivf_adc_topk` at
+    ``k=shortlist`` (partition-pruned code scan, ADC ranking inside
+    the probed cells); stage 2 joins ONLY the nq x shortlist survivors
+    back to the raw ``points`` vectors, re-scores exactly with the
+    Catalyst L2 fold and re-ranks — fixing quantization-induced rank
+    inversions inside the shortlist, same as the unrouted op.
+
+    Recall contract: bounded by BOTH nprobe (a true neighbor in an
+    unprobed cell is unreachable — same as every IVF path) and
+    shortlist (a true neighbor ranked below the ADC shortlist cut is
+    lost to the re-rank). At ``nprobe == NC`` and ``shortlist`` = the
+    corpus size, the result equals :func:`knn.brute_force_knn`
+    EXACTLY (tested); production practice is shortlist ~ 4-8x k.
+    Returns (query_id, vec_id, dist, rank<=k) with EXACT distances.
+    """
+    from vector_search_spark.functions.distance import l2_sqr
+
+    cand = ivf_adc_topk(
+        queries, codes, centroids, model, k=shortlist, nprobe=nprobe,
+        residual=residual, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, id_col=id_col, code_col=code_col,
+        cluster_col=cluster_col,
+    ).select("query_id", "vec_id")
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("_qv"),
+    )
+    pv = points.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_pv")
+    )
+    scored = (
+        cand.join(pv, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", l2_sqr("_qv", "_pv").alias("dist"))
+    )
+    return topk_per_query(scored, k)
+
+
+def adc_search_index(
+    spark,
+    codes_path: str,
+    centroids_path: str,
+    model_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    residual: bool = False,
+    base_filter=None,
+    points_path: str | None = None,
+    shortlist: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """One-call COMPRESSED top-k serving over the persisted artifacts
+    — the cell the serving matrix was actually missing (r15: topk/raw
+    = search_index, radius/raw = range_index, radius/compressed =
+    adc_range_index existed; topk/compressed required the caller to
+    reopen codes + centroids + PQ model by hand). Load the coarse
+    model and the PQ model, open the cell-partitioned code parquet,
+    and run :func:`ivf_adc_topk` in only the probed cells — same
+    partition-pruned scan and pushed ``base_filter`` semantics as its
+    three siblings.
+
+    ``points_path`` (optional): the persisted RAW-vector parquet —
+    when given, results are exactly re-ranked through
+    :func:`ivf_adc_topk_refined` (``shortlist`` defaults to ``5 * k``)
+    so distances are TRUE-metric, mirroring
+    ``adc_range_index(points_path=...)`` on the radius side."""
+    from vector_search_spark.operators import pq as _pq
+
+    C = load_centroids(spark, centroids_path)
+    model = _pq.load_model(spark, model_path)
+    codes = spark.read.parquet(codes_path)
+    if base_filter is not None:
+        codes = codes.filter(base_filter)
+    if points_path is not None:
+        points = spark.read.parquet(points_path)
+        if base_filter is not None:
+            points = points.filter(base_filter)
+        return ivf_adc_topk_refined(
+            queries, codes, C, model, points=points, k=k,
+            shortlist=shortlist if shortlist is not None else 5 * k,
+            nprobe=nprobe, residual=residual, **kwargs,
+        )
+    return ivf_adc_topk(
+        queries, codes, C, model, k=k, nprobe=nprobe, residual=residual,
+        **kwargs,
+    )
+
+
 def calibrate_adc_margin(
     queries: DataFrame,
     codes: DataFrame,

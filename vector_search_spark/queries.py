@@ -283,11 +283,14 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rotated OUT: the 48 r14 greens (r17-due) behind the 47 remaining r13
 # greens (r16-due). Window slots stay all-oracle-paired; rows-only
 # entries remain at the very tail.
-# R16 QUEUE (first picks): the 47 remaining r13 greens
-# (docs_dsir_weights_sampled .. docs_assemble_packs, tail order
-# below), which go 3-rounds-stale at r16 close; then the 48 r14
-# greens (r17-due). No oracle-paired entry is unadjudicated after
-# this window runs.
+# R16 QUEUE (first picks): ivf_adc_knn_refined — NEW late-r15 below a
+# full window (the documented tail-head precedent: oracle-paired,
+# never driver-adjudicated, MUST lead the r16 window) — then the 47
+# remaining r13 greens (docs_dsir_weights_sampled ..
+# docs_assemble_packs, tail order below), which go 3-rounds-stale at
+# r16 close; then the 48 r14 greens (r17-due). Apart from that one
+# late add, no oracle-paired entry is unadjudicated after this
+# window runs.
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
     # (a) flagship; (b) mandatory never-adjudicated first picks;
@@ -344,6 +347,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q16",
     # (f) r16-due early pull
     "docs_dsir_weights",
+    # ---- tail head: ivf_adc_knn_refined (NEW late r15, below a full
+    # window — r16's mandatory first pick) ----
+    "ivf_adc_knn_refined",
     # ---- 47 remaining r13 greens (r16-due) ----
     "docs_dsir_weights_sampled",
     "lineitem_corr",

@@ -593,6 +593,68 @@ def q_ivf_adc_range_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"))
 
 
+# Routed refined top-k shortlist size (r15): ADC rank-30 cut per query.
+# Rank-boundary stability measured at every SF: min ADC gap between
+# shortlist ranks 30/31 >= 7.6e-4, min TRUE gap between refined ranks
+# 10/11 inside the shortlist >= 7.4e-5 — both far above ~1e-12
+# cross-engine float noise, so both rank cuts are stable.
+REFINE_SHORTLIST = 30
+
+
+@register(
+    "ivf_adc_knn_refined",
+    _IVFADC_CTES
+    + f""", short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS r
+    FROM adc)
+  WHERE r <= {REFINE_SHORTLIST}
+)
+SELECT query_id, vec_id, (ROUND(d, 6) + 0.0) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS INTEGER) AS "rank"
+FROM (
+  SELECT s.query_id, s.vec_id, {_L2.format(a="q.qv", b="p.v")} AS d
+  FROM short s JOIN q USING (query_id) JOIN pts p ON p.vec_id = s.vec_id
+)
+QUALIFY "rank" <= 10
+""",
+    "vector",
+    "ivf",
+    "pq",
+)
+def q_ivf_adc_knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUTED two-stage search with exact re-ranking
+    (ivf.ivf_adc_topk_refined, r15 — FAISS IndexIVFPQ + IndexRefine;
+    pq_refine_knn is this shape WITHOUT routing): the ivf_adc_knn
+    residual pipeline takes the ADC top-30 per query inside the probed
+    cells, joins ONLY those survivors back to the raw vectors, and
+    re-ranks the exact L2² to top-10 — TRUE-metric distances out of a
+    compressed routed index. The oracle reuses the IVFADC CTE chain
+    and replays both rank cuts (ADC rank <= 30, exact rank <= 10);
+    both boundaries' gaps measured at every SF (see REFINE_SHORTLIST).
+    Together with ivf_adc_range_refined this value-adjudicates the
+    refined half of the whole serving matrix."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.init_first_k(emb, IVF_NC)
+    assigned = ivf.assign_clusters(emb, C)
+    res = ivf.residuals(assigned, C).localCheckpoint()
+    sel = res.filter(
+        (F.col("vec_id") >= IVF_NC) & (F.col("vec_id") < IVF_NC + PQ_K)
+    ).orderBy("vec_id")
+    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual")
+    model = pq.model_from_vectors(mat, PQ_M, PQ_K)
+    codes = pq.encode(res, model, vec_col="residual").join(
+        res.select("vec_id", "cluster_id"), "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    out = ivf.ivf_adc_topk_refined(
+        queries, codes, C, model, points=emb, k=10,
+        shortlist=REFINE_SHORTLIST, nprobe=IVF_NPROBE, residual=True,
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
 # --------------------------------------------------------------------------
 # Random-hyperplane LSH ANN (bucketed similarity search, brief-mandated)
 # --------------------------------------------------------------------------
