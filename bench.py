@@ -149,9 +149,19 @@ def _serving_latency(
     from vector_search_spark.operators import hnsw_sharded as hs
     from vector_search_spark.operators import ivf, kmeans
 
+    from vector_search_spark.operators import pq as _pq
+
     emb = tables.load(spark, sf_dir, "embeddings").localCheckpoint()
     C = kmeans.train_coarse(emb, k=16, seed=42)
     assigned = ivf.assign_clusters(emb, C).localCheckpoint()
+    # compressed serving artifacts (r15: the matrix's third path) —
+    # model train + encode are index-BUILD work, outside the timer
+    pq_model, _ = _pq.train_pq(emb, m=8, k=16, seed=42, max_iter=10)
+    codes = (
+        _pq.encode(assigned, pq_model)
+        .join(assigned.select("vec_id", "cluster_id"), "vec_id")
+        .localCheckpoint()
+    )
     out: dict[str, float] = {}
     rep_walls: dict[str, list[float]] = {}
     jobs: dict[str, int] = {}
@@ -165,6 +175,13 @@ def _serving_latency(
             "hnsw_sharded": lambda: hs.hnsw_sharded_topk(
                 emb, C, queries, k=10, m=8, ef_construction=32, ef=48,
                 nprobe=3,
+            ),
+            # r15: compressed serving with exact re-rank — the third
+            # production path (IVFPQ + IndexRefine); prebuilt codes +
+            # PQ model, same serving contract as the other two
+            "ivf_adc_refined": lambda: ivf.ivf_adc_topk_refined(
+                queries, codes, C, pq_model, points=assigned, k=10,
+                shortlist=50, nprobe=4,
             ),
         }
         for pname, fn in paths.items():
