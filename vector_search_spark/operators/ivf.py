@@ -585,6 +585,38 @@ def ivf_adc_range(
     return src.mapInPandas(fn, "query_id long, vec_id long, dist double")
 
 
+def _exact_rescore(
+    cand: DataFrame,
+    queries: DataFrame,
+    points: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared stage 2 of the refined family: join (query_id, vec_id)
+    candidates back to the raw ``points`` vectors and add the exact
+    ``dist`` column (Catalyst L2 fold, broadcast query side). Extra
+    columns on ``cand`` ride through untouched. Every refined/
+    calibration tail builds on this one block so the re-score contract
+    can never drift between them."""
+    from vector_search_spark.functions.distance import l2_sqr
+
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("_qv"),
+    )
+    pv = points.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_pv")
+    )
+    return (
+        cand.join(pv, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("dist", l2_sqr("_qv", "_pv"))
+        .drop("_qv", "_pv")
+    )
+
+
 def ivf_adc_range_refined(
     queries: DataFrame,
     codes: DataFrame,
@@ -616,9 +648,11 @@ def ivf_adc_range_refined(
     (the same Catalyst L2 fold the exact path uses) and keeps
     ``true_dist <= radius`` — INCLUSIVE, consistent with the family.
 
-    OVER-FETCH MARGIN: ADC can UNDERESTIMATE as well as overestimate,
-    so a true hit may score above ``radius`` in ADC space and be lost
-    before stage 2 can rescue it. ``margin`` (additive, in the squared-
+    OVER-FETCH MARGIN: ADC errs in both directions, and it is the
+    OVERSHOOT that loses hits — a true hit (``true <= radius``) is
+    dropped by stage 1 exactly when its ADC distance overshoots past
+    the radius (``adc > radius + margin``), before stage 2 can rescue
+    it. ``margin`` (additive, in the squared-
     L2 units of ``radius``) widens the stage-1 net; with ``nprobe ==
     NC`` and a margin covering the worst ADC overshoot
     (:func:`calibrate_adc_margin` measures exactly this, in-plan:
@@ -636,8 +670,6 @@ def ivf_adc_range_refined(
     result still streams with zero shuffle past the candidate join.
     Returns (query_id, vec_id, dist) with EXACT distances.
     """
-    from vector_search_spark.functions.distance import l2_sqr
-
     cand = ivf_adc_range(
         queries, codes, centroids, model,
         radius=float(radius) + float(margin), nprobe=nprobe,
@@ -645,17 +677,12 @@ def ivf_adc_range_refined(
         query_vec_col=query_vec_col, id_col=id_col, code_col=code_col,
         cluster_col=cluster_col,
     ).select("query_id", "vec_id")
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        as_double_array(query_vec_col).alias("_qv"),
-    )
-    pv = points.select(
-        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_pv")
-    )
     return (
-        cand.join(pv, "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .select("query_id", "vec_id", l2_sqr("_qv", "_pv").alias("dist"))
+        _exact_rescore(
+            cand, queries, points, query_id_col, query_vec_col,
+            id_col, vec_col,
+        )
+        .select("query_id", "vec_id", "dist")
         .filter(F.col("dist") <= F.lit(float(radius)))
     )
 
@@ -696,26 +723,16 @@ def ivf_adc_topk_refined(
     EXACTLY (tested); production practice is shortlist ~ 4-8x k.
     Returns (query_id, vec_id, dist, rank<=k) with EXACT distances.
     """
-    from vector_search_spark.functions.distance import l2_sqr
-
     cand = ivf_adc_topk(
         queries, codes, centroids, model, k=shortlist, nprobe=nprobe,
         residual=residual, query_id_col=query_id_col,
         query_vec_col=query_vec_col, id_col=id_col, code_col=code_col,
         cluster_col=cluster_col,
     ).select("query_id", "vec_id")
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        as_double_array(query_vec_col).alias("_qv"),
-    )
-    pv = points.select(
-        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_pv")
-    )
-    scored = (
-        cand.join(pv, "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .select("query_id", "vec_id", l2_sqr("_qv", "_pv").alias("dist"))
-    )
+    scored = _exact_rescore(
+        cand, queries, points, query_id_col, query_vec_col,
+        id_col, vec_col,
+    ).select("query_id", "vec_id", "dist")
     return topk_per_query(scored, k)
 
 
@@ -756,9 +773,12 @@ def adc_search_index(
     if base_filter is not None:
         codes = codes.filter(base_filter)
     if points_path is not None:
+        # base_filter is NOT applied to points: stage-2 membership is
+        # already restricted by the filtered codes scan (the re-score
+        # joins survivors by vec_id), and the predicate's columns may
+        # not exist on a user's raw-vector parquet — filtering here
+        # would crash the refined path where the plain one succeeds.
         points = spark.read.parquet(points_path)
-        if base_filter is not None:
-            points = points.filter(base_filter)
         return ivf_adc_topk_refined(
             queries, codes, C, model, points=points, k=k,
             shortlist=shortlist if shortlist is not None else 5 * k,
@@ -811,29 +831,17 @@ def calibrate_adc_margin(
     sample at index-build time and persist the margin beside the
     model artifacts.
     """
-    from vector_search_spark.functions.distance import l2_sqr
-
     adc = ivf_adc_range(
         queries, codes, centroids, model, radius=float("inf"),
         nprobe=nprobe, residual=residual, query_id_col=query_id_col,
         query_vec_col=query_vec_col, id_col=id_col, code_col=code_col,
         cluster_col=cluster_col,
     ).withColumnRenamed("dist", "_adc")
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        as_double_array(query_vec_col).alias("_qv"),
-    )
-    pv = points.select(
-        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_pv")
-    )
-    gaps = (
-        adc.join(pv, "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            F.greatest(
-                F.col("_adc") - l2_sqr("_qv", "_pv"), F.lit(0.0)
-            ).alias("_gap")
-        )
+    gaps = _exact_rescore(
+        adc, queries, points, query_id_col, query_vec_col,
+        id_col, vec_col,
+    ).select(
+        F.greatest(F.col("_adc") - F.col("dist"), F.lit(0.0)).alias("_gap")
     )
     if quantile >= 1.0:
         row = gaps.agg(F.max("_gap").alias("m")).collect()[0]
@@ -948,9 +956,12 @@ def adc_range_index(
     if base_filter is not None:
         codes = codes.filter(base_filter)
     if points_path is not None:
+        # base_filter is NOT applied to points: stage-2 membership is
+        # already restricted by the filtered codes scan (the re-score
+        # joins survivors by vec_id), and the predicate's columns may
+        # not exist on a user's raw-vector parquet — filtering here
+        # would crash the refined path where the plain one succeeds.
         points = spark.read.parquet(points_path)
-        if base_filter is not None:
-            points = points.filter(base_filter)
         return ivf_adc_range_refined(
             queries, codes, C, model, radius=radius, points=points,
             nprobe=nprobe, margin=margin, residual=residual, **kwargs,
