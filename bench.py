@@ -65,21 +65,18 @@ HEADLINE = [
 # top-N cut. Checked against the catalog at startup — a stale name
 # here fails loudly instead of silently guarding nothing.
 CHANGED_THIS_ROUND = [
-    # round 15: new capability — TRUE-metric compressed radius (ADC
-    # over-fetch + exact re-score; the serving matrix's last asymmetry)
-    "ivf_adc_range_refined",
-    # round 15: its stage 1 — shares _adc_lut_routes and the mask tail
-    # with the new entry's candidate pass (code untouched, contract
-    # re-measured beside the consumer)
-    "ivf_adc_range",
-    # round 15: decode ladder dispatch re-typed (UnsupportedImageFormat
-    # instead of a message match) + _parse_pnm degenerate-dims guard —
-    # behavior-preserving, consumer re-measured per the guard-change
-    # precedent
-    "multimodal_image_decode",
-    # round 15 (late): routed two-stage search with exact re-ranking
-    # (IVFPQ + IndexRefine — the refined half of the topk serving side)
+    # round 16: new entry — end-to-end adjudication of
+    # calibrate_adc_margin (margin arithmetic + uniform-in-the-radius
+    # claim; r15 judge ask #2)
+    "ivf_adc_margin_check",
+    # round 16: new entry — recall-vs-shortlist curve for the refined
+    # family from one stage-1 pass (r15 judge ask #3)
+    "adc_refine_curve",
+    # round 16: _exact_rescore gained an opt-in strict (codes ⊆ points)
+    # mode — default path plan-identical (digest gate proves it), but
+    # both refined consumers re-measured per the guard-change precedent
     "ivf_adc_knn_refined",
+    "ivf_adc_range_refined",
 ]
 
 TOP_N = 20

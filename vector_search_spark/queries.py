@@ -260,97 +260,43 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (or move) IN-window so the driver re-verifies exactly the riskiest
 # changes; only queries untouched since their last green may rotate out,
 # and no oracle-paired entry's last green may age past 3 rounds.
-# ROUND-15 ROTATION. This window takes:
+# ROUND-16 ROTATION. This window takes:
 # (a) the flagship (knn_exact — always first),
-# (b) the three MANDATORY first picks (r14 verdict ask #1): ivf_range +
-#     multimodal_audio_features + ivf_adc_range — oracle-paired, added
-#     late-r14 below a full window, NEVER driver-adjudicated (the
-#     docs_token_drift precedent),
-# (c) the NEW entry (starts in-window): ivf_adc_range_refined
-#     (TRUE-metric compressed radius — ADC over-fetch at 1.6 then
-#     exact re-score <= 1.35; closes the r14 verdict's serving-matrix
-#     asymmetry, ivf.py changed for it this round),
-# (d) multimodal_image_decode — its module changed this round
-#     (UnsupportedImageFormat typed dispatch + _parse_pnm degenerate-
-#     dimension guard; the guard-only-change precedent: the consumer
-#     re-verifies anyway),
-# (e) the ENTIRE documented r15 queue — all 43 r12-green oracle-paired
-#     entries (they hit the 3-round limit at r15 close):
-#     docs_excise_spans .. tpch_q16 in the r14 tail order,
-# (f) one r13 green pulled a round EARLY (r16-due, window had a slot):
-#     docs_dsir_weights — eases the r16 rotation the way
-#     docs_pack_boundaries/customer_rfm did in r14.
-# Rotated OUT: the 48 r14 greens (r17-due) behind the 47 remaining r13
-# greens (r16-due). Window slots stay all-oracle-paired; rows-only
-# entries remain at the very tail.
-# R16 QUEUE (first picks): ivf_adc_knn_refined — NEW late-r15 below a
-# full window (the documented tail-head precedent: oracle-paired,
-# never driver-adjudicated, MUST lead the r16 window) — then the 47
-# remaining r13 greens (docs_dsir_weights_sampled ..
-# docs_assemble_packs, tail order below), which go 3-rounds-stale at
-# r16 close; then the 48 r14 greens (r17-due). Apart from that one
-# late add, no oracle-paired entry is unadjudicated after this
-# window runs.
+# (b) the MANDATORY first pick (r15 verdict ask #1): ivf_adc_knn_refined
+#     — oracle-paired, added late-r15 below a full window, NEVER
+#     driver-adjudicated (the documented tail-head precedent),
+# (c) the NEW entry (starts in-window): ivf_adc_margin_check —
+#     end-to-end adjudication of calibrate_adc_margin's arithmetic AND
+#     its uniform-in-the-radius claim (r15 verdict ask #2),
+# (d) the ENTIRE documented r16 queue — all 47 r13-green oracle-paired
+#     entries (they hit the 3-round limit at r16 close):
+#     docs_dsir_weights_sampled .. docs_assemble_packs in tail order.
+# That is exactly 50. SATURATION NOTE (do the math before adding
+# paired entries): after this round's two adds the catalog carries 147
+# non-flagship oracle-paired entries against a capacity of 49 window
+# slots/round x 3-round freshness = 147 — ZERO slack. Do NOT add more
+# oracle-paired entries without retiring one; new capabilities should
+# land rows-only (tail) or fold into an existing entry. Forward
+# schedule that makes the cycle work: r17 = flagship + adc_refine_curve
+# (late add below this full window — r17's mandatory first pick) + the
+# 48 r14 greens = 50; r18 = flagship + the 49 r15 greens = 50; r19 =
+# flagship + the 49 r16 greens = 50. PLAN-CHANGE SCHEDULING under
+# saturation: a plan change to a paired entry must land in the round
+# where its window slot is ALREADY scheduled — e.g. the deferred
+# explicit-broadcast on _exact_rescore's candidate side (r15 advisor,
+# docstring-softened this round) belongs in r18, where
+# ivf_adc_range_refined is due anyway (ivf_adc_knn_refined then carries
+# one round to its scheduled r19 slot, the documented precedent).
+# Rotated OUT: the 48 r14 greens (r17-due), then the 49 r15 greens
+# (r18-due). Rows-only entries remain at the very tail.
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
-    # (a) flagship; (b) mandatory never-adjudicated first picks;
-    # (c) new; (d) changed-module
+    # (a) flagship; (b) mandatory never-adjudicated first pick;
+    # (c) new (calibration adjudication)
     "knn_exact",
-    "ivf_range",
-    "multimodal_audio_features",
-    "ivf_adc_range",
-    "ivf_adc_range_refined",
-    "multimodal_image_decode",
-    # (e) the full 43-entry r15 queue (r12 greens)
-    "docs_excise_spans",
-    "text_maxsim_search",
-    "docs_pack_sequences",
-    "docs_mixture_pipeline",
-    "asof_purchase_view",
-    "cube_events",
-    "docs_split_assign",
-    "events_approx_distinct",
-    "events_daily_json",
-    "events_session_window",
-    "events_sliding_window",
-    "events_tumbling_hourly",
-    "grouping_sets_events",
-    "promo_revenue_monthly",
-    "range_join_purchase_follow",
-    "rollup_lineitem",
-    "sessionize_events",
-    "setop_converting_days",
-    "window_customer_orders",
-    "dedup_edit_distance",
-    "dedup_minhash_lsh",
-    "docs_lang_mismatch",
-    "docs_length_percentile_filter",
-    "events_pivot",
-    "events_transitions",
-    "events_value_histogram",
-    "knn_quota",
-    "prototype_classify",
-    "text_hash_embed_knn",
-    "text_repetition",
-    "text_token_entropy",
-    "tpch_q4",
-    "kmeans_assign",
-    "kmeans_lloyd",
-    "dedup_lsh_band_curve",
-    "text_unigram_logprob",
-    "pq_sdc_pairs",
-    "ngram_heavy_hitters",
-    "dedup_groups",
-    "dedup_keep_canonical",
-    "dedup_semantic",
-    "tpch_q21",
-    "tpch_q16",
-    # (f) r16-due early pull
-    "docs_dsir_weights",
-    # ---- tail head: ivf_adc_knn_refined (NEW late r15, below a full
-    # window — r16's mandatory first pick) ----
     "ivf_adc_knn_refined",
-    # ---- 47 remaining r13 greens (r16-due) ----
+    "ivf_adc_margin_check",
+    # (d) the full 47-entry r16 queue (r13 greens)
     "docs_dsir_weights_sampled",
     "lineitem_corr",
     "events_hll_rollup",
@@ -398,7 +344,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_pii_scrub",
     "docs_purge",
     "docs_assemble_packs",
-    # ---- 48 r14 greens rotated out this round (r17-due) ----
+    # ---- tail head: adc_refine_curve (NEW late r16, below a full
+    # window — r17's mandatory first pick) ----
+    "adc_refine_curve",
+    # ---- 48 r14 greens (r17-due) ----
     "docs_token_drift",
     "knn_range",
     "events_hourly_zscore",
@@ -447,6 +396,56 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_pack_boundaries",
     "docs_line_dedup",
     "customer_rfm",
+    # ---- 49 r15 greens (r18-due) ----
+    "ivf_range",
+    "multimodal_audio_features",
+    "ivf_adc_range",
+    "ivf_adc_range_refined",
+    "multimodal_image_decode",
+    "docs_excise_spans",
+    "text_maxsim_search",
+    "docs_pack_sequences",
+    "docs_mixture_pipeline",
+    "asof_purchase_view",
+    "cube_events",
+    "docs_split_assign",
+    "events_approx_distinct",
+    "events_daily_json",
+    "events_session_window",
+    "events_sliding_window",
+    "events_tumbling_hourly",
+    "grouping_sets_events",
+    "promo_revenue_monthly",
+    "range_join_purchase_follow",
+    "rollup_lineitem",
+    "sessionize_events",
+    "setop_converting_days",
+    "window_customer_orders",
+    "dedup_edit_distance",
+    "dedup_minhash_lsh",
+    "docs_lang_mismatch",
+    "docs_length_percentile_filter",
+    "events_pivot",
+    "events_transitions",
+    "events_value_histogram",
+    "knn_quota",
+    "prototype_classify",
+    "text_hash_embed_knn",
+    "text_repetition",
+    "text_token_entropy",
+    "tpch_q4",
+    "kmeans_assign",
+    "kmeans_lloyd",
+    "dedup_lsh_band_curve",
+    "text_unigram_logprob",
+    "pq_sdc_pairs",
+    "ngram_heavy_hitters",
+    "dedup_groups",
+    "dedup_keep_canonical",
+    "dedup_semantic",
+    "tpch_q21",
+    "tpch_q16",
+    "docs_dsir_weights",
     # ---- rows-only entries (never in-window by design) ----
     "bq_rotated_knn",
     "hnsw_knn",
