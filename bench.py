@@ -77,6 +77,10 @@ CHANGED_THIS_ROUND = [
     # both refined consumers re-measured per the guard-change precedent
     "ivf_adc_knn_refined",
     "ivf_adc_range_refined",
+    # round 16: greedy_search gained a pluggable scorer (the compressed
+    # walk greedy_search_adc) — default path plan-identical
+    # (digest-gated), consumer re-measured per the same precedent
+    "graph_greedy_search",
 ]
 
 TOP_N = 20

@@ -355,3 +355,59 @@ def test_graph_save_load_roundtrip_and_pruning(spark, emb, tmp_path):
     assert "PartitionFilters" in plan and "layer" in plan.split(
         "PartitionFilters", 1
     )[1][:200]
+
+
+def test_greedy_search_adc_full_exploration_equals_adc_topk(spark, emb):
+    """COMPRESSED walk (reference py/hnsw.py:217-226 — SearchLayer over
+    PQ codes), exhaustive regime: with ef >= N nothing is ever evicted
+    from the beam, so on a connected layer 0 the walk reaches every
+    node and its ADC ranking must equal the full-scan pq.adc_topk
+    EXACTLY — the compressed twin of full-probe == brute force. Also
+    pins the shared-loop contract: the raw and compressed walks differ
+    ONLY in the scorer."""
+    from vector_search_spark.operators import pq
+
+    C = kmeans.init_first_k(emb, 8)
+    hg = graph.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=7, max_iter=5)
+    codes = pq.encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    got = graph.greedy_search_adc(
+        hg, codes, queries, model, k=10, ef=n, max_hops=30
+    )
+    want = pq.adc_topk(queries, codes, model, k=10)
+    key = lambda df: sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.dist, 9))
+        for r in df.collect()
+    )
+    assert key(got) == key(want) and got.count() == 100
+
+
+def test_greedy_search_adc_zero_quantization_equals_raw_walk(spark, emb):
+    """At ZERO quantization error (corpus rows == codebook rows, so
+    every subvector encodes exactly) ADC distance IS the exact L2², so
+    the compressed walk must reproduce the raw walk decision-for-
+    decision — same beam, same ranks, same distances (to float-expr
+    noise). This is the reference's compressed-vs-raw SearchLayer
+    equivalence at its fixed point."""
+    from vector_search_spark.operators import pq
+
+    base = emb.filter(F.col("vec_id") < 16).localCheckpoint()
+    _, mat = kmeans._collect_matrix(
+        base.orderBy("vec_id"), "vec_id", "embedding"
+    )
+    model = pq.model_from_vectors(mat, 8, 16)
+    codes = pq.encode(base, model)
+    C = kmeans.init_first_k(base, 2)
+    hg = graph.hnsw_build(base, C, m=4, ef_construction=16, seed=42)
+    queries = base.filter(F.col("vec_id") < 4)
+    raw = graph.greedy_search(hg, base, queries, k=5, ef=8, max_hops=6)
+    adc = graph.greedy_search_adc(
+        hg, codes, queries, model, k=5, ef=8, max_hops=6
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.dist, 6))
+        for r in df.collect()
+    )
+    assert key(adc) == key(raw) and adc.count() > 0

@@ -712,6 +712,85 @@ def _broadcast_query_scorer(
     return qids, score
 
 
+def _broadcast_adc_scorer(
+    codes: DataFrame,
+    queries: DataFrame,
+    model,
+    query_id_col: str,
+    query_vec_col: str,
+    id_col: str,
+    code_col: str,
+):
+    """ADC twin of :func:`_broadcast_query_scorer` — the reference's
+    COMPRESSED SearchLayer distance kernel (py/hnsw.py:217-226: walk
+    distances against PQ codes through a per-query LUT) as a pluggable
+    walk scorer. Same (qids, score_fn) contract, but score_fn joins
+    candidates to their CODES and sums M LUT gathers per row — the
+    walk never touches the raw vector table, which is the point: at
+    100 TB the code table is ~D*8/M x smaller than the vectors, and
+    the LUT broadcast is nq x M x K doubles (model-sized). Distances
+    are in ADC space; compose with :func:`ivf._exact_rescore` /
+    ``pq.refine_topk`` for true-metric output, exactly as with every
+    other ADC path."""
+    spark = codes.sparkSession
+    qpdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    ).toPandas()
+    if not len(qpdf):
+        raise ValueError("empty query set")
+    m, kcent, dsub = model.codebooks.shape
+    qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+    Q = (
+        np.vstack(qpdf["qv"].to_numpy())
+        .astype(np.float64)
+        .reshape(len(qpdf), m, dsub)
+    )
+    lut = np.empty((len(qids), m, kcent))
+    for mi in range(m):
+        Qm, Cm = Q[:, mi, :], model.codebooks[mi]
+        lut[:, mi, :] = (
+            (Qm * Qm).sum(axis=1)[:, None]
+            + (Cm * Cm).sum(axis=1)[None, :]
+            - 2.0 * (Qm @ Cm.T)
+        )
+    np.maximum(lut, 0.0, out=lut)  # cancellation clamp, as pq.adc_topk
+    bc = spark.sparkContext.broadcast((qids, lut))
+    base = codes.select(
+        F.col(id_col).alias("vec_id"), F.col(code_col).alias("_c")
+    )
+
+    def score(cands: DataFrame) -> DataFrame:
+        withc = cands.join(base, "vec_id")
+
+        def fn(batches):
+            from vector_search_spark.operators import pq as _pq
+
+            b_qids, b_lut = bc.value
+            pos = {int(q): i for i, q in enumerate(b_qids)}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cm = _pq._code_matrix(pdf["_c"])
+                qi = np.array(
+                    [pos[int(q)] for q in pdf["query_id"]], dtype=np.int64
+                )
+                d = np.zeros(len(pdf))
+                for mi in range(b_lut.shape[1]):
+                    d += b_lut[qi, mi, cm[:, mi]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "vec_id": pdf["vec_id"],
+                        "dist": d,
+                    }
+                )
+
+        return withc.mapInPandas(fn, "query_id long, vec_id long, dist double")
+
+    return qids, score
+
+
 def descend_entry_points(
     graph: HNSWGraph,
     points: DataFrame,
@@ -910,11 +989,19 @@ def greedy_search(
     seeds: DataFrame | None = None,
     expand: int = 1,
     early_stop: bool = True,
+    scorer=None,
 ) -> DataFrame:
     """Layer-0 batch greedy search over the edge artifact: every query
     expands its frontier one hop per iteration until no frontier node
     improves its current top-ef (or max_hops). Returns
     (query_id, vec_id, dist, rank<=k).
+
+    ``scorer`` (optional): a pre-built (qids, score_fn) pair replacing
+    the default exact raw-vector scorer — the distance kernel is the
+    ONLY thing that changes between the raw and compressed walks, so
+    the loop is shared verbatim (see :func:`greedy_search_adc`, the
+    reference's compressed SearchLayer). With a scorer given,
+    ``points`` is unused and may be None.
 
     Set-oriented form of py/hnsw.py:240-277 — the early-termination
     heap loop becomes an iteration-level stop test. Entry is the global
@@ -944,8 +1031,11 @@ def greedy_search(
     into the same job; with max_hops=1 the whole search runs as one
     job after the seed scoring.
     """
-    spark = points.sparkSession
-    qids, score = _broadcast_query_scorer(points, queries, id_col, vec_col)
+    spark = queries.sparkSession
+    if scorer is None:
+        qids, score = _broadcast_query_scorer(points, queries, id_col, vec_col)
+    else:
+        qids, score = scorer
     edges0 = graph.edges.filter(F.col("layer") == 0).select("src", "dst")
 
     # seed: entry point for every query (+ any caller-provided anchors)
@@ -1017,4 +1107,48 @@ def greedy_search(
     return (
         results.withColumn("rank", F.row_number().over(wef))
         .filter(F.col("rank") <= k)
+    )
+
+
+def greedy_search_adc(
+    graph: HNSWGraph,
+    codes: DataFrame,
+    queries: DataFrame,
+    model,
+    k: int = 10,
+    ef: int = 32,
+    max_hops: int = 12,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "code",
+    seeds: DataFrame | None = None,
+    expand: int = 1,
+    early_stop: bool = True,
+) -> DataFrame:
+    """COMPRESSED batch greedy search — the reference's PQ-scored
+    SearchLayer (py/hnsw.py:217-226: when the index holds a trained
+    codec, walk distances come from ADC against the stored codes, not
+    raw vectors), distributed. Same frontier loop as
+    :func:`greedy_search` — literally the same function, with the
+    distance kernel swapped for :func:`_broadcast_adc_scorer` — so the
+    two walks can never diverge on visited-set / admission /
+    early-termination semantics (SURVEY §2 #8-#10), only on the metric.
+
+    ``codes`` carries (id_col, code_col) for every graph node; the
+    walk reads ONLY codes and edges. Distances (and the ranking) are
+    in ADC space, exactly as the reference's compressed search — at
+    zero quantization error (every subvector in the codebook) it
+    equals the raw walk exactly, and with a connected layer 0 at
+    ``ef >= N`` it equals ``pq.adc_topk`` exactly (both tested).
+    Compose with ``pq.refine_topk``'s re-score stage for true-metric
+    output. Returns (query_id, vec_id, dist, rank<=k), ADC distances.
+    """
+    scorer = _broadcast_adc_scorer(
+        codes, queries, model, query_id_col, query_vec_col,
+        id_col, code_col,
+    )
+    return greedy_search(
+        graph, None, queries, k=k, ef=ef, max_hops=max_hops,
+        seeds=seeds, expand=expand, early_stop=early_stop, scorer=scorer,
     )
