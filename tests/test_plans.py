@@ -745,3 +745,25 @@ def test_nb_logodds_never_broadcasts_the_vocab_table(spark, monkeypatch):
             f"vocab-sized relation handed to F.broadcast: {cols}"
         )
     assert out.count() > 0
+
+
+def test_get_spark_attach_preserves_session_shuffle_conf(spark):
+    """Session hygiene (r16): get_spark() with a DEFAULTED
+    shuffle_partitions attaching to a live session must not stomp that
+    session's sizing — the compat shim's lazy get_spark() used to reset
+    the shared 8-partition suite session to the 32-core environment
+    default, silently changing the conf every later test ran under
+    (surfaced by the plan-digest gate's conf check). Explicit requests
+    still win."""
+    from vector_search_spark.session import get_spark
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    s2 = get_spark(app_name="vss-attach-probe")  # defaulted shuffle
+    assert s2.conf.get("spark.sql.shuffle.partitions") == before
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # explicit value: applied, then restored for the rest of the suite
+    try:
+        s3 = get_spark(app_name="vss-attach-probe", shuffle_partitions=16)
+        assert s3.conf.get("spark.sql.shuffle.partitions") == "16"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

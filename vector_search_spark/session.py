@@ -53,9 +53,22 @@ def get_spark(
     """
     builder = SparkSession.builder.appName(app_name).master(master or default_master())
     conf = dict(DEFAULT_CONF)
+    shuffle_defaulted = shuffle_partitions is None
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # DEFAULTS must not stomp a session someone else sized: when a live
+    # session exists, getOrCreate() APPLIES the builder's runtime SQL
+    # configs to it (Spark 4 "only runtime SQL configurations will take
+    # effect"), so the environment-derived shuffle default has to leave
+    # the conf dict entirely — the compat shim's lazy get_spark() used
+    # to reset the shared 8-partition test session to 32 mid-suite,
+    # silently changing the conf every later test ran under (r16:
+    # surfaced by the plan-digest gate's conf check). A caller-EXPLICIT
+    # shuffle_partitions still wins; engine invariants (timezone, AQE,
+    # Arrow) still apply — those are not sized to an environment.
+    if shuffle_defaulted and SparkSession.getActiveSession() is not None:
+        del conf["spark.sql.shuffle.partitions"]
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     if extra_conf:
         conf.update(extra_conf)
