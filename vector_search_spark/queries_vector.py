@@ -1273,6 +1273,36 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
 
+@register("hnsw_adc_knn", None, "vector", "graph", "hnsw", "pq", "rows-only")
+def q_hnsw_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED layer-0 walk (r16 — the reference's PQ-scored
+    SearchLayer, py/hnsw.py:217-226): the hnsw_knn pipeline with the
+    layer-0 beam scored by ADC against the stored PQ codes
+    (graph.greedy_search_adc) instead of raw vectors — the walk reads
+    ONLY codes and edges, the deployment shape where layer 0 is too
+    big to keep raw. The tiny upper-layer routing skeleton stays raw
+    (descend_entry_points — ~N/m² rows, the part a deployment persists
+    uncompressed). RNG-dependent (seeded level draw + PQ training) ->
+    rows-only; gated in tests/test_graph.py: walk recall == the
+    full-scan pq.adc_topk recall at this config (the graph traversal
+    loses nothing — recall is purely quantization-bounded), and the
+    exhaustive-regime equality vs adc_topk is tested exactly."""
+    from vector_search_spark.operators import graph as gr
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.train_coarse(emb, k=8, seed=42)
+    hg = gr.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < 20)
+    seeds = gr.descend_entry_points(hg, emb, queries)
+    out = gr.greedy_search_adc(
+        hg, codes, queries, model, k=10, ef=48, max_hops=1, seeds=seeds,
+        expand=5, early_stop=False,
+    )
+    return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
+
+
 @register("hnsw_sharded_knn", None, "vector", "graph", "hnsw", "rows-only")
 def q_hnsw_sharded_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-sharded HNSW (operators/hnsw_sharded.py): one paper-
