@@ -413,19 +413,68 @@ def test_greedy_search_adc_zero_quantization_equals_raw_walk(spark, emb):
     assert key(adc) == key(raw) and adc.count() > 0
 
 
+def test_greedy_search_adc_strict_flags_uncoded_nodes(spark, emb):
+    """codes ⊇ graph-nodes contract (r16 advisor): the compressed
+    walk's scorer inner-joins the frontier to the code table, so a
+    graph node missing a code is silently DROPPED from the walk by
+    default — likelier than the refined family's orphan case because
+    codes and the edge list are independently-maintained artifacts.
+    strict=True must raise in-plan on the first uncoded frontier node,
+    and must be a no-op (identical rows) when the contract holds."""
+    from vector_search_spark.operators import pq
+
+    C = kmeans.init_first_k(emb, 8)
+    hg = graph.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=7, max_iter=5)
+    codes = pq.encode(emb, model)
+    queries = emb.filter(F.col("vec_id") < 4)
+    key = lambda df: sorted(
+        (r.query_id, r.rank, r.vec_id, round(r.dist, 9))
+        for r in df.collect()
+    )
+
+    # contract holds: strict is row-identical to the default walk
+    lax = graph.greedy_search_adc(
+        hg, codes, queries, model, k=5, ef=16, max_hops=6
+    )
+    strict = graph.greedy_search_adc(
+        hg, codes, queries, model, k=5, ef=16, max_hops=6, strict=True
+    )
+    assert key(lax) == key(strict) and strict.count() > 0
+
+    # contract violated: drop the codes of nodes the lax walk actually
+    # visited (guaranteed-reachable), keeping the entry point coded so
+    # the default walk still starts — it silently shrinks; strict raises
+    visited = {r.vec_id for r in lax.collect()}
+    entry = hg.entry_point
+    dropped = sorted(v for v in visited if v != entry)[:2]
+    assert dropped  # the walk must have reached some non-entry node
+    partial = codes.filter(~F.col("vec_id").isin(dropped))
+    shrunk = graph.greedy_search_adc(
+        hg, partial, queries, model, k=5, ef=16, max_hops=6
+    )
+    assert shrunk.filter(F.col("vec_id").isin(dropped)).count() == 0
+    with pytest.raises(Exception, match="codes . graph-nodes contract"):
+        graph.greedy_search_adc(
+            hg, partial, queries, model, k=5, ef=16, max_hops=6,
+            strict=True,
+        ).count()
+
+
 def test_hnsw_adc_knn_catalog_recall_is_adc_bounded(spark, emb):
     """The hnsw_adc_knn catalog entry's gate (rows-only — RNG level
     draw + PQ training): the compressed walk's recall must equal-or-
     approach the full-scan pq.adc_topk recall at the same codes — the
     graph traversal may lose reachability but never ranking, so the
-    gap between the two IS the traversal cost and must stay small
-    (measured 0.000 at this config: walk == full-scan ADC, recall
-    purely quantization-bounded)."""
+    gap between the two IS the traversal cost and must stay small.
+    Config mirrors the catalog entry EXACTLY (r17 bench-weight trim:
+    ef_construction=16, PQ max_iter=5 — the parity claim is the gate,
+    so the cheaper build tests the same thing)."""
     from vector_search_spark.operators import pq
 
     C = kmeans.train_coarse(emb, k=8, seed=42)
-    hg = graph.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
-    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    hg = graph.hnsw_build(emb, C, m=8, ef_construction=16, seed=42)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=5)
     codes = pq.encode(emb, model)
     queries = emb.filter(F.col("vec_id") < 20)
     seeds = graph.descend_entry_points(hg, emb, queries)

@@ -1478,13 +1478,49 @@ def test_refined_strict_flags_orphaned_candidates(spark, emb, queries):
         ).count()
 
 
+def test_refined_candidate_join_is_broadcast(spark, emb, queries):
+    """r15 advisor (landed r17, its scheduled re-adjudication slot):
+    the refined top-k's stage-2 candidate side is nq x shortlist BY
+    CONSTRUCTION but STATS-FREE (mapInPandas), so Catalyst used to
+    plan a shuffle join against the raw-vector table and AQE had to
+    rescue it at runtime. The explicit hint must make BOTH stage-2
+    joins (candidates -> points, queries -> candidates) broadcast and
+    leave no sort-merge join anywhere in the refined plan. strict
+    mode is exempt (a LEFT join cannot broadcast its preserved side)."""
+    from vector_search_spark.operators import pq
+
+    C = kmeans.init_first_k(emb, 8)
+    assigned = ivf.assign_clusters(emb, C)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(assigned, model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    )
+    out = ivf.ivf_adc_topk_refined(
+        queries, codes, C, model, points=emb, k=5, shortlist=20, nprobe=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the curve shares the same stage-2 block and bound
+    curve = ivf.adc_refine_curve(
+        queries, codes, C, model, points=emb, k=5, shortlists=(5, 10),
+        nprobe=3,
+    )
+    cplan = curve._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in cplan
+
+
 def test_adc_serving_one_calls_reject_refined_kwargs_without_points(
     spark, tmp_path, emb, queries
 ):
     """adc_search_index/adc_range_index accept ONE kwarg surface (r15
     advisor): refined-only knobs (shortlist/margin/vec_col/strict)
     without points_path must raise a clear ValueError up front, not a
-    TypeError deep inside the plain branch."""
+    TypeError deep inside the plain branch. Detection is PRESENCE-based
+    for every knob in BOTH one-calls (r16 advisor: margin was
+    value-based, so an explicitly-passed margin=0.0 slipped through
+    while an explicit strict=False raised) — an explicit default is
+    still 'configured' and must raise."""
     from vector_search_spark.operators import pq
 
     C = kmeans.init_first_k(emb, 8)
@@ -1502,13 +1538,14 @@ def test_adc_serving_one_calls_reject_refined_kwargs_without_points(
     assigned.write.parquet(pp)
 
     for bad_kw in ({"shortlist": 20}, {"vec_col": "embedding"},
-                   {"strict": True}):
+                   {"strict": True}, {"strict": False}):
         with pytest.raises(ValueError, match="require.*points_path"):
             ivf.adc_search_index(
                 spark, cp, cc, mp, queries, k=5, nprobe=3, **bad_kw
             )
-    for bad_kw in ({"margin": 0.5}, {"vec_col": "embedding"},
-                   {"strict": True}):
+    for bad_kw in ({"margin": 0.5}, {"margin": 0.0},
+                   {"vec_col": "embedding"},
+                   {"strict": True}, {"strict": False}):
         with pytest.raises(ValueError, match="points_path"):
             ivf.adc_range_index(
                 spark, cp, cc, mp, queries, radius=1.0, nprobe=3, **bad_kw

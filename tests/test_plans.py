@@ -761,6 +761,25 @@ def test_get_spark_attach_preserves_session_shuffle_conf(spark):
     s2 = get_spark(app_name="vss-attach-probe")  # defaulted shuffle
     assert s2.conf.get("spark.sql.shuffle.partitions") == before
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # THREAD angle (r16 advisor): getActiveSession() is THREAD-LOCAL
+    # while getOrCreate() attaches to the process-global session, so a
+    # defaulted call from a thread that never touched Spark (listener
+    # threads, threaded test runners) used to miss the live session
+    # and resize it anyway — the guard must also consult the
+    # process-wide handle.
+    import threading
+
+    seen: dict[str, str] = {}
+
+    def _probe() -> None:
+        s = get_spark(app_name="vss-attach-probe-thread")
+        seen["val"] = s.conf.get("spark.sql.shuffle.partitions")
+
+    t = threading.Thread(target=_probe)
+    t.start()
+    t.join()
+    assert seen["val"] == before
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
     # explicit value: applied, then restored for the rest of the suite
     try:
         s3 = get_spark(app_name="vss-attach-probe", shuffle_partitions=16)

@@ -720,6 +720,7 @@ def _broadcast_adc_scorer(
     query_vec_col: str,
     id_col: str,
     code_col: str,
+    strict: bool = False,
 ):
     """ADC twin of :func:`_broadcast_query_scorer` — the reference's
     COMPRESSED SearchLayer distance kernel (py/hnsw.py:217-226: walk
@@ -731,7 +732,17 @@ def _broadcast_adc_scorer(
     the LUT broadcast is nq x M x K doubles (model-sized). Distances
     are in ADC space; compose with :func:`ivf._exact_rescore` /
     ``pq.refine_topk`` for true-metric output, exactly as with every
-    other ADC path."""
+    other ADC path.
+
+    CONTRACT — codes ⊇ graph nodes: every node the walk can reach
+    (entry point, seeds, every edge endpoint) must have a code. The
+    default inner join silently DROPS an uncoded frontier node from
+    the walk — and codes and the graph are INDEPENDENTLY maintained
+    artifacts, so a partial code refresh shrinks the search instead of
+    failing (r16 advisor: the same silent-shrink class strict=True
+    made loud on the refined family). ``strict=True`` left-joins and
+    raises IN-PLAN on the first candidate with no code, mirroring
+    :func:`ivf._exact_rescore`."""
     spark = codes.sparkSession
     qpdf = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -761,7 +772,25 @@ def _broadcast_adc_scorer(
     )
 
     def score(cands: DataFrame) -> DataFrame:
-        withc = cands.join(base, "vec_id")
+        withc = cands.join(base, "vec_id", "left" if strict else "inner")
+        if strict:
+            withc = withc.withColumn(
+                "_c",
+                F.when(
+                    F.col("_c").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("compressed walk: frontier vec_id "),
+                            F.col("vec_id").cast("string"),
+                            F.lit(
+                                " has no PQ code — the codes ⊇ graph-"
+                                "nodes contract is violated (stale or "
+                                "partial code table)"
+                            ),
+                        )
+                    ),
+                ).otherwise(F.col("_c")),
+            )
 
         def fn(batches):
             from vector_search_spark.operators import pq as _pq
@@ -1125,6 +1154,7 @@ def greedy_search_adc(
     seeds: DataFrame | None = None,
     expand: int = 1,
     early_stop: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """COMPRESSED batch greedy search — the reference's PQ-scored
     SearchLayer (py/hnsw.py:217-226: when the index holds a trained
@@ -1143,10 +1173,18 @@ def greedy_search_adc(
     ``ef >= N`` it equals ``pq.adc_topk`` exactly (both tested).
     Compose with ``pq.refine_topk``'s re-score stage for true-metric
     output. Returns (query_id, vec_id, dist, rank<=k), ADC distances.
+
+    CONTRACT — codes ⊇ graph nodes (r16 advisor): every reachable node
+    must have a row in ``codes``; by default an uncoded node is
+    silently dropped from the frontier (the walk shrinks, recall
+    quietly degrades — likelier here than on the refined family since
+    the code table and the edge list are separately-refreshed
+    artifacts). ``strict=True`` raises in-plan on the first uncoded
+    frontier node instead, mirroring ``ivf._exact_rescore``.
     """
     scorer = _broadcast_adc_scorer(
         codes, queries, model, query_id_col, query_vec_col,
-        id_col, code_col,
+        id_col, code_col, strict=strict,
     )
     return greedy_search(
         graph, None, queries, k=k, ef=ef, max_hops=max_hops,

@@ -600,6 +600,7 @@ def _exact_rescore(
     id_col: str,
     vec_col: str,
     strict: bool = False,
+    broadcast_cand: bool = False,
 ) -> DataFrame:
     """Shared stage 2 of the refined family: join (query_id, vec_id)
     candidates back to the raw ``points`` vectors and add the exact
@@ -607,6 +608,23 @@ def _exact_rescore(
     columns on ``cand`` ride through untouched. Every refined/
     calibration tail builds on this one block so the re-score contract
     can never drift between them.
+
+    ``broadcast_cand`` (r15 advisor, landed r17): the candidate side
+    emerges from mapInPandas, so it is STATS-FREE — Catalyst plans a
+    shuffle join against the possibly-huge ``points`` table and AQE
+    has to rescue it at runtime. Callers whose candidate volume is
+    bounded BY CONSTRUCTION (top-k refine: nq x shortlist rows;
+    refine curve: nq x max-shortlist) pass True for an explicit
+    broadcast hint — no shuffle of the raw-vector table, the plan a
+    1000-executor deployment wants without relying on AQE's runtime
+    size sample. Callers whose candidate volume is OUTPUT-SENSITIVE
+    (radius hits — unbounded by construction) or CORPUS-PROPORTIONAL
+    (margin calibration at radius=inf) leave it False: hinting an
+    unbounded relation trades a shuffle for a driver OOM, and AQE's
+    measured-size conversion is the correct mechanism there.
+    ``strict`` wins over the hint: the contract check is a LEFT join
+    with ``cand`` on the preserved side, which Spark cannot broadcast
+    — strict is the data-audit mode, not the hot serving path.
 
     CONTRACT — codes ⊆ points: every candidate id must exist in the
     raw-vector table. The default inner join silently DROPS a candidate
@@ -624,7 +642,8 @@ def _exact_rescore(
     pv = points.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_pv")
     )
-    joined = cand.join(pv, "vec_id", "left" if strict else "inner")
+    cside = F.broadcast(cand) if broadcast_cand and not strict else cand
+    joined = cside.join(pv, "vec_id", "left" if strict else "inner")
     if strict:
         joined = joined.withColumn(
             "_pv",
@@ -699,12 +718,16 @@ def ivf_adc_range_refined(
 
     Scale shape: stage 2 is output-sensitive — the join side is only
     the ADC hits, which are small but STATS-FREE (they emerge from
-    mapInPandas), so Catalyst plans a shuffle join against the
-    possibly-huge points table by default and AQE may convert it to a
-    broadcast join at runtime once the candidate side's true size is
-    known; the query side broadcasts like refine_topk, and the tail is
-    a filter, not a window, so the result still streams with zero
-    shuffle past the candidate join.
+    mapInPandas) AND unbounded by construction (a wide radius can
+    match the corpus), so unlike the top-k form — whose nq x shortlist
+    bound earns an explicit candidate-side broadcast hint — this path
+    DELIBERATELY leaves the join to AQE: the runtime size sample
+    converts it to broadcast exactly when the hit set is actually
+    small, and hinting an unbounded relation would trade a shuffle
+    for a driver OOM (the r15-advisor broadcast item, adjudicated per
+    caller in :func:`_exact_rescore`). The query side broadcasts like
+    refine_topk, and the tail is a filter, not a window, so the
+    result still streams with zero shuffle past the candidate join.
 
     SERVING CONTRACT (query side): like the whole ADC family the query
     batch is CALLER-BOUNDED — stage 1 collects the routed LUTs and the
@@ -782,9 +805,12 @@ def ivf_adc_topk_refined(
         query_vec_col=query_vec_col, id_col=id_col, code_col=code_col,
         cluster_col=cluster_col,
     ).select("query_id", "vec_id")
+    # candidate volume is nq x shortlist BY CONSTRUCTION (caller-bounded
+    # query batch per the serving contract) -> explicit broadcast, no
+    # shuffle of the raw-vector table (r15 advisor, see _exact_rescore)
     scored = _exact_rescore(
         cand, queries, points, query_id_col, query_vec_col,
-        id_col, vec_col, strict=strict,
+        id_col, vec_col, strict=strict, broadcast_cand=True,
     ).select("query_id", "vec_id", "dist")
     return topk_per_query(scored, k)
 
@@ -913,7 +939,10 @@ def calibrate_adc_margin(
     sample (tens-to-hundreds of held-out queries); then one
     model-sized aggregate rides a single float to the driver. Run it
     at index-build time and persist the margin beside the model
-    artifacts.
+    artifacts. The pair set is CORPUS-PROPORTIONAL (nq x nprobe/NC of
+    the corpus), so this is the one _exact_rescore caller that must
+    NEVER take the candidate-side broadcast hint — the shuffle join
+    is the correct plan here.
     """
     adc = ivf_adc_range(
         queries, codes, centroids, model, radius=float("inf"),
@@ -987,9 +1016,11 @@ def adc_refine_curve(
         query_vec_col=query_vec_col, id_col=id_col, code_col=code_col,
         cluster_col=cluster_col,
     ).select("query_id", "vec_id", F.col("rank").alias("_ar"))
+    # nq x max(shortlists) candidates by construction -> explicit
+    # broadcast, same rationale as ivf_adc_topk_refined's stage 2
     ex = _exact_rescore(
         stage1, queries, points, query_id_col, query_vec_col,
-        id_col, vec_col,
+        id_col, vec_col, broadcast_cand=True,
     ).select("query_id", "vec_id", "_ar", "dist")
     levels = spark.createDataFrame([(s,) for s in sls], "shortlist int")
     tagged = ex.join(F.broadcast(levels), F.col("_ar") <= F.col("shortlist"))
@@ -1105,7 +1136,7 @@ def adc_range_index(
     residual: bool = False,
     base_filter=None,
     points_path: str | None = None,
-    margin: float = 0.0,
+    margin: float | None = None,
     **kwargs,
 ) -> DataFrame:
     """One-call COMPRESSED radius serving over the persisted artifacts
@@ -1127,11 +1158,16 @@ def adc_range_index(
     the radius stays in ADC space, as documented above. The codes ⊆
     points contract and ``strict`` apply as in :func:`adc_search_index`;
     ``margin`` / ``vec_col`` / ``strict`` configure the re-score stage
-    and are rejected without ``points_path``."""
+    and are rejected without ``points_path`` — detection is PRESENCE-
+    based for all three (``margin=None`` default, r16 advisor: the two
+    one-call APIs previously detected "configured" inconsistently — an
+    explicit ``margin=0.0`` slipped through while an explicit
+    ``strict=False`` raised; now any explicitly-passed re-score knob,
+    default-valued or not, requires ``points_path`` in both APIs)."""
     from vector_search_spark.operators import pq as _pq
 
     if points_path is None:
-        refined_only = {"margin": margin != 0.0} | {
+        refined_only = {"margin": margin is not None} | {
             kw: kw in kwargs for kw in ("vec_col", "strict")
         }
         bad = sorted(kw for kw, given in refined_only.items() if given)
@@ -1154,7 +1190,8 @@ def adc_range_index(
         points = spark.read.parquet(points_path)
         return ivf_adc_range_refined(
             queries, codes, C, model, radius=radius, points=points,
-            nprobe=nprobe, margin=margin, residual=residual, **kwargs,
+            nprobe=nprobe, margin=0.0 if margin is None else margin,
+            residual=residual, **kwargs,
         )
     return ivf_adc_range(
         queries, codes, C, model, radius=radius, nprobe=nprobe,

@@ -67,7 +67,16 @@ def get_spark(
     # surfaced by the plan-digest gate's conf check). A caller-EXPLICIT
     # shuffle_partitions still wins; engine invariants (timezone, AQE,
     # Arrow) still apply — those are not sized to an environment.
-    if shuffle_defaulted and SparkSession.getActiveSession() is not None:
+    # getActiveSession() is THREAD-LOCAL while getOrCreate() attaches to
+    # the process-global session, so a call from a thread that never
+    # touched Spark (listener threads, threaded test runners) would miss
+    # a live session and resize it anyway — also check the process-wide
+    # handle (r16 advisor).
+    _live = (
+        SparkSession.getActiveSession() is not None
+        or getattr(SparkSession, "_instantiatedSession", None) is not None
+    )
+    if shuffle_defaulted and _live:
         del conf["spark.sql.shuffle.partitions"]
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     if extra_conf:
