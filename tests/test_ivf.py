@@ -1510,6 +1510,59 @@ def test_refined_candidate_join_is_broadcast(spark, emb, queries):
     assert "SortMergeJoin" not in cplan
 
 
+def test_rescore_broadcast_is_per_caller(spark, emb, queries, monkeypatch):
+    """The candidate-side broadcast is adjudicated PER CALLER
+    (_exact_rescore docstring): bounded-by-construction candidates
+    (topk refine: nq x shortlist) take the explicit hint; the
+    output-sensitive radius form and the CORPUS-PROPORTIONAL margin
+    calibration must never hand their candidate relation to
+    F.broadcast — hinting an unbounded relation trades a shuffle for
+    a driver OOM at 100 TB. Spy on F.broadcast and check who
+    broadcasts what."""
+    from vector_search_spark.operators import pq
+
+    import pyspark.sql.functions as FF
+
+    C = kmeans.init_first_k(emb, 8)
+    assigned = ivf.assign_clusters(emb, C)
+    model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=15)
+    codes = pq.encode(assigned, model).join(
+        assigned.select("vec_id", "cluster_id"), "vec_id"
+    )
+    orig = FF.broadcast
+    seen: list[tuple[str, ...]] = []
+
+    def spy(df):
+        seen.append(tuple(df.columns))
+        return orig(df)
+
+    monkeypatch.setattr(FF, "broadcast", spy)
+    cand_shape = ("query_id", "vec_id")  # both refined cands project this
+
+    # bounded top-k refine: the candidate hint MUST be present
+    seen.clear()
+    ivf.ivf_adc_topk_refined(
+        queries, codes, C, model, points=emb, k=5, shortlist=20, nprobe=3
+    )
+    assert cand_shape in seen, f"topk refine lost the candidate hint: {seen}"
+
+    # output-sensitive radius refine: candidates left to AQE, no hint
+    seen.clear()
+    ivf.ivf_adc_range_refined(
+        queries, codes, C, model, radius=1.2, points=emb, nprobe=3
+    )
+    assert cand_shape not in seen, f"radius refine hinted candidates: {seen}"
+
+    # corpus-proportional calibration: its pair relation (carries _adc)
+    # must never reach F.broadcast
+    seen.clear()
+    ivf.calibrate_adc_margin(
+        queries, codes, C, model, points=emb, nprobe=3, quantile=1.0
+    )
+    assert all("_adc" not in cols for cols in seen), seen
+    assert cand_shape not in seen, f"calibration hinted candidates: {seen}"
+
+
 def test_adc_serving_one_calls_reject_refined_kwargs_without_points(
     spark, tmp_path, emb, queries
 ):
