@@ -244,6 +244,49 @@ def main() -> None:
     names = [n for n in HEADLINE if n in catalog]
     names += [n for n in sorted(catalog) if n not in names]
 
+    # BOOKEND CANARY pass0 (round 17): both r17 full runs were
+    # contaminated in their OPENING minutes by external intermittent
+    # load — the end-of-run canary (pass1 mid-loop, pass2 at end)
+    # cannot see a contention window that has already passed by the
+    # time the canary entries' alphabetical slots come up. Measure the
+    # FAST canary entries once right after warmup so every run brackets
+    # itself: pass0 (start) vs pass1 (mid, from the main loop) vs
+    # pass2 (end). hnsw_knn is excluded here — its ~8 s build would
+    # double-charge the run for a probe whose job is to be cheap.
+    # READING pass0: its first rep doubles as these plans' codegen
+    # warmup (min-of-2 reported), so pass0 runs a touch hot even on an
+    # idle box — compare pass0 ACROSS runs, and treat a pass0/pass1
+    # ratio far above the usual first-touch band as opening-window
+    # contention, not noise.
+    CANARY_FAST = ["tpch_q12", "tpch_q13", "tpch_q19", "knn_exact"]
+    sc0 = spark.sparkContext
+    canary_pass0: dict[str, dict] = {}
+    for name in CANARY_FAST:
+        if name not in catalog:
+            continue
+        best0 = float("inf")
+        jobs0 = 0
+        for r in range(2):
+            group = f"bench:canary0:{name}:{r}"
+            sc0.setJobGroup(group, f"canary0 {name} rep {r}")
+            t0 = time.perf_counter()
+            try:
+                _materialize(catalog[name].fn(spark, sf_dir))
+            except Exception as e:  # pragma: no cover — probe must not kill
+                print(f"bench: canary0 {name} FAILED: {e}", file=sys.stderr)
+                best0 = float("nan")
+                break
+            dt = time.perf_counter() - t0
+            if dt < best0:
+                best0 = dt
+                jobs0 = len(sc0.statusTracker().getJobIdsForGroup(group))
+        spark.catalog.clearCache()
+        canary_pass0[name] = {
+            "pass0": round(best0, 3) if best0 == best0 else None,
+            "jobs0": jobs0 or None,
+        }
+    _clear_job_group(sc0)
+
     import gc
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
@@ -361,6 +404,10 @@ def main() -> None:
     # hnsw_knn added r15: the one outside-band mover in r14 (1.21x at
     # stable jobs, untouched code) — canary membership gives it
     # same-process same-code attribution instead of a watch flag.
+    # r17: each entry also carries pass0/jobs0/ratio10 from the
+    # BOOKEND probe above — pass0 vs pass1 vs pass2 brackets WHERE in
+    # the run a contention window sat (r17's runs opened contaminated
+    # and ended clean; ratio10 < 1 is that signature).
     CANARY = ["tpch_q12", "tpch_q13", "tpch_q19", "knn_exact", "hnsw_knn"]
     drift_canary: dict[str, dict] = {}
     for name in CANARY:
@@ -393,10 +440,16 @@ def main() -> None:
             spark.catalog.clearCache()
             gc.collect()
         p1 = timings[name]
+        p0 = canary_pass0.get(name, {}).get("pass0")
         drift_canary[name] = {
+            "pass0": p0,  # start-of-run (bookend, r17); None for hnsw_knn
             "pass1": p1,
             "pass2": round(best2, 3) if best2 == best2 else None,
             "ratio": round(best2 / p1, 3) if best2 == best2 and p1 else None,
+            # pass1/pass0: >1 means the box DEGRADED after the start;
+            # <1 means the run OPENED under load (the r17 signature)
+            "ratio10": round(p1 / p0, 3) if p0 and p1 == p1 else None,
+            "jobs0": canary_pass0.get(name, {}).get("jobs0"),
             "jobs1": job_counts.get(name),
             "jobs2": jobs2 or None,
         }
