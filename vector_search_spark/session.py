@@ -71,10 +71,17 @@ def get_spark(
     # the process-global session, so a call from a thread that never
     # touched Spark (listener threads, threaded test runners) would miss
     # a live session and resize it anyway — also check the process-wide
-    # handle (r16 advisor).
-    _live = (
-        SparkSession.getActiveSession() is not None
-        or getattr(SparkSession, "_instantiatedSession", None) is not None
+    # handle (r16 advisor). The handle must be checked for LIVENESS the
+    # way getOrCreate itself does (_jsc is None after a stop): a
+    # sparkContext.stop() leaves _instantiatedSession pointing at a
+    # dead session, and treating that as live would silently drop the
+    # sized shuffle default from the genuinely fresh session
+    # getOrCreate is about to build.
+    _inst = getattr(SparkSession, "_instantiatedSession", None)
+    _live = SparkSession.getActiveSession() is not None or (
+        _inst is not None
+        and getattr(_inst, "_sc", None) is not None
+        and _inst._sc._jsc is not None
     )
     if shuffle_defaulted and _live:
         del conf["spark.sql.shuffle.partitions"]
