@@ -41,3 +41,23 @@ def test_changed_this_round_names_real_catalog_entries():
     cat = get_catalog()
     stale = [n for n in bench.CHANGED_THIS_ROUND if n not in cat]
     assert not stale, f"CHANGED_THIS_ROUND has stale names: {stale}"
+
+
+def test_canary_names_real_catalog_entries_and_fast_subset():
+    """The drift canary degrades SILENTLY at runtime by design (an
+    absent name is skipped so env-subset runs don't crash) — so
+    staleness must be loud HERE instead: a retired/renamed canary
+    entry would otherwise quietly shrink the contention-bracketing
+    instrument (r17: knn_graph's retirement is exactly this class of
+    change). Also pins CANARY_FAST = CANARY minus the heavy set (one
+    source; the pass0/pass1/pass2 bracket needs identical
+    membership)."""
+    from vector_search_spark.queries import get_catalog
+
+    cat = get_catalog()
+    stale = [n for n in bench.CANARY if n not in cat]
+    assert not stale, f"CANARY has stale names: {stale}"
+    assert bench.CANARY_FAST == [
+        n for n in bench.CANARY if n not in bench.CANARY_HEAVY
+    ]
+    assert bench.CANARY_HEAVY <= set(bench.CANARY)
