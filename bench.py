@@ -87,6 +87,9 @@ CHANGED_THIS_ROUND = [
     # round 17: bench-weight trim (r16 judge ask #5) —
     # ef_construction 32->16, PQ max_iter 15->5 on the entry build
     "hnsw_adc_knn",
+    # round 17 (late add): NEW semi-hard negative miner —
+    # never benched before this round
+    "knn_semihard_negatives",
 ]
 
 TOP_N = 20

