@@ -1019,8 +1019,20 @@ def test_semihard_mining_matches_python_model(session, seed, n, n_labels, k):
     """mine_semihard_negatives must equal a transparent numpy replay on
     random labeled corpora: per anchor, margin = round6(min same-label
     dist), negatives = different-label rows with round6(dist) strictly
-    beyond it, top-k by (dist, id); no-positive anchors absent."""
+    beyond it, top-k by (dist, id); no-positive anchors absent. The
+    model rounds with decimal HALF_UP on the shortest repr — the exact
+    semantics of Spark's F.round (and DuckDB's ROUND), NOT Python
+    round()/np.round (both half-to-even, which diverge on .5e-6 ties)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     from vector_search_spark.operators import knn
+
+    q6 = Decimal("0.000001")
+
+    def r6(x):
+        return float(
+            Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP)
+        )
 
     rng = np.random.default_rng(seed)
     X = rng.normal(size=(n, 4))
@@ -1046,9 +1058,9 @@ def test_semihard_mining_matches_python_model(session, seed, n, n_labels, k):
         pos = [i for i in range(n) if i != q and labels[i] == labels[q]]
         if not pos:
             continue  # no positive -> anchor dropped
-        margin = round(float(min(d[i] for i in pos)), 6)
+        margin = r6(min(d[i] for i in pos))
         negs = sorted(
-            (round(float(d[i]), 6), i)
+            (r6(d[i]), i)
             for i in range(n)
             if labels[i] != labels[q]
         )

@@ -134,6 +134,31 @@ def topk_per_query(
     )
 
 
+def _gemm_batch_dists(metric: str, Qm, qn2, B):
+    """(nq x nb) distance matrix for one Arrow batch — THE shared gemm
+    kernel (score_topk_gemm + mine_semihard_negatives use this one
+    definition; a numerical fix lands once).
+
+    ``Qm`` is the query matrix (L2-normalized rows for cosine), ``qn2``
+    the precomputed ||q||^2 (l2 metrics only). L2 uses the
+    ||a||^2+||b||^2-2ab expansion, which cancels catastrophically near
+    0 and can go slightly negative — clamped so self-distance is 0;
+    callers needing exact near-zero values re-derive survivors with the
+    cancellation-free (a-b)^2 form.
+    """
+    if metric in ("l2_sqr", "l2"):
+        D = qn2[:, None] + (B * B).sum(axis=1)[None, :] - 2.0 * (Qm @ B.T)
+        D = np.maximum(D, 0.0)
+        if metric == "l2":
+            D = np.sqrt(D)
+        return D
+    if metric == "cosine":
+        bn = np.linalg.norm(B, axis=1)
+        Bn = np.divide(B, bn[:, None], out=np.zeros_like(B), where=bn[:, None] != 0)
+        return 1.0 - (Qm @ Bn.T)
+    return -(Qm @ B.T)  # dot (negated: smaller == closer)
+
+
 def score_topk_gemm(
     queries: DataFrame,
     base: DataFrame,
@@ -209,19 +234,7 @@ def score_topk_gemm(
                 continue
             vids = pdf["vec_id"].to_numpy(dtype=np.int64)
             B = np.vstack(pdf["bv"].to_numpy()).astype(np.float64)
-            if metric in ("l2_sqr", "l2"):
-                D = b_qn2[:, None] + (B * B).sum(axis=1)[None, :] - 2.0 * (b_Q @ B.T)
-                # ||a||^2+||b||^2-2ab cancels catastrophically near 0 and
-                # can go slightly negative — clamp so self-distance is 0
-                D = np.maximum(D, 0.0)
-                if metric == "l2":
-                    D = np.sqrt(D)
-            elif metric == "cosine":
-                bn = np.linalg.norm(B, axis=1)
-                Bn = np.divide(B, bn[:, None], out=np.zeros_like(B), where=bn[:, None] != 0)
-                D = 1.0 - (b_Q @ Bn.T)
-            else:  # dot (negated: smaller == closer)
-                D = -(b_Q @ B.T)
+            D = _gemm_batch_dists(metric, b_Q, b_qn2, B)
             if exclude_self:
                 D[b_qids[:, None] == vids[None, :]] = np.inf
             # NOTE: the k+pad candidate CUT ranks by the gemm distances
@@ -592,35 +605,44 @@ def mine_semihard_negatives(
     those should fall back to :func:`brute_force_knn` +
     ``label != anchor`` (:func:`filtered_knn` prefilter).
 
-    DETERMINISM CONTRACT: the margin cut and the ranking both use
-    distances rounded to ``round_digits`` (default 6) — a strict
-    ``>`` between two raw float64 sums is not reproducible across
-    engines whose fold order differs, while 1e-6-rounded values are
-    stable for O(dim) sums many orders of magnitude above the 1e-15
-    noise floor. A negative within 1e-6 of the margin counts as ON
-    the margin and is excluded.
+    DETERMINISM CONTRACT: the margin cut and the ranking compare
+    distances rounded to ``round_digits`` (default 6) — a strict ``>``
+    between two raw float64 sums is not reproducible across engines
+    whose fold order differs. Both EMITTED values and the FINAL cut
+    are rounded JVM-side with ``F.round`` (HALF_UP — the repo's
+    established ``F.round``<->DuckDB-``ROUND`` pairing; numpy's
+    ``np.round`` is half-to-EVEN and diverges on exact .5e-6 ties, so
+    it never touches an emitted value). Inside the batches a
+    floor-based half-up surrogate (``floor(d*1e6+0.5)/1e6``) drives
+    selection only; everything it passes is re-filtered exactly
+    in-plan, so a surrogate disagreement can only WIDEN the candidate
+    set — losing a row requires the surrogate and ``F.round`` to
+    disagree at a ~1e-16 representation boundary, the same measure-zero
+    class as :func:`score_topk_gemm`'s documented pad caveat.
 
     Plan shape (the 100 TB story): TWO streaming gemm scans of
-    ``base``, ZERO corpus-sized shuffles, all scoring in BLAS (the
-    Catalyst fold is interpreted at ~15us/pair — the
-    :func:`score_topk_gemm` rationale applies verbatim; the first cut
-    of this operator used the fold and measured 3.2 s at sf0.1, this
-    gemm form ~1.5-2 s warm — fixed job overhead dominates at sf0.1;
-    the per-pair win is what matters at corpus scale).
+    ``base``, ZERO corpus-sized shuffles, all scoring in BLAS through
+    the shared :func:`_gemm_batch_dists` kernel (the Catalyst fold is
+    interpreted at ~15us/pair — the :func:`score_topk_gemm` rationale
+    applies verbatim; the first cut of this operator used the fold and
+    measured 3.2 s at sf0.1, the gemm form ~0.9-1.5 s warm — fixed job
+    overhead dominates at sf0.1; the per-pair win is what matters at
+    corpus scale).
 
-    - Pass A (margins): the anchor matrix rides an ndarray broadcast;
-      one ``mapInPandas`` pass gemm-scores each Arrow batch against
-      all anchors, masks to same-label non-self pairs, exact-recomputes
-      the per-batch top few (cancellation-free (a-b)^2, the
-      score_topk_gemm convention) and emits one partial min per
-      (batch, anchor) — the shuffle carries ~batches x nq rows into an
-      nq-row ``min`` aggregate, which is collected (nq is
+    - Pass A (margins): one ``mapInPandas`` pass gemm-scores each
+      Arrow batch against the broadcast anchor matrix, masks to
+      same-label non-self pairs, exact-recomputes the per-batch top
+      few (cancellation-free (a-b)^2) and emits one RAW partial min
+      per (batch, anchor); the nq-row global ``min`` aggregate is
+      rounded with ``F.round`` IN-PLAN, collected (nq is
       caller-bounded) and re-broadcast as a plain margin array.
     - Pass B (negatives): one more gemm pass; each batch masks to
-      different-label pairs, applies the margin cut IN THE BATCH
-      (>= pre-cut on the gemm values, strict > after the exact
-      recompute of the k+pad survivors), and emits per-batch top-k —
-      ~batches x nq x k rows reach the final exact window.
+      different-label pairs, applies the strict margin cut in-batch
+      (surrogate rounding — junk at the margin cannot occupy
+      candidate slots), exact-recomputes the per-anchor top-(k+pad)
+      survivors and emits their RAW distances; the plan then rounds
+      with ``F.round``, re-applies the strict cut exactly, and the
+      final window ranks ~batches x nq x (k+pad) rows.
 
     EAGER at call time (like :func:`score_topk_gemm`'s query collect):
     the anchor set and the nq-row margin table are materialized when
@@ -656,25 +678,19 @@ def mine_semihard_negatives(
         as_double_array(base_vec_col).alias("bv"),
         F.col(label_col).alias("blab"),
     )
+    scale = float(10 ** round_digits)
 
-    def _batch_dists(B, Qm_w, qn2_w):
-        """(nq x nb) gemm distances — score_topk_gemm's kernels."""
-        if metric == "cosine":
-            bn = np.linalg.norm(B, axis=1)
-            Bn = np.divide(B, bn[:, None], out=np.zeros_like(B), where=bn[:, None] != 0)
-            return 1.0 - (Qm_w @ Bn.T)
-        D = qn2_w[:, None] + (B * B).sum(axis=1)[None, :] - 2.0 * (Qm_w @ B.T)
-        return np.maximum(D, 0.0)
-
-    def _exact_row(i, B, cols, Qm_w):
-        """Cancellation-free recompute of anchor i vs base rows `cols`
-        (l2_sqr only; the cosine gemm IS the definition)."""
+    def _exact_l2(Qm_w, B, cand):
+        """Cancellation-free (a-b)^2 for the (nq x m) candidate gather
+        — vectorized across all anchors (the score_topk_gemm shape).
+        Returns None for cosine (the gemm IS the definition there)."""
         if metric == "cosine":
             return None
-        diff = B[cols] - Qm_w[i]
-        return (diff * diff).sum(axis=1)
+        diff = B[cand] - Qm_w[:, None, :]
+        return (diff * diff).sum(axis=2)
 
-    # Pass A: per-batch partial closest-positive min per anchor.
+    # Pass A: per-batch partial closest-positive min per anchor (RAW —
+    # the single authoritative F.round happens in the aggregate below).
     def margins_fn(batches):
         b_qids, b_qlabs, Qm_w, qn2_w = bc_q.value
         nq = len(b_qids)
@@ -684,7 +700,7 @@ def mine_semihard_negatives(
             vids = pdf["vec_id"].to_numpy(dtype=np.int64)
             blabs = pdf["blab"].to_numpy()
             B = np.vstack(pdf["bv"].to_numpy()).astype(np.float64)
-            D = _batch_dists(B, Qm_w, qn2_w)
+            D = _gemm_batch_dists(metric, Qm_w, qn2_w, B)
             mask = (b_qlabs[:, None] == blabs[None, :]) & (
                 b_qids[:, None] != vids[None, :]
             )
@@ -693,25 +709,27 @@ def mine_semihard_negatives(
             # min is the exact kernel's value (boundary-tie safe)
             m = min(4, Dm.shape[1])
             cand = np.argpartition(Dm, m - 1, axis=1)[:, :m]
-            rows_q, rows_d = [], []
-            for i in range(nq):
-                cj = cand[i][np.isfinite(Dm[i, cand[i]])]
-                if not len(cj):
-                    continue
-                ex = _exact_row(i, B, cj, Qm_w)
-                rows_q.append(b_qids[i])
-                rows_d.append(float((Dm[i, cj] if ex is None else ex).min()))
-            yield pd.DataFrame({"query_id": rows_q, "m": rows_d})
+            Dmg = np.take_along_axis(Dm, cand, axis=1)
+            ex = _exact_l2(Qm_w, B, cand)
+            vals = np.where(np.isfinite(Dmg), Dmg if ex is None else ex, np.inf)
+            mins = vals.min(axis=1)
+            fin = np.isfinite(mins)
+            yield pd.DataFrame(
+                {"query_id": b_qids[fin], "m": mins[fin]}
+            )
 
     mpdf = (
         b.mapInPandas(margins_fn, "query_id long, m double")
         .groupBy("query_id")
-        .agg(F.min("m").alias("m"))
+        .agg(
+            (F.round(F.min("m"), round_digits) + F.lit(0.0)).alias(
+                "pos_margin"
+            )
+        )
         .toPandas()
     )
     margin_of = {
-        int(r.query_id): float(np.round(r.m, round_digits))
-        for r in mpdf.itertuples()
+        int(r.query_id): float(r.pos_margin) for r in mpdf.itertuples()
     }
     marr = np.array(
         [margin_of.get(int(i), np.nan) for i in qids], dtype=np.float64
@@ -720,7 +738,7 @@ def mine_semihard_negatives(
     pad = 8
     kk = k + pad
 
-    # Pass B: margin-cut different-label top-k per batch.
+    # Pass B: strict margin-cut different-label top-(k+pad) per batch.
     def neg_fn(batches):
         b_qids, b_qlabs, Qm_w, qn2_w = bc_q.value
         b_marr = bc_m.value
@@ -731,44 +749,64 @@ def mine_semihard_negatives(
             vids = pdf["vec_id"].to_numpy(dtype=np.int64)
             blabs = pdf["blab"].to_numpy()
             B = np.vstack(pdf["bv"].to_numpy()).astype(np.float64)
-            D = _batch_dists(B, Qm_w, qn2_w)
-            # >= pre-cut on gemm values keeps boundary pairs alive for
-            # the exact re-test; NaN margin (no positive) masks all
+            D = _gemm_batch_dists(metric, Qm_w, qn2_w, B)
+            # strict in-batch cut on surrogate-rounded gemm values: at-
+            # margin junk is EXCLUDED here, so it cannot starve the kk
+            # candidate slots of valid beyond-margin rows
+            Dr = np.floor(D * scale + 0.5) / scale
             with np.errstate(invalid="ignore"):
                 mask = (b_qlabs[:, None] != blabs[None, :]) & (
-                    np.round(D, round_digits) >= b_marr[:, None]
+                    Dr > b_marr[:, None]
                 )
             Dm = np.where(mask, D, np.inf)
             m = min(kk, Dm.shape[1])
             cand = np.argpartition(Dm, m - 1, axis=1)[:, :m]
-            rows = []
+            Dmg = np.take_along_axis(Dm, cand, axis=1)
+            ex = _exact_l2(Qm_w, B, cand)
+            vals = np.where(np.isfinite(Dmg), Dmg if ex is None else ex, np.inf)
+            # order candidates per anchor by (surrogate-rounded exact
+            # value, vec_id) and emit ALL kk survivors — the pad rides
+            # to the exact plan-side re-round + re-filter + window
+            vr = np.floor(vals * scale + 0.5) / scale
+            rows_q, rows_v, rows_d = [], [], []
             for i in range(nq):
-                cj = cand[i][np.isfinite(Dm[i, cand[i]])]
-                if not len(cj):
+                fin = np.isfinite(vr[i])
+                if not fin.any():
                     continue
-                ex = _exact_row(i, B, cj, Qm_w)
-                dj = np.round(
-                    Dm[i, cj] if ex is None else ex, round_digits
+                cj = cand[i][fin]
+                dj = vals[i][fin]
+                rj = vr[i][fin]
+                order = np.lexsort((vids[cj], rj))
+                rows_q.append(np.full(len(order), b_qids[i]))
+                rows_v.append(vids[cj[order]])
+                rows_d.append(dj[order])
+            if rows_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(rows_q),
+                        "vec_id": np.concatenate(rows_v),
+                        "dist": np.concatenate(rows_d),
+                    }
                 )
-                keep = dj > b_marr[i]  # strict, on exact rounded values
-                cj, dj = cj[keep], dj[keep]
-                order = np.lexsort((vids[cj], dj))[:k]
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": b_qids[i],
-                            "vec_id": vids[cj[order]],
-                            "pos_margin": b_marr[i],
-                            "dist": dj[order],
-                        }
-                    )
-                )
-            if rows:
-                yield pd.concat(rows, ignore_index=True)
 
     scored = b.mapInPandas(
-        neg_fn, "query_id long, vec_id long, pos_margin double, dist double"
+        neg_fn, "query_id long, vec_id long, dist double"
     )
-    return topk_per_query(scored, k).select(
+    margins_df = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [(int(q), float(m)) for q, m in margin_of.items()],
+            "query_id long, pos_margin double",
+        )
+    )
+    out = (
+        scored.select(
+            "query_id",
+            "vec_id",
+            (F.round("dist", round_digits) + F.lit(0.0)).alias("dist"),
+        )
+        .join(margins_df, "query_id")
+        .filter(F.col("dist") > F.col("pos_margin"))
+    )
+    return topk_per_query(out, k).select(
         "query_id", "vec_id", "pos_margin", "dist", "rank"
     )
