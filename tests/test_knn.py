@@ -500,3 +500,21 @@ def test_semihard_testdata_invariants(spark):
     lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
     for r in rows:
         assert lab[r.vec_id] != lab[r.query_id]
+
+
+def test_semihard_all_anchors_unpositive_returns_empty(spark):
+    """When every anchor's label is unique (no positives anywhere),
+    the margin table is EMPTY — the operator must return zero rows
+    with the stable 5-column schema, not blow up on the empty
+    margin-side DataFrame."""
+    rows = [(0, [0.0, 0.0], 0), (1, [1.0, 1.0], 1), (2, [2.0, 2.0], 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn.mine_semihard_negatives(
+        df.filter(F.col("vec_id") == 0), df, k=3
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "pos_margin", "dist", "rank",
+    ]
