@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_search_spark.functions import texts as T
+from vector_search_spark.functions.fanout import fanout_small
 
 __all__ = [
     "exact_dedup",
@@ -114,9 +115,15 @@ def shingle_table(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the base relation for MinHash and
     exact Jaccard. Explode is linear in total tokens; the distinct is a
-    shuffle on (id, shingle)."""
+    shuffle on (id, shingle).
+
+    The tokenize + n-gram explode is the densest per-row work in the
+    dedup family (~100x the scan bytes), so the doc relation is
+    fanned out when the scan is too small to parallelize natively
+    (identity at scale — functions/fanout.py)."""
     return (
-        docs.select(
+        fanout_small(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col), T.shingles(T.tokens(text_col), n).alias("_sh")
         )
         .select(id_col, F.explode("_sh").alias("shingle"))
@@ -634,7 +641,10 @@ def simhash_table(
     so there is a single map-side-combinable shuffle of |token| rows
     and the fingerprint assembly is a plain projection.
     """
-    toks = docs.select(
+    # tokenize + explode is compute-dense vs the scan bytes: fan the doc
+    # relation out when the scan is too small to parallelize natively
+    # (identity at scale — functions/fanout.py)
+    toks = fanout_small(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(T.tokens(text_col)).alias("token")
     )
     tok_counts = toks.groupBy(id_col, "token").agg(

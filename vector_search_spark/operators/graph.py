@@ -228,10 +228,22 @@ def knn_graph_blocked(
     scored = routed.groupBy("cell").applyInPandas(
         per_cell, "src long, dst long, dist double"
     )
-    deduped = scored.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+    # One exchange serves BOTH the cross-cell min-dist dedup and the
+    # per-src top-k (r17 optimization, guide §2.4): hash by src once —
+    # hashpartitioning(src) satisfies the clustering requirement of the
+    # (src, dst) dedup window AND the (src) rank window, so neither
+    # inserts its own shuffle. The old groupBy(src,dst).min + rank
+    # window shuffled the pair relation twice. Keep-first by ascending
+    # dist == min-dist per pair (values identical; duplicate pairs from
+    # shared cells carry bit-equal gemm distances).
+    part = scored.repartition("src")
+    w_dd = Window.partitionBy("src", "dst").orderBy("dist")
     w = Window.partitionBy("src").orderBy("dist", "dst")
     return (
-        deduped.withColumn("rank", F.row_number().over(w))
+        part.withColumn("_dd", F.row_number().over(w_dd))
+        .filter(F.col("_dd") == 1)
+        .drop("_dd")
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -285,11 +297,15 @@ def nn_descent_round(
         .select("src", "dst", dist.l2_sqr("sv", "dv").alias("dist"))
     )
     merged = g.select("src", "dst", "dist").unionByName(scored_new)
+    # merged is duplicate-free BY CONSTRUCTION: g's pairs are the prior
+    # round's distinct top-k, scored_new's pairs are distinct()ed and
+    # anti-joined against g — so the old groupBy(src,dst).min(dist) was
+    # an identity that cost one full exchange per round (r17
+    # optimization, guide §2.4: remove shuffles outright; values
+    # bit-identical since min over a singleton is the value).
     w = Window.partitionBy("src").orderBy("dist", "dst")
     return (
-        merged.groupBy("src", "dst")
-        .agg(F.min("dist").alias("dist"))
-        .withColumn("rank", F.row_number().over(w))
+        merged.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -879,7 +895,8 @@ def descend_entry_points(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("_qv"),
     )
-    qids = qdf.select("query_id").toPandas()["query_id"].to_numpy()
+    qpdf = qdf.toPandas()  # the caller-bounded query batch (serving contract)
+    qids = qpdf["query_id"].to_numpy()
     if not len(qids):
         raise ValueError("empty query set")
     seed_df = spark.createDataFrame(
@@ -891,11 +908,34 @@ def descend_entry_points(
 
     # Candidate sets everywhere in the descent scale with the QUERY
     # BATCH (nq x ring size), never with N — so every scoring pass is
-    # the interpreted Catalyst l2 fold on a broadcast join: stays
-    # JVM-side (no python worker round trip per pass), and the fold's
-    # index-order sum((a-b)^2) matches the Arrow scorer bit-for-bit.
+    # the Catalyst l2 fold on a broadcast join: stays JVM-side (no
+    # python worker round trip per pass), and the fold's index-order
+    # sum((a-b)^2) matches the Arrow scorer bit-for-bit.
     full_base = points.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("bv")
+    )
+
+    # Query vectors as a MAP LITERAL (query_id -> vector), not a second
+    # broadcast join: the descent runs ~2·layers scoring passes as
+    # separate scheduled actions, and a broadcast relation cannot be
+    # reused across actions — each pass paid one BroadcastExchange
+    # build job just to re-ship the same caller-bounded query batch
+    # (r17 optimization; the batch is already collected for qids, so
+    # this adds no new driver state). element_at on the literal map is
+    # a plain expression gather inside the same stage.
+    qv_map = (
+        F.create_map(
+            *[
+                x
+                for q, v in zip(qids, qpdf["_qv"].to_numpy())
+                for x in (
+                    F.lit(int(q)),
+                    F.array(*[F.lit(float(c)) for c in v]),
+                )
+            ]
+        )
+        if len(qids) <= 256  # keep the task-binary literal bounded
+        else None
     )
 
     def score_against(cand: DataFrame, basedf: DataFrame) -> DataFrame:
@@ -904,12 +944,17 @@ def descend_entry_points(
         # an ~N/m^2-row relation to the driver via BroadcastExchange —
         # the very N-scaling driver state the round-6 rewrite retired
         # (and one the toPandas spy test cannot see). Advice r6.
-        return (
-            F.broadcast(cand).join(basedf, "vec_id")
-            .join(F.broadcast(qdf), "query_id")
-            .select(
-                "query_id", "vec_id", l2_sqr("_qv", "bv").alias("dist")
+        joined = F.broadcast(cand).join(basedf, "vec_id")
+        if qv_map is not None:
+            return joined.select(
+                "query_id",
+                "vec_id",
+                l2_sqr(
+                    F.element_at(qv_map, F.col("query_id")), "bv"
+                ).alias("dist"),
             )
+        return joined.join(F.broadcast(qdf), "query_id").select(
+            "query_id", "vec_id", l2_sqr("_qv", "bv").alias("dist")
         )
 
     w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
@@ -991,10 +1036,18 @@ def descend_entry_points(
     # materialized; the cand side broadcasts, so each pass is one
     # pruned relational probe of the base).
     e1 = graph.edges.filter(F.col("layer") == 1).select("src", "dst")
+    rounds = max(0, probe_rounds)
     best = argmin(
         score_against(ring_candidates(anchor, e1, layer1_hops), full_base)
-    ).localCheckpoint()
-    for _ in range(max(0, probe_rounds)):
+    )
+    # Checkpoint only when another probe round will re-expand from this
+    # relation. The FINAL best is consumed exactly once (the caller's
+    # seed materialization), so an eager pin there was a pure extra
+    # scheduled job — same dead-last-hop rule greedy_search applies
+    # (r17 optimization).
+    if rounds > 0:
+        best = best.localCheckpoint()
+    for r in range(rounds):
         nxt = (
             best.select("query_id", F.col("vec_id").alias("src"))
             .join(e1, "src")
@@ -1002,7 +1055,9 @@ def descend_entry_points(
         )
         best = argmin(
             score_against(nxt.distinct(), full_base).unionByName(best)
-        ).localCheckpoint()
+        )
+        if r < rounds - 1:
+            best = best.localCheckpoint()
     return best.select("query_id", "vec_id")
 
 

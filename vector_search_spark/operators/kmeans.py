@@ -434,15 +434,25 @@ def kmeans_parallel_init(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
     ).cache()
     try:
-        n = src.count()
+        # first candidate: deterministic min-hash-of-id draw (uniform
+        # over rows, stable under partitioning). FUSED with the row
+        # count into one aggregate job (min_by == the old
+        # orderBy(_h, _id).limit(1) row; the struct comparison breaks
+        # hash ties by _id exactly like the old sort) — was two
+        # full-scan jobs for one pass of information (r17, guide §1.2).
+        h = T.h64(
+            F.concat(F.lit(f"kmi:{seed}:"), F.col("_id").cast("string"))
+        )
+        probe = src.select(
+            F.count(F.lit(1)).alias("_n"),
+            F.min_by(
+                F.col("_v"), F.struct(h.alias("_h"), F.col("_id"))
+            ).alias("_fv"),
+        ).collect()[0]
+        n = probe["_n"]
         if n == 0:
             raise ValueError("empty input")
-        # first candidate: deterministic min-hash-of-id draw (uniform
-        # over rows, stable under partitioning)
-        first = src.select(
-            "_id", "_v", T.h64(F.concat(F.lit(f"kmi:{seed}:"), F.col("_id").cast("string"))).alias("_h")
-        ).orderBy("_h", "_id").limit(1).collect()[0]
-        C = np.asarray([first["_v"]], dtype=np.float64)
+        C = np.asarray([probe["_fv"]], dtype=np.float64)
 
         for rnd_i in range(rounds):
             bc = spark.sparkContext.broadcast(C)

@@ -101,20 +101,22 @@ def train_pq(
     """
     src = points.select(as_double_array(vec_col).alias("_v")).cache()
     try:
-        first = src.first()
-        if first is None:
-            raise ValueError("empty training set")  # py/pq.py:226
-        dim = len(first["_v"])
-        dsub = _check_dims(dim, m)
-
         # ---- init: kmeans++ per subspace on one sample ----
+        # dim comes from the sample itself — a separate first() probe
+        # was one extra scheduled job per training call for a value the
+        # sample collect already carries (optimization r17, guide §1.2:
+        # don't compute things twice).
         n = src.count()
+        if n == 0:
+            raise ValueError("empty training set")  # py/pq.py:226
         sample = src
         if n > sample_size:
             sample = src.sample(fraction=min(1.0, sample_size / n * 1.1), seed=seed).limit(
                 sample_size
             )
         X = np.vstack(sample.toPandas()["_v"].to_numpy()).astype(np.float64)
+        dim = X.shape[1]
+        dsub = _check_dims(dim, m)
         if len(X) < k:
             raise ValueError(f"need >= {k} training points, got {len(X)}")
         Xs = X.reshape(len(X), m, dsub)

@@ -1602,6 +1602,10 @@ def gram_buckets(
     if ngram_n < 1:
         raise ValueError(f"ngram_n must be >= 1, got {ngram_n}")
     cols = [F.col(c) for c in carry_cols]
+    # NOTE (r17 optimization round): fanout_small was measured here and
+    # REVERTED — one md5 per gram is not dense enough to repay the
+    # exchange at bench scale (token_drift 1.65s -> 2.35s with it); the
+    # 12-md5-per-shingle MinHash family keeps it (operators/dedup.py).
     return df.select(
         *cols,
         F.explode(T.shingles(T.tokens(text_col), ngram_n)).alias("_gram"),
