@@ -110,12 +110,16 @@ def keep_canonical(
     return docs.join(losers, id_col, "left_anti")
 
 
-def shingle_table(
+def shingle_explode(
     docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the base relation for MinHash and
-    exact Jaccard. Explode is linear in total tokens; the distinct is a
-    shuffle on (id, shingle).
+    """RAW (id, shingle) occurrence rows — NOT deduplicated. Sufficient
+    for DUPLICATE-INSENSITIVE consumers (the MinHash signature
+    aggregation: min over repeated shingles == min over distinct
+    shingles), which then skip :func:`shingle_table`'s distinct — a
+    full shuffle of the shingle relation at any scale (r17
+    optimization, guide §2.4). Consumers that COUNT shingles (exact
+    Jaccard) must use :func:`shingle_table`.
 
     The tokenize + n-gram explode is the densest per-row work in the
     dedup family (~100x the scan bytes), so the doc relation is
@@ -127,8 +131,16 @@ def shingle_table(
             F.col(id_col), T.shingles(T.tokens(text_col), n).alias("_sh")
         )
         .select(id_col, F.explode("_sh").alias("shingle"))
-        .distinct()
     )
+
+
+def shingle_table(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the base relation for MinHash and
+    exact Jaccard. Explode is linear in total tokens; the distinct is a
+    shuffle on (id, shingle)."""
+    return shingle_explode(docs, n, text_col, id_col).distinct()
 
 
 def minhash_signatures(

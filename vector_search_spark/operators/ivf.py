@@ -351,10 +351,17 @@ def _adc_lut_routes(
     lookup tables. Returns ``(qids, cell_to_q, routed_cells, m)``
     where ``cell_to_q[cell] = (query positions, (nq_cell, M, K)
     LUT)``. Driver state is routed-pairs x M x K doubles — bounded by
-    the caller's query batch, never the corpus."""
-    routes = route_queries(
-        queries, centroids, nprobe, query_id_col, query_vec_col
-    ).toPandas()
+    the caller's query batch, never the corpus.
+
+    Routing happens DRIVER-side (r17 optimization): the query batch is
+    already collected here for the LUTs, so running
+    :func:`route_queries` as a distributed job was one extra scheduled
+    broadcast+window pass per serving call for zero new information.
+    The distance loop replays the Catalyst l2 fold's sequential
+    index-order sum EXACTLY (same IEEE adds in the same order), and
+    ties break by ascending cluster_id exactly like route_queries'
+    window — routing is bit-identical, value-checked by the routed
+    entries' oracles."""
     qpdf = queries.select(
         F.col(query_id_col).alias("query_id"),
         as_double_array(query_vec_col).alias("qv"),
@@ -364,6 +371,23 @@ def _adc_lut_routes(
     m, kcent, dsub = model.codebooks.shape
     qids = qpdf["query_id"].to_numpy(dtype=np.int64)
     Qflat = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
+
+    def _seq_l2(q, c) -> float:
+        # the Catalyst fold, replayed: (x-y)*(x-y) terms accumulated
+        # LEFT-TO-RIGHT from 0.0 — bit-identical to distance("l2_sqr")
+        acc = 0.0
+        for x, y in zip(q, c):
+            d = x - y
+            acc += d * d
+        return acc
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    per_query_cells: list[list[int]] = []
+    for i in range(len(qids)):
+        ds = sorted(
+            (( _seq_l2(Qflat[i], cents[c]), c) for c in range(len(cents))),
+        )
+        per_query_cells.append([c for _, c in ds[: int(nprobe)]])
 
     def lut_for(Qsub: np.ndarray) -> np.ndarray:
         Q3 = Qsub.reshape(len(Qsub), m, dsub)
@@ -378,17 +402,18 @@ def _adc_lut_routes(
         np.maximum(out, 0.0, out=out)  # cancellation clamp
         return out
 
-    qpos = {int(qid): i for i, qid in enumerate(qids)}
     # cell -> (query positions, per-cell LUT). Non-residual: one global
     # LUT sliced per cell; residual: LUT from (q - cell centroid).
     glob = None if residual else lut_for(Qflat)
+    cell_members: dict[int, list[int]] = {}
+    for i, cells in enumerate(per_query_cells):
+        for c in cells:
+            cell_members.setdefault(int(c), []).append(i)
     cell_to_q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for cell, grp in routes.groupby("cluster_id"):
-        qidx = np.fromiter(
-            (qpos[int(q_)] for q_ in grp["query_id"]), dtype=np.int64
-        )
+    for cell, members in cell_members.items():
+        qidx = np.asarray(members, dtype=np.int64)
         if residual:
-            lut_c = lut_for(Qflat[qidx] - centroids[int(cell)][None, :])
+            lut_c = lut_for(Qflat[qidx] - cents[int(cell)][None, :])
         else:
             lut_c = glob[qidx]
         cell_to_q[int(cell)] = (qidx, lut_c)

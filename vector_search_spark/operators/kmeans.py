@@ -48,8 +48,13 @@ from vector_search_spark.functions.distance import as_double_array
 
 
 def _collect_matrix(
-    df: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, id_col: str, vec_col: str, sort_by_id: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
+    """Collect (ids, matrix). ``sort_by_id=True`` sorts DRIVER-side —
+    for the model-sized collects this helper exists for, a distributed
+    orderBy before the collect costs a whole range-sort stage pair
+    (sampling job + sort job) just to order a handful of rows (r17
+    optimization, guide §1.2)."""
     pdf = df.select(
         F.col(id_col).alias("_id"), as_double_array(vec_col).alias("_v")
     ).toPandas()
@@ -59,6 +64,9 @@ def _collect_matrix(
         if len(pdf)
         else np.zeros((0, 0))
     )
+    if sort_by_id and len(ids):
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
     return ids, mat
 
 

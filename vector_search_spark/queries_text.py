@@ -2030,7 +2030,11 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(len x threshold) per pair and returns -1 past the bound, so the
     verify never pays the full O(len^2) on distant pairs."""
     docs = tables.load(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, MH_N)
+    # raw occurrences, NOT shingle_table: this chain only feeds the
+    # MinHash min-aggregation (duplicate-insensitive), so the distinct
+    # would be a pure extra shuffle of the shingle relation (r17
+    # optimization; signatures — and hence candidates — identical)
+    sh = dedup.shingle_explode(docs, MH_N)
     cand = dedup.lsh_candidate_pairs(
         dedup.lsh_buckets_wide(
             dedup.minhash_signatures_wide(sh, MH_PERMS), MH_ROWS, MH_PERMS

@@ -478,8 +478,8 @@ def q_ivf_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ivf.residuals(assigned, C).localCheckpoint()
     sel = res.filter(
         (F.col("vec_id") >= IVF_NC) & (F.col("vec_id") < IVF_NC + PQ_K)
-    ).orderBy("vec_id")
-    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual")
+    )  # ordered DRIVER-side inside the collect (r17: no range-sort stage)
+    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual", sort_by_id=True)
     model = pq.model_from_vectors(mat, PQ_M, PQ_K)
     codes = pq.encode(res, model, vec_col="residual").join(
         res.select("vec_id", "cluster_id"), "vec_id"
@@ -523,8 +523,8 @@ def q_ivf_adc_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ivf.residuals(assigned, C).localCheckpoint()
     sel = res.filter(
         (F.col("vec_id") >= IVF_NC) & (F.col("vec_id") < IVF_NC + PQ_K)
-    ).orderBy("vec_id")
-    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual")
+    )  # ordered DRIVER-side inside the collect (r17: no range-sort stage)
+    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual", sort_by_id=True)
     model = pq.model_from_vectors(mat, PQ_M, PQ_K)
     codes = pq.encode(res, model, vec_col="residual").join(
         res.select("vec_id", "cluster_id"), "vec_id"
@@ -579,8 +579,8 @@ def q_ivf_adc_range_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ivf.residuals(assigned, C).localCheckpoint()
     sel = res.filter(
         (F.col("vec_id") >= IVF_NC) & (F.col("vec_id") < IVF_NC + PQ_K)
-    ).orderBy("vec_id")
-    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual")
+    )  # ordered DRIVER-side inside the collect (r17: no range-sort stage)
+    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual", sort_by_id=True)
     model = pq.model_from_vectors(mat, PQ_M, PQ_K)
     codes = pq.encode(res, model, vec_col="residual").join(
         res.select("vec_id", "cluster_id"), "vec_id"
@@ -641,8 +641,8 @@ def q_ivf_adc_knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ivf.residuals(assigned, C).localCheckpoint()
     sel = res.filter(
         (F.col("vec_id") >= IVF_NC) & (F.col("vec_id") < IVF_NC + PQ_K)
-    ).orderBy("vec_id")
-    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual")
+    )  # ordered DRIVER-side inside the collect (r17: no range-sort stage)
+    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual", sort_by_id=True)
     model = pq.model_from_vectors(mat, PQ_M, PQ_K)
     codes = pq.encode(res, model, vec_col="residual").join(
         res.select("vec_id", "cluster_id"), "vec_id"
@@ -709,8 +709,8 @@ def q_ivf_adc_margin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ivf.residuals(assigned, C).localCheckpoint()
     sel = res.filter(
         (F.col("vec_id") >= IVF_NC) & (F.col("vec_id") < IVF_NC + PQ_K)
-    ).orderBy("vec_id")
-    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual")
+    )  # ordered DRIVER-side inside the collect (r17: no range-sort stage)
+    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual", sort_by_id=True)
     model = pq.model_from_vectors(mat, PQ_M, PQ_K)
     codes = pq.encode(res, model, vec_col="residual").join(
         res.select("vec_id", "cluster_id"), "vec_id"
@@ -820,8 +820,8 @@ def q_adc_refine_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ivf.residuals(assigned, C).localCheckpoint()
     sel = res.filter(
         (F.col("vec_id") >= IVF_NC) & (F.col("vec_id") < IVF_NC + PQ_K)
-    ).orderBy("vec_id")
-    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual")
+    )  # ordered DRIVER-side inside the collect (r17: no range-sort stage)
+    _, mat = kmeans._collect_matrix(sel, "vec_id", "residual", sort_by_id=True)
     model = pq.model_from_vectors(mat, PQ_M, PQ_K)
     codes = pq.encode(res, model, vec_col="residual").join(
         res.select("vec_id", "cluster_id"), "vec_id"
