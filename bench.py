@@ -90,6 +90,27 @@ CHANGED_THIS_ROUND = [
     # round 17 (late add): NEW semi-hard negative miner —
     # never benched before this round
     "knn_semihard_negatives",
+    # round 17 OPTIMIZATION batches (see OPTIMIZATION_r17.md):
+    # batch 1 — fanout_small in shingle/simhash tables, nn_descent
+    # identity-dedup removal, knn_graph_blocked exchange fusion,
+    # descent literal-map query vectors, train_pq/parallel-init job
+    # trims; batch 2 — driver-side ADC routing, collect-side sort,
+    # distinct-free shingles for the MinHash-only chain. Every entry
+    # whose plan or job count changed is pinned into the headline.
+    "ivf_adc_knn",
+    "ivf_adc_range",
+    "dedup_edit_distance",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_lsh_band_curve",
+    "dedup_keep_canonical",
+    "dedup_groups",
+    "dedup_simhash",
+    "docs_decontaminate",
+    "dedup_ngram_jaccard",
+    "nn_descent_graph",
+    "hnsw_knn",
+    "kmeans_parallel_train",
 ]
 
 TOP_N = 20
