@@ -76,3 +76,41 @@ def fanout_small(
     if est is None or est >= slots * bps:
         return df
     return df.repartition(slots)
+
+
+def coalesce_small(
+    df: DataFrame,
+    bytes_per_part: int | None = None,
+    est: int | None = None,
+) -> DataFrame:
+    """The INVERSE device, for relations about to be PINNED
+    (localCheckpoint) and re-scanned many times: when the optimizer's
+    size estimate says the whole relation is smaller than ONE healthy
+    partition (``bytes_per_part``, default the same 4 MB open-cost
+    floor), ``coalesce(1)`` it so the checkpointed RDD holds one
+    partition instead of inheriting the upstream shuffle's partition
+    count (r18 optimization, guide §2.2/§6 "fewer, larger partitions" /
+    small-files). Measured motivation: the HNSW edge artifact
+    checkpointed at ~40 sub-KB partitions, and every per-layer filter
+    in the descent/walk re-scanned all ~40 — dozens of scheduled tasks
+    per hop for kilobytes of data.
+
+    ``coalesce`` only merges the narrow tail of the materializing job
+    (post-last-shuffle), so upstream build parallelism is untouched. At
+    scale the estimate exceeds the threshold and this is an identity —
+    a big artifact keeps its partitioning. Same kill switch semantics
+    as :func:`fanout_small` (``VSS_FANOUT_BYTES_PER_SLOT=0`` disables
+    both devices).
+
+    Safe ONLY above partition-layout-independent consumers (joins,
+    aggregates, windows) — the same determinism rule as fanout_small;
+    do not apply below a partition-sensitive expression (F.rand).
+    """
+    bpp = BYTES_PER_SLOT if bytes_per_part is None else bytes_per_part
+    if bpp <= 0:
+        return df
+    if est is None:
+        est = plan_size_estimate(df)
+    if est is None or est >= bpp:
+        return df
+    return df.coalesce(1)

@@ -34,6 +34,7 @@ Spark replaces that with (SURVEY.md §7 step 7):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -43,6 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_search_spark.functions.distance import as_double_array, l2_sqr
+from vector_search_spark.functions.fanout import coalesce_small
 from vector_search_spark.operators import knn
 
 __all__ = [
@@ -54,6 +56,7 @@ __all__ = [
     "hnsw_build",
     "save_graph",
     "load_graph",
+    "collect_query_batch",
     "descend_entry_points",
     "greedy_search",
     "graph_height",
@@ -505,6 +508,16 @@ class HNSWGraph:
     levels: DataFrame  # (vec_id, level)
     entry_point: int
     max_level: int
+    # Optimizer size estimate of ``edges`` captured BEFORE it was
+    # localCheckpointed (r18): a checkpointed LogicalRDD has no stats,
+    # so the planner cannot see that a small edge artifact fits a
+    # broadcast and falls back to sort-merge + AQE demotion — one extra
+    # exchange pair per walk join. The walk operators use this hint to
+    # pick the join build side deliberately (guide §3.1): edges-side
+    # broadcast (one reused build per layer) when the artifact fits,
+    # candidate-side broadcast otherwise. None = unknown = candidate
+    # side (the always-safe, caller-bounded choice).
+    edges_size_hint: int | None = None
 
 
 def save_graph(graph: HNSWGraph, path: str) -> None:
@@ -672,9 +685,56 @@ def hnsw_build(
     # build before the cache fills. The artifact is the "built index",
     # bounded at N*m rows per layer sum, exactly what a real pipeline
     # would persist to parquet between build and serve.
+    #
+    # coalesce_small (r18, guide §2.2/§6): the pinned artifact otherwise
+    # inherits the symmetrize shuffle's partition count (~40 sub-KB
+    # partitions at bench scale), and EVERY per-layer filter in the
+    # descent + walk re-scans all of them — measured ~10 scans x ~40
+    # tasks of scheduling for kilobytes. Identity at scale (estimate-
+    # gated), so a big graph keeps its partitioning. The pre-checkpoint
+    # size estimate is kept on the artifact so the walk operators can
+    # pick join build sides the planner no longer can (stats are lost
+    # at the checkpoint — see HNSWGraph.edges_size_hint).
+    from vector_search_spark.functions.fanout import plan_size_estimate
+
+    est = plan_size_estimate(edges)
     return HNSWGraph(
-        edges=edges.localCheckpoint(), levels=levels, entry_point=int(ep),
-        max_level=int(top),
+        edges=coalesce_small(edges, est=est).localCheckpoint(),
+        levels=levels, entry_point=int(ep), max_level=int(top),
+        edges_size_hint=est,
+    )
+
+
+def collect_query_batch(
+    queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> pd.DataFrame:
+    """Collect the caller-bounded query batch ONCE as a
+    ``(query_id, qv)`` pandas frame. The HNSW entries run BOTH
+    :func:`descend_entry_points` and a :func:`greedy_search` scorer over
+    the same batch; before r18 each did its own ``toPandas`` — one
+    whole scheduled job per entry re-collecting rows the driver already
+    held (guide §1.2: don't compute things twice)."""
+    return queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).toPandas()
+
+
+# Edge-artifact broadcast budget for the walk joins (guide §3.1
+# "broadcast the side that fits"): mirrors the session's 64m
+# autoBroadcastJoinThreshold rationale. The gate reads the BUILD-TIME
+# size estimate (HNSWGraph.edges_size_hint) because the checkpointed
+# relation itself carries no stats; 0 disables edges-side broadcast
+# entirely (candidate-side broadcast everywhere).
+EDGE_BCAST_BYTES = int(
+    os.environ.get("VSS_EDGE_BCAST_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _edges_fit_broadcast(graph: "HNSWGraph") -> bool:
+    return (
+        EDGE_BCAST_BYTES > 0
+        and graph.edges_size_hint is not None
+        and graph.edges_size_hint < EDGE_BCAST_BYTES
     )
 
 
@@ -683,15 +743,20 @@ def _broadcast_query_scorer(
     queries: DataFrame,
     id_col: str,
     vec_col: str,
+    query_batch: pd.DataFrame | None = None,
 ):
     """Shared scorer for the graph-walk operators: broadcast the query
     matrix once, return (qids, score_fn) where score_fn maps a
     (query_id, vec_id) DataFrame to (query_id, vec_id, dist) via one
-    exact (a-b)^2 gemm-free kernel per Arrow batch."""
+    exact (a-b)^2 gemm-free kernel per Arrow batch. ``query_batch`` is
+    an optional pre-collected :func:`collect_query_batch` frame (skips
+    this scorer's own collect job)."""
     spark = points.sparkSession
-    qpdf = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    ).toPandas()
+    qpdf = (
+        query_batch
+        if query_batch is not None
+        else collect_query_batch(queries, id_col, vec_col)
+    )
     if not len(qpdf):
         raise ValueError("empty query set")
     qids = qpdf["query_id"].to_numpy(dtype=np.int64)
@@ -702,7 +767,11 @@ def _broadcast_query_scorer(
     )
 
     def score(cands: DataFrame) -> DataFrame:
-        withv = cands.join(base, "vec_id")
+        # candidates are caller-batch-bounded (frontier x m^expand) —
+        # broadcast explicitly (guide §3.1): the walk's intermediates
+        # have no stats post-checkpoint, and an unhinted join plans
+        # sort-merge + AQE demotion = an extra exchange pair per hop
+        withv = F.broadcast(cands).join(base, "vec_id")
 
         def fn(batches):
             b_qids, b_Q = bc.value
@@ -737,6 +806,7 @@ def _broadcast_adc_scorer(
     id_col: str,
     code_col: str,
     strict: bool = False,
+    query_batch: pd.DataFrame | None = None,
 ):
     """ADC twin of :func:`_broadcast_query_scorer` — the reference's
     COMPRESSED SearchLayer distance kernel (py/hnsw.py:217-226: walk
@@ -760,10 +830,11 @@ def _broadcast_adc_scorer(
     raises IN-PLAN on the first candidate with no code, mirroring
     :func:`ivf._exact_rescore`."""
     spark = codes.sparkSession
-    qpdf = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        as_double_array(query_vec_col).alias("qv"),
-    ).toPandas()
+    qpdf = (
+        query_batch
+        if query_batch is not None
+        else collect_query_batch(queries, query_id_col, query_vec_col)
+    )
     if not len(qpdf):
         raise ValueError("empty query set")
     m, kcent, dsub = model.codebooks.shape
@@ -788,7 +859,15 @@ def _broadcast_adc_scorer(
     )
 
     def score(cands: DataFrame) -> DataFrame:
-        withc = cands.join(base, "vec_id", "left" if strict else "inner")
+        # same §3.1 hint as the raw scorer: candidates are bounded.
+        # strict's LEFT join keeps cands stream-side (a left outer join
+        # cannot build on its preserved side), so only the inner form
+        # takes the hint.
+        withc = (
+            cands.join(base, "vec_id", "left")
+            if strict
+            else F.broadcast(cands).join(base, "vec_id")
+        )
         if strict:
             withc = withc.withColumn(
                 "_c",
@@ -845,6 +924,7 @@ def descend_entry_points(
     layer1_hops: int = 2,
     probe_rounds: int = 1,
     upper_hops: int = 3,
+    query_batch: pd.DataFrame | None = None,
 ) -> DataFrame:
     """Upper-layer greedy descent (reference KNNSearch layers L..1 with
     ef=1, py/hnsw.py:408-409): start every query at the global entry
@@ -895,10 +975,24 @@ def descend_entry_points(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("_qv"),
     )
-    qpdf = qdf.toPandas()  # the caller-bounded query batch (serving contract)
+    # the caller-bounded query batch (serving contract); accepting a
+    # pre-collected batch lets the HNSW entries share ONE collect with
+    # the walk scorer (r18 — was two jobs for the same rows)
+    qpdf = (
+        query_batch.rename(columns={"qv": "_qv"})
+        if query_batch is not None
+        else qdf.toPandas()
+    )
     qids = qpdf["query_id"].to_numpy()
     if not len(qids):
         raise ValueError("empty query set")
+    # NOTE (r18, measured): do NOT coalesce(1) this literal. A single-
+    # partition seed's SinglePartition output satisfies every downstream
+    # clustering requirement, so Catalyst DROPS the argmin exchanges —
+    # and those exchanges are the ReusedExchange points that dedupe the
+    # anchor subtree across the ring legs. Removing them fused the whole
+    # multi-layer walk into one task that re-evaluated each layer's
+    # subtree once per leg (measured 6.5 s -> 19 s at sf0.1).
     seed_df = spark.createDataFrame(
         [(int(q), int(graph.entry_point)) for q in qids],
         "query_id long, vec_id long",
@@ -957,29 +1051,63 @@ def descend_entry_points(
             "query_id", "vec_id", l2_sqr("_qv", "bv").alias("dist")
         )
 
-    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
-
     def argmin(scored: DataFrame) -> DataFrame:
+        # struct-min aggregate == the old row_number()==1 window over
+        # orderBy(dist, vec_id): Spark compares structs field-by-field,
+        # so min(struct(dist, vec_id)) IS the (dist, vec_id)-first row
+        # — same values, same tie-break. An aggregate does PARTIAL,
+        # map-side combining (guide §2.3 "aggregate before you
+        # shuffle"): only nq pre-reduced rows cross the exchange where
+        # the window shuffled (and fully sorted) the whole nq x ring
+        # candidate relation. This also makes the ring's missing
+        # distinct free — duplicates collapse map-side.
         return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .drop("_r")
+            scored.groupBy("query_id")
+            .agg(F.min(F.struct("dist", "vec_id")).alias("_m"))
+            .select(
+                "query_id",
+                F.col("_m.vec_id").alias("vec_id"),
+                F.col("_m.dist").alias("dist"),
+            )
         )
+
+    # Deliberate join build side for every walk join (guide §3.1): the
+    # checkpointed edge artifact has no optimizer stats, so the planner
+    # would plan sort-merge and rely on AQE demotion — one materialized
+    # exchange pair per hop join. When the build-time size hint says
+    # the WHOLE artifact fits a broadcast, ship the edges once per
+    # layer (every hop reuses the same BroadcastExchange); otherwise
+    # broadcast the caller-bounded candidate chain per hop (never the
+    # corpus side).
+    edges_bcast = _edges_fit_broadcast(graph)
+
+    def hop(cur: DataFrame, edges: DataFrame) -> DataFrame:
+        src = cur.select("query_id", F.col("vec_id").alias("src"))
+        j = (
+            src.join(F.broadcast(edges), "src")
+            if edges_bcast
+            else F.broadcast(src).join(edges, "src")
+        )
+        return j.select("query_id", F.col("dst").alias("vec_id"))
 
     def ring_candidates(anchor_ids: DataFrame, edges: DataFrame, hops: int):
         rings = [anchor_ids]
         cur = anchor_ids
         for _ in range(max(0, hops)):
-            cur = (
-                cur.select("query_id", F.col("vec_id").alias("src"))
-                .join(edges, "src")
-                .select("query_id", F.col("dst").alias("vec_id"))
-            )
+            cur = hop(cur, edges)
             rings.append(cur)
         cand = rings[0]
         for r in rings[1:]:
             cand = cand.unionByName(r)
-        return cand.distinct()
+        # NO distinct (r18, guide §2.4 "remove shuffles outright"): the
+        # only consumer is argmin, and min over a multiset == min over
+        # its set — duplicate candidate rows carry identical
+        # (dist, vec_id), and the partial aggregate collapses them
+        # map-side anyway. The dedup was one full Exchange (+ its
+        # scheduled AQE stage) per scoring pass for zero effect; the
+        # duplicated volume is query-batch-bounded (nq x Σ m^h), never
+        # corpus-sized.
+        return cand
 
     anchor = seed_df  # (query_id, vec_id), refined layer by layer
 
@@ -1040,21 +1168,22 @@ def descend_entry_points(
     best = argmin(
         score_against(ring_candidates(anchor, e1, layer1_hops), full_base)
     )
-    # Checkpoint only when another probe round will re-expand from this
-    # relation. The FINAL best is consumed exactly once (the caller's
-    # seed materialization), so an eager pin there was a pure extra
-    # scheduled job — same dead-last-hop rule greedy_search applies
-    # (r17 optimization).
-    if rounds > 0:
-        best = best.localCheckpoint()
+    # No checkpoint before the probe rounds (r18): the probe references
+    # ``best`` twice (expansion source + incumbent in the argmin union),
+    # but best's subtree TAIL is the argmin aggregate's exchange —
+    # both references share it via ReusedExchange, so the only
+    # re-executed work is the final nq-row aggregate, not the ring
+    # walk. The eager pin here was one whole scheduled job to avoid a
+    # two-row-group re-aggregation. (The FINAL best stays lazy too —
+    # consumed exactly once by the caller's seed materialization, the
+    # r17 dead-last-hop rule.)
     for r in range(rounds):
-        nxt = (
-            best.select("query_id", F.col("vec_id").alias("src"))
-            .join(e1, "src")
-            .select("query_id", F.col("dst").alias("vec_id"))
-        )
+        nxt = hop(best, e1)
+        # no distinct — same argmin duplicate-insensitivity as
+        # ring_candidates (nxt is nq x m rows, each scored once or twice
+        # at worst; the dedup Exchange cost more than the dup scores)
         best = argmin(
-            score_against(nxt.distinct(), full_base).unionByName(best)
+            score_against(nxt, full_base).unionByName(best)
         )
         if r < rounds - 1:
             best = best.localCheckpoint()
@@ -1074,6 +1203,7 @@ def greedy_search(
     expand: int = 1,
     early_stop: bool = True,
     scorer=None,
+    query_batch: pd.DataFrame | None = None,
 ) -> DataFrame:
     """Layer-0 batch greedy search over the edge artifact: every query
     expands its frontier one hop per iteration until no frontier node
@@ -1117,12 +1247,21 @@ def greedy_search(
     """
     spark = queries.sparkSession
     if scorer is None:
-        qids, score = _broadcast_query_scorer(points, queries, id_col, vec_col)
+        qids, score = _broadcast_query_scorer(
+            points, queries, id_col, vec_col, query_batch=query_batch
+        )
     else:
         qids, score = scorer
     edges0 = graph.edges.filter(F.col("layer") == 0).select("src", "dst")
+    # Deliberate build side for the hop joins (guide §3.1, same gate as
+    # descend_entry_points): edges-side broadcast when the artifact's
+    # build-time estimate fits (every hop reuses ONE BroadcastExchange);
+    # frontier-side broadcast otherwise (caller-bounded, never corpus).
+    edges_bcast = _edges_fit_broadcast(graph)
 
     # seed: entry point for every query (+ any caller-provided anchors)
+    # (not coalesce(1)d — see the SinglePartition note in
+    # descend_entry_points: erasing exchanges erases subtree reuse)
     seed_df = spark.createDataFrame(
         [(int(q), graph.entry_point) for q in qids], "query_id long, vec_id long"
     )
@@ -1153,17 +1292,21 @@ def greedy_search(
         cur = frontier.select("query_id", "vec_id")
         hops = []
         for _h in range(max(1, expand)):
+            src = cur.select("query_id", F.col("vec_id").alias("src"))
             cur = (
-                cur.select("query_id", F.col("vec_id").alias("src"))
-                .join(edges0, "src")
-                .select("query_id", F.col("dst").alias("vec_id"))
-            )
+                src.join(F.broadcast(edges0), "src")
+                if edges_bcast
+                else F.broadcast(src).join(edges0, "src")
+            ).select("query_id", F.col("dst").alias("vec_id"))
             hops.append(cur)
         reached = hops[0]
         for h in hops[1:]:
             reached = reached.unionByName(h)
+        # visited is caller-batch-bounded (seeds + past frontiers,
+        # <= nq x (ef x hops)) — broadcast the anti-join build side
+        # explicitly; post-checkpoint relations have no stats (§3.1)
         cand = reached.distinct().join(
-            visited, ["query_id", "vec_id"], "left_anti"
+            F.broadcast(visited), ["query_id", "vec_id"], "left_anti"
         )
         # one window pass both truncates to ef and identifies the next
         # frontier: a newly-scored row that survived into the top-ef
@@ -1210,6 +1353,7 @@ def greedy_search_adc(
     expand: int = 1,
     early_stop: bool = True,
     strict: bool = False,
+    query_batch: pd.DataFrame | None = None,
 ) -> DataFrame:
     """COMPRESSED batch greedy search — the reference's PQ-scored
     SearchLayer (py/hnsw.py:217-226: when the index holds a trained
@@ -1239,7 +1383,7 @@ def greedy_search_adc(
     """
     scorer = _broadcast_adc_scorer(
         codes, queries, model, query_id_col, query_vec_col,
-        id_col, code_col, strict=strict,
+        id_col, code_col, strict=strict, query_batch=query_batch,
     )
     return greedy_search(
         graph, None, queries, k=k, ef=ef, max_hops=max_hops,

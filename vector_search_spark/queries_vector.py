@@ -1051,13 +1051,26 @@ def q_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-ef of beam ∪ scored, new frontier = admitted candidates."""
     from vector_search_spark.operators import graph as gr
 
+    from vector_search_spark.functions.fanout import (
+        coalesce_small,
+        plan_size_estimate,
+    )
+
     emb = tables.load(spark, sf_dir, "embeddings")
     C = kmeans.init_first_k(emb, NNG_NC)
     g = gr.knn_graph_blocked(emb, C, k=NNG_K, nprobe=NNG_NPROBE)
-    edges = g.select(
-        F.lit(0).alias("layer"), "src", "dst", "dist"
-    ).localCheckpoint()
-    hg = gr.HNSWGraph(edges=edges, levels=None, entry_point=0, max_level=0)
+    # compact the pinned walk artifact (r18, guide §6): the hop joins
+    # re-scan it per hop; without the estimate-gated coalesce it keeps
+    # the repartition("src") shuffle's ~32 sub-KB partitions. The pre-
+    # checkpoint size estimate rides along so the walk picks its join
+    # build sides (graph.HNSWGraph.edges_size_hint).
+    e_df = g.select(F.lit(0).alias("layer"), "src", "dst", "dist")
+    est = plan_size_estimate(e_df)
+    edges = coalesce_small(e_df, est=est).localCheckpoint()
+    hg = gr.HNSWGraph(
+        edges=edges, levels=None, entry_point=0, max_level=0,
+        edges_size_hint=est,
+    )
     queries = emb.filter(F.col("vec_id") < GS_Q)
     assigned = kmeans.assign(emb, C)
     anchors = assigned.groupBy("cluster_id").agg(
@@ -1264,12 +1277,14 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = kmeans.train_coarse(emb, k=8, seed=42)
     hg = gr.hnsw_build(emb, C, m=8, ef_construction=32, seed=42)
     queries = emb.filter(F.col("vec_id") < 20)
+    # one collect serves both the descent and the walk scorer (r18)
+    qb = gr.collect_query_batch(queries)
     # descend the upper layers for per-query layer-0 entry seeds (the
     # routing-skeleton walk), then a short fixed-budget beam search
-    seeds = gr.descend_entry_points(hg, emb, queries)
+    seeds = gr.descend_entry_points(hg, emb, queries, query_batch=qb)
     out = gr.greedy_search(
         hg, emb, queries, k=10, ef=48, max_hops=1, seeds=seeds,
-        expand=5, early_stop=False,
+        expand=5, early_stop=False, query_batch=qb,
     )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
@@ -1303,10 +1318,12 @@ def q_hnsw_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, _ = pq.train_pq(emb, m=8, k=16, seed=42, max_iter=5)
     codes = pq.encode(emb, model)
     queries = emb.filter(F.col("vec_id") < 20)
-    seeds = gr.descend_entry_points(hg, emb, queries)
+    # one collect serves both the descent and the ADC scorer (r18)
+    qb = gr.collect_query_batch(queries)
+    seeds = gr.descend_entry_points(hg, emb, queries, query_batch=qb)
     out = gr.greedy_search_adc(
         hg, codes, queries, model, k=10, ef=48, max_hops=1, seeds=seeds,
-        expand=5, early_stop=False,
+        expand=5, early_stop=False, query_batch=qb,
     )
     return out.select("query_id", "vec_id", rnd("dist").alias("dist"), "rank")
 
