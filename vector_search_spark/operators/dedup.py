@@ -596,8 +596,22 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("lab")).first()[0]
     rounds = 0
+    first_block = True
     while rounds < max_iter:
-        block = min(2, max_iter - rounds)
+        # FIRST block = ONE message round, no pointer doubling (r18,
+        # guide §1.2/§2.4): the seeded init (min of node and neighbors)
+        # is ALREADY the fixpoint for the shallow star/clique clusters
+        # near-dup pairs produce, so the typical run's first block is
+        # pure CONFIRMATION — and one round is the minimal confirmation
+        # (sum unchanged after a round ⟹ no label decreased ⟹ message
+        # fixpoint ⟹ component-min labels, the docstring invariant).
+        # The old 2-rounds+doubling first block spent two extra O(E)
+        # join passes (and their scheduled stages) inside a block that
+        # usually changes nothing. Deep components fall through to the
+        # original 2+doubling blocks after the first probe; at worst
+        # that is one extra probe+checkpoint pair on a deep graph, and
+        # the fixpoint (hence the output) is schedule-independent.
+        block = 1 if first_block else min(2, max_iter - rounds)
         upd = labels
         for _ in range(block):  # message rounds, fused lazily
             msgs = (
@@ -612,20 +626,19 @@ def connected_components(
                 ).alias("lab"),
             )
             rounds += 1
-        # one pointer-doubling short-circuit per block
-        lmap = upd.select(
-            F.col("node").alias("_n"), F.col("lab").alias("_l")
-        )
-        labels = (
-            upd.join(lmap, upd["lab"] == lmap["_n"], "left")
-            .select(
+        if not first_block:
+            # one pointer-doubling short-circuit per block
+            lmap = upd.select(
+                F.col("node").alias("_n"), F.col("lab").alias("_l")
+            )
+            upd = upd.join(lmap, upd["lab"] == lmap["_n"], "left").select(
                 "node",
                 F.least(
                     F.col("lab"), F.coalesce(F.col("_l"), F.col("lab"))
                 ).alias("lab"),
             )
-            .localCheckpoint()
-        )
+        first_block = False
+        labels = upd.localCheckpoint()
         cur_sum = labels.agg(F.sum("lab")).first()[0]
         if cur_sum == prev_sum:
             break
