@@ -72,45 +72,31 @@ HEADLINE = [
 # top-N cut. Checked against the catalog at startup — a stale name
 # here fails loudly instead of silently guarding nothing.
 CHANGED_THIS_ROUND = [
-    # round 17: _exact_rescore grew an explicit candidate-side
-    # broadcast (r15 advisor, landed early in freed window slots) —
-    # PLAN CHANGE for the two bounded-candidate consumers
-    "ivf_adc_knn_refined",
-    "adc_refine_curve",
-    # round 17: same _exact_rescore signature rides under these two
-    # (broadcast deliberately NOT taken: output-sensitive / corpus-
-    # proportional candidates — plans digest-identical, re-measured
-    # per the guard-change precedent), plus the presence-based margin
-    # guard on adc_range_index
-    "ivf_adc_range_refined",
-    "ivf_adc_margin_check",
-    # round 17: bench-weight trim (r16 judge ask #5) —
-    # ef_construction 32->16, PQ max_iter 15->5 on the entry build
+    # round 18 OPTIMIZATION (see OPTIMIZATION_r18.md) — reset per the
+    # r17 verdict ask #9 (only entries whose code paths changed THIS
+    # round; the headline set itself is unchanged):
+    # HNSW walk family — compact edge-artifact checkpoint, shared
+    # query-batch collect, ring-distinct removal + struct-min argmin,
+    # deliberate hop-join build sides (edges_size_hint gate), layer-1
+    # probe checkpoint removal
+    "hnsw_knn",
     "hnsw_adc_knn",
-    # round 17 (late add): NEW semi-hard negative miner —
-    # never benched before this round
-    "knn_semihard_negatives",
-    # round 17 OPTIMIZATION batches (see OPTIMIZATION_r17.md):
-    # batch 1 — fanout_small in shingle/simhash tables, nn_descent
-    # identity-dedup removal, knn_graph_blocked exchange fusion,
-    # descent literal-map query vectors, train_pq/parallel-init job
-    # trims; batch 2 — driver-side ADC routing, collect-side sort,
-    # distinct-free shingles for the MinHash-only chain. Every entry
-    # whose plan or job count changed is pinned into the headline.
+    "graph_greedy_search",
+    # connected components — first block is one confirmation round
+    # (no pointer doubling) so the common already-converged case pays
+    # one O(E) join pass instead of three
+    "dedup_groups",
+    "dedup_keep_canonical",
+    # ADC serving family — driver-routing budget guard (nq x NC x D
+    # term cap with distributed route_queries fallback); at bench
+    # scale the path is bit-identical driver routing, pinned here per
+    # the guard-change precedent
     "ivf_adc_knn",
     "ivf_adc_range",
-    "dedup_edit_distance",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "dedup_lsh_band_curve",
-    "dedup_keep_canonical",
-    "dedup_groups",
-    "dedup_simhash",
-    "docs_decontaminate",
-    "dedup_ngram_jaccard",
-    "nn_descent_graph",
-    "hnsw_knn",
-    "kmeans_parallel_train",
+    "ivf_adc_knn_refined",
+    "ivf_adc_range_refined",
+    "ivf_adc_margin_check",
+    "adc_refine_curve",
 ]
 
 TOP_N = 20

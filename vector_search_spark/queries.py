@@ -248,8 +248,26 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (or move) IN-window so the driver re-verifies exactly the riskiest
 # changes; only queries untouched since their last green may rotate out,
 # and no oracle-paired entry's last green may age past 3 rounds.
-# ROUND-17 ROTATION. Two structural changes this round, both r16
-# verdict asks:
+# ROUND-18 ROTATION (the r17 forward schedule, executed): window =
+# (a) the flagship, (b) the MANDATORY first pick knn_semihard_negatives
+# (late-r17 paired entry, never driver-adjudicated — r17 verdict ask
+# #8/"What's wrong #2"), (c) the 47 r15 greens that hit the 3-round
+# aging limit at r18, in their scheduled order, (d) ONE pulled-forward
+# r16 green chosen to be graph_greedy_search because its CODE PATH
+# changed this round (greedy_search hop-join build sides + compact
+# edge checkpoint; standing rule: changed paths stay in-window).
+# 1 + 1 + 47 + 1 = 50. Other r18-changed oracle-paired entries and
+# their window status: dedup_groups + dedup_keep_canonical (connected-
+# components first-block trim) are IN-window — they are r15 greens in
+# (c); the ADC serving family's routing guard is value-covered
+# in-window by ivf_adc_range in (c) (all six entries share
+# _adc_lut_routes, were driver-green at r17 on the identical
+# under-budget driver-routing path, and the guard's fallback is
+# unit-tested for bit-equality — tests/test_ivf.py). Forward schedule:
+# r19 = flagship + the 46 remaining r16 greens + 3 oldest r17 greens =
+# 50; r20 = flagship + the remaining 46 r17 greens + 3 slack = 50.
+# ROUND-17 ROTATION (history). Two structural changes that round, both
+# r16 verdict asks:
 # RETIREMENT (ask #3 — restore rotation slack): four oracle-paired
 # entries retired, each with a written rationale at its old
 # registration site and its operator still value-covered by a
@@ -294,64 +312,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remaining r16 greens (r19-due). Rows-only entries stay at the tail.
 CATALOG_ORDER: tuple[str, ...] = (
     # ---- adjudication window (first 50) ----
-    # (a) flagship; (b) mandatory never-adjudicated first pick (also
-    # broadcast-changed); (c) the code-changed refined family
+    # (a) flagship; (b) mandatory first pick: never driver-adjudicated
     "knn_exact",
-    "adc_refine_curve",
-    "ivf_adc_knn_refined",
-    "ivf_adc_range_refined",
-    "ivf_adc_margin_check",
-    # (d) the 44 surviving r14 greens (r17-due)
-    "docs_token_drift",
-    "knn_range",
-    "events_hourly_zscore",
-    "docs_budget_waterfill",
-    "docs_materialize_mixture",
-    "docs_shuffle_shards",
-    "docs_mixture_weights",
-    "pq_decode",
-    "knn_graph_degree",
-    "nn_descent_graph",
-    "ivf_bq_knn",
-    "ivf_recall_curve",
-    "ivf_cell_stats",
-    "text_bigram_logprob",
-    "knn_cosine",
-    "ann_lsh",
-    "text_fingerprint",
-    "docs_sample_hash",
-    "docs_dup_rate_by_source",
-    "sq_knn",
-    "dedup_embedding",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "docs_stratified_sample",
-    "text_chunks",
-    "text_language_id",
-    "text_quality",
-    "text_token_count",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q19",
-    "tpch_q22",
-    "semi_join_late_orders",
-    "anti_join_idle_customers",
-    "rank_eval_ndcg",
-    "text_chunk_retrieval",
-    "docs_nb_quality",
-    "docs_pack_boundaries",
-    "docs_line_dedup",
-    "customer_rfm",
-    # (e) pulled-forward r15 green (fills the window to 50)
-    "ivf_range",
-    # ---- r18-due: NEW late-r17 paired entry (r18 mandatory first
-    # pick — never driver-adjudicated; tail-head precedent), then the
-    # 47 remaining r15 greens ----
     "knn_semihard_negatives",
+    # (c) the 47 r15 greens (3-round aging limit hits at r18), in
+    # their scheduled order — includes this round's code-changed
+    # dedup_groups / dedup_keep_canonical (CC first-block trim) and
+    # ivf_adc_range (ADC routing-guard family representative)
     "multimodal_audio_features",
     "ivf_adc_range",
     "multimodal_image_decode",
@@ -399,7 +366,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q21",
     "tpch_q16",
     "docs_dsir_weights",
-    # ---- 47 remaining r16 greens (r19-due; r18 pulls 2 forward) ----
+    # (d) pulled-forward r16 green, chosen because its code path
+    # changed this round (standing rule): the greedy walk's oracle
+    "graph_greedy_search",
+    # ---- r19-due: the 46 remaining r16 greens ----
     "docs_dsir_weights_sampled",
     "lineitem_corr",
     "events_hll_rollup",
@@ -432,7 +402,6 @@ CATALOG_ORDER: tuple[str, ...] = (
     "tpch_q18",
     "tpch_q7",
     "tpch_q8",
-    "graph_greedy_search",
     "select_neighbors_pruned",
     "graph_symmetrize",
     "nng_blocked",
@@ -447,6 +416,56 @@ CATALOG_ORDER: tuple[str, ...] = (
     "docs_pii_scrub",
     "docs_purge",
     "docs_assemble_packs",
+    # ---- r20-due: the 49 r17 greens (last green in the r17 window) ----
+    "adc_refine_curve",
+    "ivf_adc_knn_refined",
+    "ivf_adc_range_refined",
+    "ivf_adc_margin_check",
+    "docs_token_drift",
+    "knn_range",
+    "events_hourly_zscore",
+    "docs_budget_waterfill",
+    "docs_materialize_mixture",
+    "docs_shuffle_shards",
+    "docs_mixture_weights",
+    "pq_decode",
+    "knn_graph_degree",
+    "nn_descent_graph",
+    "ivf_bq_knn",
+    "ivf_recall_curve",
+    "ivf_cell_stats",
+    "text_bigram_logprob",
+    "knn_cosine",
+    "ann_lsh",
+    "text_fingerprint",
+    "docs_sample_hash",
+    "docs_dup_rate_by_source",
+    "sq_knn",
+    "dedup_embedding",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "docs_stratified_sample",
+    "text_chunks",
+    "text_language_id",
+    "text_quality",
+    "text_token_count",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q19",
+    "tpch_q22",
+    "semi_join_late_orders",
+    "anti_join_idle_customers",
+    "rank_eval_ndcg",
+    "text_chunk_retrieval",
+    "docs_nb_quality",
+    "docs_pack_boundaries",
+    "docs_line_dedup",
+    "customer_rfm",
+    "ivf_range",
     # ---- rows-only entries (never in-window by design) ----
     "bq_rotated_knn",
     "hnsw_knn",
