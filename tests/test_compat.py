@@ -94,6 +94,7 @@ def test_pq_codebook_roundtrip_and_shape_validation():
         pq2.SetCodebooks([[[0.0], [1.0]], cbs[1]])
 
 
+@pytest.mark.slow
 def test_hnsw_insert_search_self_retrieval():
     import numpy as np
 
@@ -113,6 +114,7 @@ def test_hnsw_insert_search_self_retrieval():
     assert HNSWIndex(M=4, ef_construction=8).KNNSearch([0.0] * 8, 3) == []
 
 
+@pytest.mark.slow
 def test_hnsw_with_trained_compression():
     import numpy as np
 

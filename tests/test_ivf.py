@@ -610,6 +610,7 @@ def test_cell_stats_flags_fat_cell(spark, tmp_path):
     assert stats[1].avg_norm > stats[0].avg_norm
 
 
+@pytest.mark.slow
 def test_index_maintenance_lifecycle(spark, tmp_path):
     """End-to-end lifecycle of a long-lived on-disk IVF index — the
     100 TB operational story in one test: build -> drift batches

@@ -93,6 +93,7 @@ def test_train_coarse_deterministic_and_bounded(spark):
         kmeans.train_coarse(emb.limit(3), k=8)
 
 
+@pytest.mark.slow
 def test_kmeans_parallel_init_deterministic_and_competitive(spark):
     from vector_search_spark import tables
     from tests.conftest import SF_ORACLE

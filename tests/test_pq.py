@@ -272,6 +272,7 @@ def test_opq_rotation_orthonormal_and_monotone(spark):
     assert errs[-1] < errs[0]  # anisotropic data: rotation genuinely helps
 
 
+@pytest.mark.slow
 def test_opq_beats_plain_pq_reconstruction_and_recall(spark):
     import numpy as np
 

@@ -264,6 +264,7 @@ def test_topk_invariants_random_data(session, seed, n, k):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(seed=st.integers(0, 2**31 - 1), n=st.integers(2, 24))
+@pytest.mark.slow
 def test_bq_packing_and_hamming_match_numpy_model(session, seed, n):
     """Packed words and Hamming distances must equal the independent
     numpy bit model for random vectors (incl. exact zeros, which must
@@ -320,6 +321,7 @@ def test_bq_packing_and_hamming_match_numpy_model(session, seed, n):
     seed=st.integers(0, 2**31 - 1),
     keys=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=40),
 )
+@pytest.mark.slow
 def test_cms_guarantee_random_streams(session, keys, seed):
     """For ANY multiset, every estimate >= its true count (the CMS
     one-sided guarantee) — with a deliberately tiny width so collisions
@@ -381,6 +383,7 @@ def test_random_rotation_is_orthogonal_and_isometric(session, seed, dim):
     seed=st.integers(0, 2**31 - 1),
     n_docs=st.integers(6, 18),
 )
+@pytest.mark.slow
 def test_lsh_band_curve_containment_random_corpora(session, seed, n_docs):
     """The provable band-curve containment chains (r1 | r2 =>
     candidates(r2) ⊆ candidates(r1), plus r=2 dominance at P=12) must
@@ -784,6 +787,7 @@ def test_pii_scrub_matches_python_re(session, seed, n_docs):
     n_docs=st.integers(1, 40),
     n_dels=st.integers(0, 60),
 )
+@pytest.mark.slow
 def test_purge_conservation_random_lists(session, seed, n_docs, n_dels):
     """Purge triple on arbitrary corpora/lists (duplicated entries,
     stale ids, multi-group): purge_docs ∪ flagged == corpus,
@@ -833,6 +837,7 @@ def test_purge_conservation_random_lists(session, seed, n_docs, n_dels):
     seed=st.integers(0, 2**31 - 1),
     n_docs=st.integers(2, 25),
 )
+@pytest.mark.slow
 def test_nb_logodds_matches_python_model(session, seed, n_docs):
     """nb_logodds vs a transparent pure-Python Naive Bayes on random
     tiny corpora: same smoothing, same prior, same OOV default —
@@ -908,6 +913,7 @@ def test_nb_logodds_matches_python_model(session, seed, n_docs):
     n_docs=st.integers(1, 20),
     n_buckets=st.sampled_from([16, 64]),
 )
+@pytest.mark.slow
 def test_token_drift_matches_python_model(session, seed, n_docs, n_buckets):
     """token_drift vs a transparent pure-Python JSD on random corpora
     (same md5-derived bucket hash replayed in Python): per-bucket
@@ -1015,6 +1021,7 @@ def test_pixel_decoders_invert_serialization(seed, h, w):
     n_labels=st.integers(1, 4),
     k=st.integers(1, 5),
 )
+@pytest.mark.slow
 def test_semihard_mining_matches_python_model(session, seed, n, n_labels, k):
     """mine_semihard_negatives must equal a transparent numpy replay on
     random labeled corpora: per anchor, margin = round6(min same-label

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight integration builds (default lane excludes; see pytest.ini)
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 

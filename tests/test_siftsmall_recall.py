@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight integration builds (default lane excludes; see pytest.ini)
 from pyspark.sql import functions as F
 
 from vector_search_spark.operators import graph as gr

@@ -811,6 +811,7 @@ def test_streaming_token_drift_stream_equals_batch(spark, tmp_path):
         assert abs(got_j[0] - want) < 1e-9, (parity, got_j[0], want)
 
 
+@pytest.mark.slow
 def test_streaming_maintained_refined_serving_equals_rebuild(spark, tmp_path):
     """Streaming-ingest -> compressed REFINED serving freshness (r15
     judge ask #5 — the completed serving matrix's one untested seam):
