@@ -52,3 +52,31 @@ def test_values_unchanged(spark):
     a = sorted(map(tuple, docs.collect()))
     b = sorted(map(tuple, fanout_small(docs).collect()))
     assert a == b
+
+
+# ---- coalesce_small (r18): the inverse device for pinned artifacts ----
+
+
+def test_coalesce_small_compacts_tiny_relation(spark):
+    from vector_search_spark.functions.fanout import coalesce_small
+
+    docs = _docs(spark).repartition(16)
+    out = coalesce_small(docs)
+    assert out.rdd.getNumPartitions() == 1
+    # values identical (coalesce only merges partitions)
+    a = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert a == b
+
+
+def test_coalesce_small_identity_above_gate_and_kill_switch(spark):
+    from vector_search_spark.functions.fanout import coalesce_small
+
+    docs = _docs(spark)
+    # a threshold the estimate always clears -> identity (same object)
+    assert coalesce_small(docs, bytes_per_part=1) is docs
+    # kill switch
+    assert coalesce_small(docs, bytes_per_part=0) is docs
+    # precomputed-estimate form: a big est forces identity even when
+    # the plan's own estimate is tiny (the hnsw_build call shape)
+    assert coalesce_small(docs, est=10**12) is docs
